@@ -1,0 +1,55 @@
+"""iterative_solver_tpu — a TPU-native subspace iterative-solver framework.
+
+Brand-new JAX/XLA/Pallas implementation with the capabilities of the
+reference C++/MPI library molpro/iterative-solver: Davidson linear
+eigensolver, linear-equation solver (with augmented Hessian), DIIS nonlinear
+equations, L-BFGS/steepest-descent optimisation, P/Q/D subspace machinery,
+and a distributed vector layer built on jax.sharding meshes instead of MPI.
+
+Quick start::
+
+    import numpy as np, iterative_solver_tpu as its
+    problem = its.models.MatrixProblem(matrix)
+    solver = its.create_linear_eigensystem(n, nroots=4, options="max_size_qspace=10")
+    converged, x, r = solver.solve(np.zeros((4, n)), problem=problem,
+                                   generate_initial_guess=True)
+    solver.eigenvalues()
+"""
+
+from . import models, options, utils
+from .factory import (
+    create_linear_eigensystem,
+    create_linear_equations,
+    create_nonlinear_equations,
+    create_optimize,
+)
+from .problem import Problem
+from .solvers.core import IterativeSolverTemplate, Verbosity
+from .solvers.interpolate import Interpolate, Point
+from .solvers.linear_eigensystem import LinearEigensystemDavidson, LinearEigensystemRSPT
+from .solvers.linear_equations import LinearEquationsDavidson
+from .solvers.nonlinear_diis import NonLinearEquationsDIIS
+from .solvers.optimize import OptimizeBFGS, OptimizeSD
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Problem",
+    "Verbosity",
+    "IterativeSolverTemplate",
+    "LinearEigensystemDavidson",
+    "LinearEigensystemRSPT",
+    "LinearEquationsDavidson",
+    "NonLinearEquationsDIIS",
+    "OptimizeBFGS",
+    "OptimizeSD",
+    "Interpolate",
+    "Point",
+    "create_linear_eigensystem",
+    "create_linear_equations",
+    "create_nonlinear_equations",
+    "create_optimize",
+    "models",
+    "options",
+    "utils",
+]

@@ -1,0 +1,19 @@
+from .core import IterativeSolverTemplate, Verbosity
+from .interpolate import Interpolate, Point
+from .linear_eigensystem import LinearEigensystemDavidson, LinearEigensystemRSPT
+from .linear_equations import LinearEquationsDavidson
+from .nonlinear_diis import NonLinearEquationsDIIS
+from .optimize import OptimizeBFGS, OptimizeSD
+
+__all__ = [
+    "IterativeSolverTemplate",
+    "Verbosity",
+    "Interpolate",
+    "Point",
+    "LinearEigensystemDavidson",
+    "LinearEigensystemRSPT",
+    "LinearEquationsDavidson",
+    "NonLinearEquationsDIIS",
+    "OptimizeBFGS",
+    "OptimizeSD",
+]

@@ -1,0 +1,437 @@
+"""Generic iteration engine shared by all solver families.
+
+TPU-native re-design of IterativeSolverTemplate (reference:
+src/molpro/linalg/itsolv/IterativeSolverTemplate.h:126-600).  Control flow
+and the tiny subspace matrices live on the host; every O(N) operation —
+overlap construction (add_vector), solution reconstruction (solution), error
+norms — is a static-shape jitted device call through the XSpace basis stores.
+
+Interface style is functional: ``add_vector`` / ``end_iteration`` take and
+return ``(m, N)`` row-blocks instead of mutating VecRef views.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..array import vector_ops as vops
+from ..problem import Problem
+from ..subspace.xspace import XSpace
+from ..utils import Logger, Profiler, Statistics, null_profiler
+
+Array = jax.Array
+
+
+def select_working_set(
+    nw: int,
+    errors: Sequence[float],
+    threshold: float,
+    value_errors: Sequence[float] = (),
+    value_threshold: float = np.inf,
+) -> List[int]:
+    """Indices of the <=nw roots with largest error above threshold, ascending.
+
+    (IterativeSolverTemplate.h:105-117.)
+    """
+    candidates = [
+        (errors[i], i)
+        for i in range(len(errors))
+        if errors[i] > threshold or (i < len(value_errors) and value_errors[i] > value_threshold)
+    ]
+    candidates.sort(key=lambda t: (-t[0], t[1]))
+    working = sorted(i for _, i in candidates[:nw])
+    return working
+
+
+class Verbosity:
+    NONE = 0
+    SUMMARY = 1
+    ITERATION = 2
+    DETAILED = 3
+
+
+class IterativeSolverTemplate:
+    nonlinear: bool = False
+    linear_eigensystem: bool = False
+
+    def __init__(
+        self,
+        n: int,
+        nroots: int = 1,
+        dtype=None,
+        sharding=None,
+        capacity: Optional[int] = None,
+        logger: Optional[Logger] = None,
+        profiler: Optional[Profiler] = None,
+    ):
+        if dtype is None:
+            dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+        self.n = int(n)
+        self.dtype = dtype
+        self.sharding = sharding
+        self.logger = logger or Logger()
+        self.profiler = profiler or null_profiler()
+        self.stats = Statistics()
+        cap = capacity if capacity is not None else max(16, 4 * nroots)
+        self.xspace = XSpace(n, dtype, sharding, capacity=cap, logger=self.logger, stats=self.stats)
+        self.subspace_solver = None  # set by concrete solver
+        self.errors: List[float] = []
+        self.value_errors: List[float] = []
+        self.working_set: List[int] = list(range(nroots))
+        self.nroots = nroots
+        self.convergence_threshold = 1.0e-8
+        self.convergence_threshold_value = np.finfo(np.float64).max
+        self.verbosity = Verbosity.ITERATION
+        self.max_iter = 100
+        self.max_p = 0
+        self.p_threshold = np.finfo(np.float64).max
+        self.apply_p: Optional[Callable] = None
+        self.normalise_solution = False
+        self._end_iteration_needed = True
+        self._nwork_rows = nroots  # number of R rows the driver carries
+
+    # ------------------------------------------------------------------
+    def set_n_roots(self, nroots: int) -> None:
+        self.nroots = nroots
+        self.working_set = list(range(nroots))
+
+    def n_roots(self) -> int:
+        return self.nroots
+
+    @property
+    def end_iteration_needed(self) -> bool:
+        return self._end_iteration_needed
+
+    def eigenvalues(self):
+        return np.asarray(self.subspace_solver.eigenvalues)
+
+    def working_set_eigenvalues(self) -> np.ndarray:
+        ev = self.subspace_solver.eigenvalues
+        return np.asarray([ev[i] for i in self.working_set])
+
+    def dimensions(self):
+        return self.xspace.dimensions
+
+    @property
+    def value(self) -> float:
+        if self.xspace.value.size:
+            return float(self.xspace.value[0, 0])
+        return float("nan")
+
+    # ------------------------------------------------------------------
+    def add_vector(self, parameters: Array, actions: Array, value: Optional[float] = None):
+        """Update the Q space from working-set rows, re-solve the subspace and
+        return ``(nwork, parameters, actions)`` with the new working set's
+        solutions/residuals in the leading rows.
+
+        (IterativeSolverTemplate.h:140-166.)
+        """
+        with self.profiler.push("add_vector"):
+            parameters = jnp.atleast_2d(parameters)
+            actions = jnp.atleast_2d(actions)
+            if self.xspace.dimensions.nP != 0 and self.apply_p is None:
+                raise RuntimeError("Solver contains P space but no valid apply_p function")
+            nW = min(len(self.working_set), parameters.shape[0])
+            self.stats.r_creations += nW
+            with self.profiler.push("update_qspace"):
+                self.xspace.update_qspace(parameters[:nW], actions[:nW])
+            nwork, parameters, actions = self._solve_and_generate_working_set(parameters, actions)
+            self._end_iteration_needed = True
+            return nwork, parameters, actions
+
+    def add_p(
+        self,
+        pvectors,
+        pp_action_matrix,
+        parameters: Array,
+        actions: Array,
+        apply_p: Callable,
+    ):
+        """Install a P space on an empty subspace (IterativeSolverTemplate.h:177-188)."""
+        if len(pvectors) and len(pvectors) < self.nroots:
+            raise RuntimeError("P space must be empty or at least as large as number of roots sought")
+        if apply_p is not None:
+            self.apply_p = apply_p
+        self.xspace.update_pspace(pvectors, pp_action_matrix)
+        return self._solve_and_generate_working_set(parameters, actions)
+
+    # ------------------------------------------------------------------
+    def solution(self, roots: Sequence[int]) -> Tuple[Array, Array]:
+        """Reconstruct full-space solutions and residuals for ``roots``.
+
+        (IterativeSolverTemplate.h:191-215 + construct_solution at :33-65.)
+        """
+        params = self._construct_solution_params(roots)
+        residual = self._construct_residual_actions(roots)
+        if self.normalise_solution:
+            norms = np.asarray(vops.norms_rows(params))
+            scale = np.where(norms > 1e-14, 1.0 / np.where(norms > 1e-14, norms, 1.0), 1.0)
+            scale_dev = jnp.asarray(scale, dtype=self.dtype)
+            params = vops.scale_rows(scale_dev, params)
+            residual = vops.scale_rows(scale_dev, residual)
+        if self.apply_p is not None and self.xspace.dimensions.nP:
+            sol = self.subspace_solver.solutions
+            dims = self.xspace.dimensions
+            pcoeff = sol[np.asarray(list(roots)), dims.oP : dims.oP + dims.nP]
+            residual = residual + self.apply_p(pcoeff, self.xspace.p_sparse)
+        residual = self.construct_residual(list(roots), params, residual)
+        return params, residual
+
+    def solution_params(self, roots: Sequence[int]) -> Array:
+        return self._construct_solution_params(roots)
+
+    def _construct_solution_params(self, roots: Sequence[int]) -> Array:
+        sol = self.subspace_solver.solutions
+        dims = self.xspace.dimensions
+        roots = np.asarray(list(roots), dtype=int)
+        coeff_v = np.concatenate(
+            [
+                sol[roots, dims.oP : dims.oP + dims.nP],
+                sol[roots, dims.oQ : dims.oQ + dims.nQ],
+                sol[roots, dims.oD : dims.oD + dims.nD],
+            ],
+            axis=1,
+        )
+        slots_v = (
+            list(self.xspace.p_slots)
+            + [s[0] for s in self.xspace.q_slots]
+            + [s[0] for s in self.xspace.d_slots]
+        )
+        self.stats.gemm_outer_ops += 1
+        return self.xspace.store_v.combine(coeff_v, slots_v)
+
+    def _construct_residual_actions(self, roots: Sequence[int]) -> Array:
+        sol = self.subspace_solver.solutions
+        dims = self.xspace.dimensions
+        roots = np.asarray(list(roots), dtype=int)
+        coeff_a = np.concatenate(
+            [
+                sol[roots, dims.oQ : dims.oQ + dims.nQ],
+                sol[roots, dims.oD : dims.oD + dims.nD],
+            ],
+            axis=1,
+        )
+        slots_a = [s[1] for s in self.xspace.q_slots] + [s[1] for s in self.xspace.d_slots]
+        self.stats.gemm_outer_ops += 1
+        return self.xspace.store_a.combine(coeff_a, slots_a)
+
+    # -- solver-specific hooks ------------------------------------------
+    def construct_residual(self, roots: List[int], params: Array, actions: Array) -> Array:
+        """Turn reconstructed actions into residuals (solver specific)."""
+        raise NotImplementedError
+
+    def set_value_errors(self) -> None:
+        self.value_errors = []
+
+    def end_iteration(self, parameters: Array, actions: Array):
+        raise NotImplementedError
+
+    # ------------------------------------------------------------------
+    def _solve_and_generate_working_set(self, parameters: Array, actions: Array):
+        """(IterativeSolverTemplate.h:518-563, without disk batching: all nsol
+        solutions are reconstructed in one device pass.)"""
+        with self.profiler.push("subspace_solve"):
+            self.subspace_solver.solve(self.xspace, self.n_roots())
+        nsol = self.subspace_solver.size
+        roots = list(range(nsol))
+        with self.profiler.push("construct_solutions"):
+            sol_params, sol_residuals = self.solution(roots)
+            errors = np.asarray(vops.norms_rows(sol_residuals), dtype=float)
+        self.subspace_solver.set_errors(roots, errors)
+        self.set_value_errors()
+        self.errors = list(self.subspace_solver.errors)
+        nrows = parameters.shape[0]
+        self.working_set = select_working_set(
+            nrows,
+            self.errors,
+            self.convergence_threshold,
+            self.value_errors,
+            self.convergence_threshold_value,
+        )
+        if self.working_set:
+            idx = jnp.asarray(self.working_set, dtype=jnp.int32)
+            new_params = sol_params[idx]
+            new_actions = sol_residuals[idx]
+            pad = nrows - len(self.working_set)
+            if pad > 0:
+                parameters = jnp.concatenate([new_params, parameters[len(self.working_set):]], axis=0)
+                actions = jnp.concatenate([new_actions, actions[len(self.working_set):]], axis=0)
+            else:
+                parameters = new_params
+                actions = new_actions
+        return len(self.working_set), parameters, actions
+
+    # ------------------------------------------------------------------
+    def report(self, iteration: Optional[int] = None) -> None:
+        it = self.stats.iterations if iteration is None else iteration
+        msg = f"iteration {it}"
+        if self.errors:
+            imax = int(np.argmax(self.errors))
+            label = f"|residual[{imax}]|" if self.n_roots() > 1 else "|residual|"
+            msg += f", {label} = {self.errors[imax]:e}"
+        print(msg)
+
+    # ------------------------------------------------------------------
+    def solve(
+        self,
+        parameters,
+        actions=None,
+        problem: Optional[Problem] = None,
+        generate_initial_guess: bool = False,
+        max_iter: Optional[int] = None,
+    ):
+        """One-call driver (IterativeSolverTemplate.h:322-408).
+
+        ``parameters``/``actions`` are (nwork_rows, N) initial blocks (numpy or
+        jax); returns ``(converged, parameters, actions)``.
+        """
+        if problem is None:
+            raise ValueError("problem must be provided")
+        parameters = vops.to_device(np.atleast_2d(np.asarray(parameters, dtype=np.float64)), self.dtype, self.sharding)
+        if actions is None:
+            actions = jnp.zeros_like(parameters)
+        else:
+            actions = vops.to_device(np.atleast_2d(np.asarray(actions, dtype=np.float64)), self.dtype, self.sharding)
+        if max_iter is not None:
+            self.max_iter = max_iter
+        diagonals = problem.diagonals()
+        use_diagonals = diagonals is not None
+        if use_diagonals:
+            diagonals = vops.to_device(diagonals, self.dtype, self.sharding)
+
+        if generate_initial_guess:
+            if self.linear_eigensystem:
+                if not use_diagonals:
+                    raise RuntimeError("Default initial guess requested, but diagonal elements are not available")
+                idx, _ = vops.select_smallest(diagonals, parameters.shape[0])
+                guess = np.zeros((parameters.shape[0], self.n))
+                for row, i in enumerate(np.asarray(idx)):
+                    guess[row, int(i)] = 1.0
+                if self.verbosity >= Verbosity.SUMMARY:
+                    print("Initial guess generated from diagonal elements")
+            else:
+                # LinearEquations: unit vectors e_i per root, as in the
+                # reference Python driver (iterative_solver_extension.pyx:126)
+                guess = np.zeros((parameters.shape[0], self.n))
+                for row in range(parameters.shape[0]):
+                    guess[row, row % self.n] = 1.0
+            parameters = vops.to_device(guess, self.dtype, self.sharding)
+
+        nwork = parameters.shape[0]
+        pspace = []
+        if use_diagonals and self.max_p > 0:
+            nwork, parameters, actions, pspace = self._auto_pspace(
+                problem, diagonals, parameters, actions
+            )
+
+        for it in range(self.max_iter):
+            if nwork <= 0:
+                break
+            value = None
+            if self.nonlinear:
+                value, res = problem.residual(parameters[0])
+                actions = actions.at[0].set(res)
+                nwork, parameters, actions = self.add_vector(parameters, actions, value)
+            elif it > 0 or not pspace:
+                with self.profiler.push("problem.action"):
+                    act = problem.action(parameters[:nwork])
+                actions = jnp.concatenate([act, actions[nwork:]], axis=0) if nwork < actions.shape[0] else act
+                nwork, parameters, actions = self.add_vector(parameters, actions)
+            while self.end_iteration_needed:
+                if nwork > 0:
+                    shifts = (
+                        self.working_set_eigenvalues()
+                        if self.linear_eigensystem
+                        else np.zeros(nwork)
+                    )
+                    with self.profiler.push("precondition"):
+                        prec = problem.precondition(
+                            actions[:nwork], shifts[:nwork], diagonals if use_diagonals else None
+                        )
+                    actions = (
+                        jnp.concatenate([prec, actions[nwork:]], axis=0)
+                        if nwork < actions.shape[0]
+                        else prec
+                    )
+                nwork, parameters, actions = self.end_iteration(parameters, actions)
+            if self.verbosity >= Verbosity.ITERATION:
+                self.report()
+        if self.verbosity == Verbosity.SUMMARY:
+            self.report()
+        converged = nwork == 0 and max(self.errors) <= self.convergence_threshold
+        if self.verbosity >= Verbosity.SUMMARY and not converged:
+            print(f"Solver has not converged to threshold {self.convergence_threshold}")
+        return converged, parameters, actions
+
+    def _auto_pspace(self, problem: Problem, diagonals: Array, parameters: Array, actions: Array):
+        """Automatic P-space selection from smallest diagonals
+        (IterativeSolverTemplate.h:353-376)."""
+        idx, vals = vops.select_smallest(diagonals, self.max_p)
+        idx = np.asarray(idx)
+        vals = np.asarray(vals, dtype=float)
+        keep = [0] if len(idx) else []
+        for i in range(1, len(idx)):
+            if vals[i] > vals[0] + self.p_threshold:
+                break
+            keep.append(i)
+        pspace = [{int(idx[i]): 1.0} for i in keep]
+        if self.verbosity >= Verbosity.SUMMARY and pspace:
+            print(f"{len(pspace)}-dimensional P space selected")
+
+        def apply_on_p(pcoeff: np.ndarray, pvectors) -> Array:
+            return problem.p_action(pcoeff, pvectors)
+
+        action_matrix = problem.pp_action_matrix(pspace)
+        nwork, parameters, actions = self.add_p(pspace, action_matrix, parameters, actions, apply_on_p)
+        return nwork, parameters, actions, pspace
+
+    # ------------------------------------------------------------------
+    def test_problem(self, problem: Problem, verbosity: int = 0, threshold: float = 1e-5) -> bool:
+        """Numerical consistency check of the user's problem definition
+        (IterativeSolverTemplate.h:420-474)."""
+        success = True
+        if self.nonlinear:
+            v0 = problem.test_parameters(0)
+            if v0 is None:
+                return True
+            v0 = vops.to_device(v0, self.dtype, self.sharding)
+            value0, res0 = problem.residual(v0)
+            parameters0, residual0 = v0, res0
+            instance = 1
+            while True:
+                v1 = problem.test_parameters(instance)
+                if v1 is None:
+                    break
+                v1 = vops.to_device(v1, self.dtype, self.sharding)
+                value1, res1 = problem.residual(v1)
+                mean_res = 0.5 * (res1 + residual0)
+                step = v1 - parameters0
+                dv_analytic = float(jnp.dot(mean_res, step))
+                ok = abs(dv_analytic - (value1 - value0)) < threshold
+                success = success and ok
+                if verbosity > 0 or not ok:
+                    print(f"{{actual, extrapolated}} value change: {{{value1 - value0}, {dv_analytic}}}")
+                instance += 1
+        else:
+            instance = 0
+            while True:
+                v0 = problem.test_parameters(instance)
+                if v0 is None:
+                    break
+                v0 = vops.to_device(jnp.atleast_2d(v0), self.dtype, self.sharding)
+                a0 = problem.action(v0)
+                norm2_residual = float(jnp.sqrt(jnp.sum(a0 * a0)))
+                scale = 10.0
+                a1 = problem.action(v0 * scale)
+                defect = a1 - scale * a0
+                norm2 = float(jnp.sqrt(jnp.sum(defect * defect)))
+                ok = abs(norm2 / norm2_residual) < threshold
+                success = success and ok
+                if verbosity > 0 or not ok:
+                    print(f"Length of residual: {norm2_residual}, scaling defect: {norm2}")
+                instance += 1
+        return success
