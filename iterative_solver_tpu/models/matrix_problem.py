@@ -169,5 +169,10 @@ class RayleighQuotientProblem(Problem):
         grad = 2.0 * (ax - value * parameters) / xx
         return value, grad
 
-    def diagonals(self) -> Array:
-        return jnp.diagonal(self.matrix)
+    def precondition(self, residual, shift=None, diagonals=None):
+        # The Rayleigh-quotient Hessian is ~2(A - theta); a zero-shift Jacobi
+        # update flips the step sign wherever the diagonal is negative, so
+        # approximate theta by the smallest diagonal to keep curvature positive.
+        d = jnp.diagonal(self.matrix)
+        denom = d - jnp.min(d) + 1.0
+        return residual / denom[None, :]

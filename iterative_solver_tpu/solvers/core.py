@@ -252,17 +252,20 @@ class IterativeSolverTemplate:
             self.value_errors,
             self.convergence_threshold_value,
         )
-        if self.working_set:
-            idx = jnp.asarray(self.working_set, dtype=jnp.int32)
-            new_params = sol_params[idx]
-            new_actions = sol_residuals[idx]
-            pad = nrows - len(self.working_set)
-            if pad > 0:
-                parameters = jnp.concatenate([new_params, parameters[len(self.working_set):]], axis=0)
-                actions = jnp.concatenate([new_actions, actions[len(self.working_set):]], axis=0)
-            else:
-                parameters = new_params
-                actions = new_actions
+        # Mirror the reference's row layout: solution() writes ALL
+        # reconstructed solutions/residuals into the leading R rows
+        # (IterativeSolverTemplate.h:526-534), then the working-set pass only
+        # moves root solutions up (:536-556). Rows beyond the working set keep
+        # the reconstruction of their own root index.
+        k = min(nsol, nrows)
+        row_roots = list(range(k))
+        for i, root in enumerate(self.working_set):
+            if i < k:
+                row_roots[i] = root
+        if k:
+            idx = jnp.asarray(row_roots, dtype=jnp.int32)
+            parameters = jnp.concatenate([sol_params[idx], parameters[k:]], axis=0)
+            actions = jnp.concatenate([sol_residuals[idx], actions[k:]], axis=0)
         return len(self.working_set), parameters, actions
 
     # ------------------------------------------------------------------

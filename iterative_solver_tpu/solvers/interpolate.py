@@ -25,7 +25,10 @@ class Point:
 
 
 def _morse_point(y: float, p: List[float]) -> Point:
-    e = math.exp(-p[2] * (y - p[3]))
+    # np.exp overflows to inf like C++ std::exp rather than raising, which
+    # lets the DIIS fit recover from wild intermediate parameters
+    with np.errstate(over="ignore"):
+        e = float(np.exp(-p[2] * (y - p[3])))
     f = p[0] + (p[1] / 2) * ((1 - e) / p[2]) ** 2
     f1 = (p[1] / p[2]) * e * (1 - e)
     f2 = -p[1] * (1 - 2 * e)
@@ -104,10 +107,17 @@ class Interpolate:
         c = self.parameters[1]
         b = 2 * self.parameters[2]
         a = 3 * self.parameters[3]
+        xbar = 0.5 * (self.p1.x + self.p0.x)
+        if abs(a) <= 1e-12 * max(abs(b), abs(c) / max(abs(self.p1.x - self.p0.x), 1e-300)):
+            # Degenerate (quadratic) interpolant — the reference's closed form
+            # divides by zero here and silently skips the line search
+            # (Interpolate.cpp:121-130); use the parabola vertex instead.
+            if b > 0:
+                return self(xbar - c / b)
+            return Point(math.nan)
         disc = b * b / (4 * a * a) - c / a
         if math.isnan(disc) or disc < 0:
             return Point(math.nan)
-        xbar = 0.5 * (self.p1.x + self.p0.x)
         pm = self(xbar - b / (2 * a) + math.sqrt(disc))
         pp = self(xbar - b / (2 * a) - math.sqrt(disc))
         return pm if pm.f < pp.f else pp
