@@ -1,0 +1,113 @@
+"""Benchmark: fused Davidson eigensolver on a synthetic FCI-style Hamiltonian.
+
+Runs on whatever backend the environment provides (the driver supplies one
+real TPU chip). Two measurements, one JSON line:
+
+- throughput: a fixed 64-iteration fused Davidson run in a single dispatch
+  (lax.while_loop with tol<0) — sustained GFLOP/s across matvec + Gram +
+  reconstruction + orthogonalisation. This is the improvable kernel metric.
+- solution quality: a converging run; eigenvalue error is measured on the
+  host in f64 from the returned vectors' Rayleigh quotients (the on-device
+  f32 dot under-reports by ~1e-4 — the vectors themselves are ~1e-6).
+
+The reference publishes no numbers (BASELINE.md); vs_baseline is the ratio
+to REFERENCE_GFLOPS recorded in round 1 on one TPU v5e chip.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_GFLOPS = 576.0  # round-1 fused Davidson sustained rate, 1x TPU v5e
+
+N = 8192
+NROOTS = 4
+M_MAX = 32
+THROUGHPUT_ITERS = 64
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from iterative_solver_tpu.solvers.fused_davidson import (
+        FusedDavidson,
+        make_davidson_solve,
+    )
+
+    backend = jax.default_backend()
+    dtype = jnp.float32 if backend != "cpu" else jnp.float64
+
+    rng = np.random.default_rng(0)
+    # gapped low block (the sought correlation states) + dense remainder
+    dvals = np.concatenate([np.linspace(-2.0, 3.0, 32), np.linspace(6.0, 50.0, N - 32)])
+    a = rng.standard_normal((N, N)) * (0.05 / np.sqrt(N))
+    matrix = (a + a.T + np.diag(dvals)).astype(np.float64)
+    diag = np.diag(matrix)
+    mat = jnp.asarray(matrix, dtype=dtype)
+
+    def matvec(x, op):
+        return jnp.matmul(x, op.T, preferred_element_type=dtype)
+
+    tol = 2e-4 if dtype == jnp.float32 else 1e-8
+    solver = FusedDavidson(
+        matvec, diag, N, NROOTS, m_max=M_MAX, dtype=dtype,
+        convergence_threshold=tol, max_iter=60, operand=mat,
+    )
+    v0 = np.zeros((NROOTS, N))
+    for row, i in enumerate(np.argsort(diag)[:NROOTS]):
+        v0[row, i] = 1.0
+
+    # ---- throughput: fixed-iteration single-dispatch run ----
+    solve_fixed = make_davidson_solve(matvec, NROOTS, M_MAX, tol=-1.0, max_iter=THROUGHPUT_ITERS)
+    st = solver.init_state(v0)
+    out, it0 = solve_fixed(st, solver.operand, solver.diag)  # compile + warmup
+    jax.block_until_ready(out.errors)
+    st = solver.init_state(v0)
+    t0 = time.perf_counter()
+    out, iters_fixed = solve_fixed(st, solver.operand, solver.diag)
+    jax.block_until_ready(out.errors)
+    wall_throughput = time.perf_counter() - t0
+    flops_per_iter = (
+        2 * NROOTS * N * N
+        + 2 * M_MAX * M_MAX * N
+        + 2 * 2 * NROOTS * N * M_MAX
+        + 2 * 2 * 2 * NROOTS * M_MAX * N
+    )
+    gflops = flops_per_iter * int(iters_fixed) / wall_throughput / 1e9
+
+    # ---- convergence + quality ----
+    t0 = time.perf_counter()
+    evals, x, errors, iters = solver.run_on_device(v0)
+    wall_solve = time.perf_counter() - t0
+    x64 = np.asarray(x, dtype=np.float64)
+    ref = np.sort(np.linalg.eigvalsh(matrix))[:NROOTS]
+    ev_err = 0.0
+    res_f64 = 0.0
+    for i in range(NROOTS):
+        xi = x64[i] / np.linalg.norm(x64[i])
+        rq = xi @ matrix @ xi
+        ev_err = max(ev_err, abs(rq - ref[i]))
+        res_f64 = max(res_f64, float(np.linalg.norm(matrix @ xi - rq * xi)))
+
+    result = {
+        "metric": f"fused_davidson_n{N}_r{NROOTS}_sustained",
+        "value": round(gflops, 1),
+        "unit": "GFLOP/s",
+        "vs_baseline": round(gflops / REFERENCE_GFLOPS, 3),
+        "throughput_wall_s": round(wall_throughput, 4),
+        "iter_time_ms": round(wall_throughput / int(iters_fixed) * 1e3, 3),
+        "solve_wall_s": round(wall_solve, 4),
+        "solve_iterations": int(iters),
+        "max_residual_f64": res_f64,
+        "eigenvalue_error_vs_dense_f64": ev_err,
+        "backend": backend,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -154,10 +154,29 @@ def _jacobi_precondition(residual, shifts, diagonals, small):
     return residual / denom
 
 
+def adapt_sharding(sharding, ndim: int):
+    """Fit a NamedSharding's spec to an array rank: keep the trailing (vector)
+    axes, so a (rows, N) block spec applies to an (N,) vector as (N,)."""
+    if sharding is None:
+        return None
+    try:
+        from jax.sharding import NamedSharding, PartitionSpec
+    except ImportError:  # pragma: no cover
+        return sharding
+    if not isinstance(sharding, NamedSharding):
+        return sharding
+    spec = tuple(sharding.spec)
+    if len(spec) == ndim:
+        return sharding
+    if len(spec) > ndim:
+        return NamedSharding(sharding.mesh, PartitionSpec(*spec[len(spec) - ndim:]))
+    return NamedSharding(sharding.mesh, PartitionSpec(*((None,) * (ndim - len(spec)) + spec)))
+
+
 def to_device(x, dtype=None, sharding=None) -> Array:
     arr = jnp.asarray(x, dtype=dtype)
     if sharding is not None:
-        arr = jax.device_put(arr, sharding)
+        arr = jax.device_put(arr, adapt_sharding(sharding, arr.ndim))
     return arr
 
 

@@ -1,0 +1,19 @@
+from .mesh import (
+    DATA_AXIS,
+    block_sharding,
+    make_mesh,
+    matrix_row_sharding,
+    replicated,
+    vector_sharding,
+)
+from . import collectives
+
+__all__ = [
+    "DATA_AXIS",
+    "make_mesh",
+    "block_sharding",
+    "vector_sharding",
+    "matrix_row_sharding",
+    "replicated",
+    "collectives",
+]

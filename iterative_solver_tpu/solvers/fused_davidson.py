@@ -1,0 +1,319 @@
+"""Fused Davidson eigensolver — the TPU speed-of-light path.
+
+The reference-parity solver (`LinearEigensystemDavidson`) mirrors the C++
+control flow with host-side subspace logic; this module is the TPU-first
+redesign for production throughput: ONE jitted step function with fully
+static shapes that runs the entire Davidson iteration on-device —
+
+  matvec -> masked subspace Rayleigh matrix -> on-device eigh -> Ritz
+  reconstruction -> residuals -> Jacobi preconditioning -> Gram-Schmidt
+  against the basis -> whitening -> basis append
+
+so the host only checks convergence between steps (one scalar sync). The
+basis lives in a fixed-capacity ``(m_max, N)`` stack; slot validity is
+tracked with a mask whose inactive diagonal entries are pushed to +inf-like
+values before the eigh, replacing the reference's dynamic Q-resizing
+(QSpace.h) with compile-once masked arithmetic. Restarts collapse the basis
+onto the current Ritz vectors — the DSpaceResetter analogue
+(DSpaceResetter.h:69-146) without D-space bookkeeping.
+
+Everything shards over a 1-D device mesh by the vector axis N: the matvec
+partitions rows, and XLA inserts the psum for every Gram contraction — the
+ICI replacement for the reference's MPI_Allreduce (gemm.h:43-46).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+class DavidsonState(NamedTuple):
+    v: Array        # (m_max, N) basis stack (rows orthonormal where mask)
+    w: Array        # (m_max, N) action stack  A v
+    mask: Array     # (m_max,) 1.0 for active slots
+    k: Array        # int32 count of appended slots
+    evals: Array    # (nroots,) current Ritz values
+    x: Array        # (nroots, N) current Ritz vectors
+    r: Array        # (nroots, N) current residuals
+    errors: Array   # (nroots,) residual norms
+
+
+def _masked_eigh(v, w, mask):
+    """Rayleigh matrix over active slots; inactive diagonals pushed just above
+    the active spectrum so their eigenpairs sort last. The pad value tracks
+    the matrix scale dynamically — a huge constant (1e12) would wreck float32
+    eigh accuracy through the orthogonal transformations."""
+    h = jnp.matmul(v, w.T, precision=_PREC)
+    h = 0.5 * (h + h.T)
+    m2 = mask[:, None] * mask[None, :]
+    h = h * m2
+    big = 4.0 * jnp.max(jnp.abs(h)) + 1.0
+    h = h + (1.0 - mask)[:, None] * (1.0 - mask)[None, :] * jnp.eye(h.shape[0], dtype=h.dtype) * big
+    if jax.config.read("jax_enable_x64") and h.dtype != jnp.float64:
+        # the subspace matrix is tiny: do the eigh in (emulated) f64 — TPU
+        # f32 eigh is only ~1e-3-relative accurate, which would cap the
+        # whole solve's eigenvalue accuracy
+        evals, c = jnp.linalg.eigh(h.astype(jnp.float64))
+        return evals.astype(h.dtype), c.astype(h.dtype)
+    return jnp.linalg.eigh(h)
+
+
+def _step_body(
+    matvec: Callable[..., Array],
+    nroots: int,
+    m_max: int,
+    null_thresh: float = 1e-10,
+):
+    """Raw (unjitted) single-iteration body shared by step and sweep."""
+
+    def step(state: DavidsonState, operand, diag: Array) -> DavidsonState:
+        v, w, mask, k = state.v, state.w, state.mask, state.k
+        evals_all, c = _masked_eigh(v, w, mask)
+        coeff = (c[:, :nroots] * mask[:, None]).T  # (nroots, m_max)
+        evals = evals_all[:nroots]
+        x = jnp.matmul(coeff, v, precision=_PREC)
+        ax = jnp.matmul(coeff, w, precision=_PREC)
+        # Rayleigh-quotient refinement: full-length dots are ~eps*||A||
+        # accurate, recovering eigenvalue accuracy the small eigh may lack
+        # (and minimising the residual norm over the eigenvalue)
+        xx = jnp.einsum("in,in->i", x, x, precision=_PREC)
+        xax = jnp.einsum("in,in->i", x, ax, precision=_PREC)
+        evals = jnp.where(xx > 0, xax / jnp.where(xx > 0, xx, 1.0), evals)
+        r = ax - evals[:, None] * x
+        errors = jnp.sqrt(jnp.abs(jnp.einsum("in,in->i", r, r, precision=_PREC)))
+
+        # Jacobi/Davidson preconditioner (IterativeSolver.h:34-44 semantics)
+        t = r / (diag[None, :] - evals[:, None] + 1e-15)
+
+        # orthogonalise against the basis: two classical GS passes, each one
+        # matmul pair (the fused analogue of propose_rspace's MGS sweep)
+        for _ in range(2):
+            proj = jnp.matmul(t, v.T, precision=_PREC) * mask[None, :]
+            t = t - jnp.matmul(proj, v, precision=_PREC)
+        # whiten among themselves via Cholesky of the small Gram matrix
+        g = jnp.matmul(t, t.T, precision=_PREC)
+        norms2 = jnp.diagonal(g)
+        keep = norms2 > null_thresh**2
+        g = jnp.where(keep[:, None] & keep[None, :], g, 0.0)
+        g = g + jnp.where(keep, 1e-30, 1.0) * jnp.eye(nroots, dtype=g.dtype)
+        l = jnp.linalg.cholesky(g)
+        t = jax.scipy.linalg.solve_triangular(l, t, lower=True)
+        t = t * keep[:, None]
+
+        # append at slot k
+        v_new = jax.lax.dynamic_update_slice(v, t.astype(v.dtype), (k, jnp.zeros((), k.dtype)))
+        w_new = jax.lax.dynamic_update_slice(w, matvec(t, operand).astype(w.dtype), (k, jnp.zeros((), k.dtype)))
+        slot_ids = jax.lax.broadcasted_iota(jnp.int32, (m_max, 1), 0)[:, 0]
+        new_mask_rows = (slot_ids >= k) & (slot_ids < k + nroots)
+        keep_full = jnp.zeros((m_max,), dtype=bool).at[:nroots].set(keep)
+        keep_rolled = jnp.roll(keep_full, k)
+        mask_new = jnp.where(new_mask_rows & keep_rolled, 1.0, mask)
+        return DavidsonState(v_new, w_new, mask_new, k + nroots, evals, x, r, errors)
+
+    return step
+
+
+def make_davidson_step(matvec, nroots: int, m_max: int, null_thresh: float = 1e-10):
+    """Jitted single iteration: state, operand, diag -> state. The operator
+    data and diagonals are traced ARGUMENTS, not closed-over constants, so
+    multi-GB operators never get baked into the HLO (essential for
+    remote-compile paths and donation)."""
+    return jax.jit(_step_body(matvec, nroots, m_max, null_thresh), donate_argnums=(0,))
+
+
+def make_davidson_sweep(matvec, nroots: int, m_max: int, steps: int, null_thresh: float = 1e-10):
+    """Jitted multi-iteration sweep: ``steps`` Davidson iterations in ONE
+    dispatch (lax.fori_loop), amortising host/tunnel launch latency — the
+    analogue of the reference's batched BufferManager passes, but for control
+    overhead instead of IO."""
+    body = _step_body(matvec, nroots, m_max, null_thresh)
+
+    def sweep(state: DavidsonState, operand, diag: Array) -> DavidsonState:
+        return jax.lax.fori_loop(0, steps, lambda i, s: body(s, operand, diag), state)
+
+    # NOTE: no donation — buffer donation on fori_loop carries trips an
+    # INVALID_ARGUMENT in the axon TPU runtime (single-step donation is fine).
+    return jax.jit(sweep)
+
+
+def _restart_body(matvec: Callable[..., Array], nroots: int, m_max: int):
+    """Collapse the basis onto the current Ritz vectors (DSpaceResetter analogue)."""
+
+    def restart(state: DavidsonState, operand) -> DavidsonState:
+        x = state.x
+        g = jnp.matmul(x, x.T, precision=_PREC)
+        l = jnp.linalg.cholesky(g + 1e-30 * jnp.eye(nroots, dtype=g.dtype))
+        xo = jax.scipy.linalg.solve_triangular(l, x, lower=True)
+        v = jnp.zeros_like(state.v).at[:nroots].set(xo)
+        w = jnp.zeros_like(state.w).at[:nroots].set(matvec(xo, operand))
+        mask = jnp.zeros_like(state.mask).at[:nroots].set(1.0)
+        return DavidsonState(v, w, mask, jnp.asarray(nroots, dtype=state.k.dtype),
+                             state.evals, state.x, state.r, state.errors)
+
+    return restart
+
+
+def make_restart(matvec: Callable[..., Array], nroots: int, m_max: int):
+    return jax.jit(_restart_body(matvec, nroots, m_max), donate_argnums=(0,))
+
+
+def make_davidson_solve(
+    matvec,
+    nroots: int,
+    m_max: int,
+    tol: float,
+    max_iter: int,
+    null_thresh: float = 1e-10,
+):
+    """The whole solve in ONE dispatch: a lax.while_loop that steps until
+    convergence or ``max_iter``, restarting on-device whenever the basis
+    fills. This is the production entry — on a remote/tunneled TPU the host
+    round-trip otherwise dominates (observed ~70 ms RTT vs ~100 us of
+    compute per iteration)."""
+    step = _step_body(matvec, nroots, m_max, null_thresh)
+    restart = _restart_body(matvec, nroots, m_max)
+
+    def solve(state: DavidsonState, operand, diag: Array):
+        def cond(carry):
+            s, it = carry
+            return (it < max_iter) & (jnp.max(s.errors) > tol)
+
+        def body(carry):
+            s, it = carry
+            s = jax.lax.cond(
+                s.k + nroots > m_max,
+                lambda ss: restart(ss, operand),
+                lambda ss: ss,
+                s,
+            )
+            return step(s, operand, diag), it + 1
+
+        final, iters = jax.lax.while_loop(cond, body, (state, jnp.asarray(0, jnp.int32)))
+        return final, iters
+
+    return jax.jit(solve)
+
+
+class FusedDavidson:
+    """Driver around the jitted step: host only checks errors between steps."""
+
+    def __init__(
+        self,
+        matvec: Callable[..., Array],
+        diagonals,
+        n: int,
+        nroots: int = 1,
+        m_max: Optional[int] = None,
+        dtype=None,
+        sharding=None,
+        convergence_threshold: float = 1e-8,
+        max_iter: int = 200,
+        operand=None,
+    ):
+        if dtype is None:
+            dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+        self.matvec = matvec
+        self.n = n
+        self.nroots = nroots
+        self.m_max = m_max if m_max is not None else max(4 * nroots, min(n, 24))
+        self.dtype = dtype
+        self.sharding = sharding
+        self.tol = convergence_threshold
+        self.max_iter = max_iter
+        self.diag = jnp.asarray(np.asarray(diagonals), dtype=dtype)
+        if sharding is not None:
+            # blocks shard as (rows, N); the rank-1 diagonal shards by its
+            # only axis, which matches the blocks' vector axis
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            spec = sharding.spec
+            diag_spec = PartitionSpec(spec[-1]) if len(spec) else PartitionSpec()
+            self.diag = jax.device_put(self.diag, NamedSharding(sharding.mesh, diag_spec))
+        self.operand = operand
+        self.step = make_davidson_step(matvec, nroots, self.m_max)
+        self.restart = make_restart(matvec, nroots, self.m_max)
+        self.iterations = 0
+        self.matvecs = 0
+
+    def init_state(self, v0) -> DavidsonState:
+        v0 = jnp.asarray(np.asarray(v0), dtype=self.dtype)
+        g = v0 @ v0.T
+        l = np.linalg.cholesky(np.asarray(g) + 1e-30 * np.eye(self.nroots))
+        v0 = jnp.asarray(np.linalg.solve(l, np.asarray(v0)), dtype=self.dtype)
+        v = jnp.zeros((self.m_max, self.n), dtype=self.dtype).at[: self.nroots].set(v0)
+        w = jnp.zeros_like(v).at[: self.nroots].set(self.matvec(v0, self.operand))
+        if self.sharding is not None:
+            v = jax.device_put(v, self.sharding)
+            w = jax.device_put(w, self.sharding)
+        mask = jnp.zeros((self.m_max,), dtype=self.dtype).at[: self.nroots].set(1.0)
+        nan = jnp.full((self.nroots,), jnp.inf, dtype=self.dtype)
+        zeros = jnp.zeros((self.nroots, self.n), dtype=self.dtype)
+        self.matvecs += self.nroots
+        return DavidsonState(v, w, mask, jnp.asarray(self.nroots, jnp.int32), nan, zeros, zeros, nan)
+
+    def run(self, v0):
+        state = self.init_state(v0)
+        for it in range(self.max_iter):
+            if int(state.k) + self.nroots > self.m_max:
+                state = self.restart(state, self.operand)
+            state = self.step(state, self.operand, self.diag)
+            self.iterations += 1
+            self.matvecs += self.nroots
+            errors = np.asarray(state.errors)
+            if np.all(errors <= self.tol):
+                break
+        return (
+            np.asarray(state.evals),
+            state.x,
+            np.asarray(state.errors),
+            self.iterations,
+        )
+
+    def run_on_device(self, v0):
+        """Entire solve in one dispatch (lax.while_loop driver)."""
+        solve = make_davidson_solve(
+            self.matvec, self.nroots, self.m_max, self.tol, self.max_iter
+        )
+        state = self.init_state(v0)
+        final, iters = solve(state, self.operand, self.diag)
+        jax.block_until_ready(final.errors)
+        self.iterations += int(iters)
+        self.matvecs += int(iters) * self.nroots
+        return (
+            np.asarray(final.evals),
+            final.x,
+            np.asarray(final.errors),
+            int(iters),
+        )
+
+    def run_fast(self, v0):
+        """Sweep-based driver: fills the basis to capacity in one dispatch per
+        sweep, checking convergence only at restart boundaries. Same math as
+        ``run`` with far fewer host round-trips — the production TPU path."""
+        steps = max(1, (self.m_max - self.nroots) // self.nroots)
+        sweep = make_davidson_sweep(self.matvec, self.nroots, self.m_max, steps)
+        state = self.init_state(v0)
+        max_sweeps = max(1, self.max_iter // steps + 1)
+        for _ in range(max_sweeps):
+            state = sweep(state, self.operand, self.diag)
+            self.iterations += steps
+            self.matvecs += steps * self.nroots
+            errors = np.asarray(state.errors)
+            if np.all(errors <= self.tol) or self.iterations >= self.max_iter:
+                break
+            state = self.restart(state, self.operand)
+        return (
+            np.asarray(state.evals),
+            state.x,
+            np.asarray(state.errors),
+            self.iterations,
+        )
