@@ -1,0 +1,3 @@
+from .spmv_pallas import BSRMatrix, bsr_matmat, bsr_matmat_pallas
+
+__all__ = ["BSRMatrix", "bsr_matmat", "bsr_matmat_pallas"]

@@ -1,0 +1,219 @@
+"""Block-sparse (BSR) Hamiltonian action kernels.
+
+The reference's hot loop is the user ``action`` — a sparse matrix times a
+block of vectors streamed through BufferManager pages with CBLAS gemm
+(reference: array/util/gemm.h:76-153, BufferManager.h:136-173).  On TPU the
+MXU wants dense tiles, so the TPU-native sparse format is BSR: (bm, bn)
+dense blocks, only nonzero blocks stored.  Two implementations:
+
+- ``bsr_matmat``: XLA path — gather x tiles, batched block matmul, and a
+  segment-sum over row blocks. Compiles to MXU batched gemm + scatter-add;
+  works on every backend and shards over a mesh.
+- ``bsr_matmat_pallas``: hand-tiled Pallas kernel with scalar-prefetched
+  block topology and double-buffered HBM->VMEM DMA of block values — the
+  direct analogue of the reference's two-page BufferManager pipeline
+  (GEMM_BUFFERS=2), keeping the MXU busy while the next block streams in.
+
+Dense FCI matrices (he/bh/hf) convert losslessly with ``BSRMatrix.from_dense``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+_PREC = jax.lax.Precision.HIGHEST
+
+
+@dataclasses.dataclass
+class BSRMatrix:
+    """Block-sparse row matrix: values (nb, bm, bn), block col indices (nb,),
+    block row ids (nb,) sorted by row, and row pointer (n_rb+1,)."""
+
+    values: Array        # (n_blocks, bm, bn)
+    col_idx: Array       # (n_blocks,) int32 block-column of each block
+    row_idx: Array       # (n_blocks,) int32 block-row of each block
+    row_ptr: Array       # (n_row_blocks + 1,) int32
+    shape: Tuple[int, int]
+    bm: int
+    bn: int
+    diagonal: Optional[Array] = None
+
+    @property
+    def n_blocks(self) -> int:
+        return self.values.shape[0]
+
+    @property
+    def nnz(self) -> int:
+        return self.n_blocks * self.bm * self.bn
+
+    @classmethod
+    def from_dense(cls, matrix: np.ndarray, bm: int = 128, bn: int = 128,
+                   tol: float = 0.0, dtype=None) -> "BSRMatrix":
+        matrix = np.asarray(matrix, dtype=np.float64)
+        n, m = matrix.shape
+        n_pad = ((n + bm - 1) // bm) * bm
+        m_pad = ((m + bn - 1) // bn) * bn
+        padded = np.zeros((n_pad, m_pad))
+        padded[:n, :m] = matrix
+        n_rb, n_cb = n_pad // bm, m_pad // bn
+        vals, cols, rows = [], [], []
+        for rb in range(n_rb):
+            for cb in range(n_cb):
+                block = padded[rb * bm:(rb + 1) * bm, cb * bn:(cb + 1) * bn]
+                if np.abs(block).max() > tol:
+                    vals.append(block)
+                    cols.append(cb)
+                    rows.append(rb)
+        row_ptr = np.zeros(n_rb + 1, dtype=np.int32)
+        for rb in rows:
+            row_ptr[rb + 1] += 1
+        row_ptr = np.cumsum(row_ptr).astype(np.int32)
+        if dtype is None:
+            dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+        return cls(
+            values=jnp.asarray(np.stack(vals) if vals else np.zeros((0, bm, bn)), dtype=dtype),
+            col_idx=jnp.asarray(np.asarray(cols, dtype=np.int32)),
+            row_idx=jnp.asarray(np.asarray(rows, dtype=np.int32)),
+            row_ptr=jnp.asarray(row_ptr),
+            shape=(n_pad, m_pad),
+            bm=bm,
+            bn=bn,
+            diagonal=jnp.asarray(np.diagonal(padded).copy(), dtype=dtype),
+        )
+
+
+def _bsr_flat(bsr: BSRMatrix):
+    return (bsr.values, bsr.col_idx, bsr.row_idx)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def _bsr_matmat_xla(x, values, col_idx, row_idx, bm, bn, n_rb):
+    """y(m, N) = x(m, N) @ A^T via gather + batched block gemm + segment sum."""
+    m = x.shape[0]
+    # gather x tiles for every block's column: (nb, m, bn)
+    xt = x.reshape(m, -1, bn).transpose(1, 0, 2)  # (n_cb, m, bn)
+    x_blocks = xt[col_idx]                        # (nb, m, bn)
+    # block contributions: (nb, m, bm)
+    contrib = jnp.einsum("kmn,kin->kmi", x_blocks, values, precision=_PREC)
+    # scatter-add into block rows
+    y_blocks = jax.ops.segment_sum(contrib, row_idx, num_segments=n_rb)  # (n_rb, m, bm)
+    return y_blocks.transpose(1, 0, 2).reshape(m, n_rb * bm)
+
+
+def bsr_matmat(x: Array, bsr: BSRMatrix) -> Array:
+    """Action of the BSR operator on a row-block: (m, N) -> (m, N)."""
+    n_rb = bsr.shape[0] // bsr.bm
+    return _bsr_matmat_xla(x, bsr.values, bsr.col_idx, bsr.row_idx, bsr.bm, bsr.bn, n_rb)
+
+
+# ---------------------------------------------------------------------------
+# Pallas double-buffered kernel
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=64)
+def _pallas_bsr_fn(m: int, n: int, bm: int, bn: int, n_rb: int, nb: int,
+                   vdtype_name: str, xdtype_name: str, interpret: bool):
+    """Build (and cache) the jitted pallas call for one shape signature, so
+    repeated actions don't re-trace/re-compile."""
+    return jax.jit(
+        functools.partial(
+            _bsr_matmat_pallas_impl, m=m, n=n, bm=bm, bn=bn, n_rb=n_rb,
+            nb=nb, interpret=interpret,
+        )
+    )
+
+
+def bsr_matmat_pallas(x: Array, bsr: BSRMatrix, interpret: bool = False) -> Array:
+    """Pallas BSR SpMM: grid over block rows; block values stream HBM->VMEM
+    through two scratch buffers while the MXU consumes the previous block
+    (the reference's GEMM_BUFFERS=2 double buffering, BufferManager.h:136-173).
+    """
+    m, n = x.shape
+    n_rb = bsr.shape[0] // bsr.bm
+    if bsr.n_blocks == 0:
+        return jnp.zeros_like(x)
+    fn = _pallas_bsr_fn(
+        m, n, bsr.bm, bsr.bn, n_rb, bsr.n_blocks,
+        str(bsr.values.dtype), str(x.dtype), interpret,
+    )
+    return fn(bsr.row_ptr, bsr.col_idx, x, bsr.values)
+
+
+def _bsr_matmat_pallas_impl(row_ptr, col_idx, x, values, *, m, n, bm, bn, n_rb, nb, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(row_ptr_ref, col_idx_ref, x_ref, values_hbm, y_ref, scratch, sems):
+        rb = pl.program_id(0)
+        start = row_ptr_ref[rb]
+        end = row_ptr_ref[rb + 1]
+        nblocks = end - start
+
+        def get_dma(slot, iblock):
+            return pltpu.make_async_copy(
+                values_hbm.at[start + iblock],
+                scratch.at[slot],
+                sems.at[slot],
+            )
+
+        @pl.when(nblocks > 0)
+        def _():
+            get_dma(0, 0).start()
+
+        def body(i, acc):
+            slot = jax.lax.rem(i, jnp.asarray(2, i.dtype))
+            next_slot = jax.lax.rem(i + 1, jnp.asarray(2, i.dtype))
+
+            @pl.when(i + 1 < nblocks)
+            def _():
+                get_dma(next_slot, i + 1).start()
+
+            get_dma(slot, i).wait()
+            cb = col_idx_ref[start + i]
+            x_tile = x_ref[:, pl.ds(cb * bn, bn)]
+            return acc + jax.lax.dot_general(
+                x_tile,
+                scratch[slot],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                # without this the MXU runs a single bf16 pass (~2e-3 rel err)
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        acc0 = jnp.zeros((m, bm), dtype=jnp.float32)
+        acc = jax.lax.fori_loop(0, nblocks, body, acc0)
+        y_ref[...] = acc.astype(y_ref.dtype)
+
+    from jax.experimental.pallas import tpu as pltpu  # noqa: F811
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # row_ptr, col_idx
+        grid=(n_rb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # x, full
+            pl.BlockSpec(memory_space=pl.ANY),       # values stay in HBM
+        ],
+        out_specs=pl.BlockSpec((m, bm), lambda rb, *_: (0, rb), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, bm, bn), values.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    nnz = nb * bm * bn
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((m, n_rb * bm), x.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * nnz, bytes_accessed=nnz * 4 + 2 * m * n * 4, transcendentals=0
+        ),
+    )(row_ptr, col_idx, x, values)
+    return out

@@ -1,0 +1,105 @@
+"""BSR sparse-action kernel tests: XLA path vs dense, Pallas kernel in
+interpreter mode, and use as a solver action."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import iterative_solver_tpu as its
+from iterative_solver_tpu.ops.kernels import BSRMatrix, bsr_matmat, bsr_matmat_pallas
+
+
+def make_block_sparse(n, bm, density=0.3, seed=0):
+    rng = np.random.default_rng(seed)
+    n_b = n // bm
+    matrix = np.zeros((n, n))
+    for rb in range(n_b):
+        for cb in range(rb + 1):
+            if rb == cb or rng.random() < density:
+                block = rng.standard_normal((bm, bm)) * 0.05
+                matrix[rb * bm:(rb + 1) * bm, cb * bm:(cb + 1) * bm] = block
+    matrix = matrix + matrix.T + np.diag(np.linspace(1.0, 10.0, n))
+    return matrix
+
+
+class TestBSR:
+    def test_from_dense_roundtrip(self):
+        matrix = make_block_sparse(64, 16)
+        bsr = BSRMatrix.from_dense(matrix, bm=16, bn=16)
+        x = np.random.default_rng(1).standard_normal((3, 64))
+        y = np.asarray(bsr_matmat(jnp.asarray(x), bsr))
+        np.testing.assert_allclose(y, x @ matrix.T, atol=1e-10)
+
+    def test_sparsity_prunes_blocks(self):
+        matrix = make_block_sparse(64, 16, density=0.1)
+        bsr = BSRMatrix.from_dense(matrix, bm=16, bn=16)
+        assert bsr.n_blocks < (64 // 16) ** 2
+
+    def test_padding(self):
+        matrix = make_block_sparse(48, 16)[:40, :40]  # not a multiple of 16
+        bsr = BSRMatrix.from_dense(matrix, bm=16, bn=16)
+        assert bsr.shape == (48, 48)
+        x = np.random.default_rng(2).standard_normal((2, 48))
+        x[:, 40:] = 0.0
+        y = np.asarray(bsr_matmat(jnp.asarray(x), bsr))
+        np.testing.assert_allclose(y[:, :40], x[:, :40] @ matrix.T, atol=1e-10)
+
+    def test_pallas_interpret_matches_xla(self):
+        matrix = make_block_sparse(64, 16)
+        bsr = BSRMatrix.from_dense(matrix, bm=16, bn=16, dtype=jnp.float32)
+        x = np.random.default_rng(3).standard_normal((8, 64)).astype(np.float32)
+        y_ref = np.asarray(bsr_matmat(jnp.asarray(x), bsr))
+        y_pallas = np.asarray(bsr_matmat_pallas(jnp.asarray(x), bsr, interpret=True))
+        np.testing.assert_allclose(y_pallas, y_ref, atol=1e-4)
+
+
+def test_bsr_as_solver_action(hamiltonians):
+    """Davidson through a BSR action reproduces the dense eigenvalues."""
+    matrix = hamiltonians["bh"]
+    n = matrix.shape[0]
+    bsr = BSRMatrix.from_dense(matrix, bm=8, bn=8)
+
+    class BSRProblem(its.Problem):
+        def __init__(self):
+            super().__init__()
+            self.dimension = bsr.shape[0]
+
+        def action(self, parameters):
+            return bsr_matmat(parameters, bsr)
+
+        def diagonals(self):
+            return bsr.diagonal
+
+    n_pad = bsr.shape[0]
+    solver = its.create_linear_eigensystem(n_pad, 2, "Davidson")
+    solver.set_hermiticity(True)
+    solver.verbosity = its.Verbosity.NONE
+    conv, *_ = solver.solve(np.zeros((2, n_pad)), problem=BSRProblem(), generate_initial_guess=True)
+    assert conv
+    ref = np.sort(np.linalg.eigvalsh(matrix))[:2]
+    np.testing.assert_allclose(np.sort(solver.eigenvalues()[:2]), ref, atol=2e-9)
+
+
+def test_fused_davidson_with_bsr():
+    from iterative_solver_tpu.solvers.fused_davidson import FusedDavidson
+
+    matrix = make_block_sparse(128, 16, density=0.2, seed=5)
+    bsr = BSRMatrix.from_dense(matrix, bm=16, bn=16)
+
+    def matvec(x, op):
+        values, col_idx, row_idx = op
+        from iterative_solver_tpu.ops.kernels.spmv_pallas import _bsr_matmat_xla
+        return _bsr_matmat_xla(x, values, col_idx, row_idx, bsr.bm, bsr.bn, bsr.shape[0] // bsr.bm)
+
+    solver = FusedDavidson(
+        matvec, np.diag(matrix), 128, 2, m_max=16,
+        operand=(bsr.values, bsr.col_idx, bsr.row_idx),
+    )
+    v0 = np.zeros((2, 128))
+    idx = np.argsort(np.diag(matrix))[:2]
+    for r, i in enumerate(idx):
+        v0[r, i] = 1.0
+    evals, x, errors, iters = solver.run(v0)
+    ref = np.linalg.eigvalsh(matrix)[:2]
+    np.testing.assert_allclose(evals, ref, atol=1e-8)
