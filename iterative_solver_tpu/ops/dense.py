@@ -145,9 +145,15 @@ def eigenproblem(
         return np.zeros(0), np.zeros((0, 0))
 
     if hermitian:
-        # Whiten with the (ascending) eigendecomposition of S; rank counts
-        # eigenvalues >= svd_thresh * max.
+        # Whiten with the eigendecomposition of S in DESCENDING order so a
+        # rank-reduced subspace keeps the dominant directions. (The reference
+        # takes head(rank) of LAPACK's ascending order,
+        # helper-implementation.h:345-358 — harmless there because its S is
+        # kept orthonormal, but wrong for genuinely rank-deficient overlaps;
+        # this matches the non-hermitian SVD branch's convention.)
         sv, u = np.linalg.eigh(s)
+        sv = sv[::-1]
+        u = np.ascontiguousarray(u[:, ::-1])
         v = u
         rank = _rank_from_values(sv, svd_thresh)
         head = sv[:rank]

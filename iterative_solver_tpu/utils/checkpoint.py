@@ -1,0 +1,158 @@
+"""Solver checkpoint/resume.
+
+The reference's designed persistence mechanism is backing Q/solution vectors
+into parallel-HDF5 arrays (DistrArrayHDF5.h:19-27); here the whole solver
+state — subspace equation matrices, the P/Q/D basis vectors, RHS vectors,
+solution data, statistics and solver-specific extras — round-trips through a
+single compressed .npz so a long Davidson/optimisation run can resume after
+preemption (the TPU-era failure-recovery story).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Optional
+
+import numpy as np
+
+from ..utils.statistics import Statistics
+
+
+def _collect_block(store, slots):
+    import numpy as _np
+
+    return _np.asarray(store.rows(list(slots)), dtype=_np.float64)
+
+
+def save_checkpoint(solver, path: str) -> None:
+    xs = solver.xspace
+    data = {
+        "s": xs.s,
+        "h": xs.h,
+        "rhs_mat": xs.rhs,
+        "value": xs.value,
+        "q_params": _collect_block(xs.store_v, [s[0] for s in xs.q_slots]),
+        "q_actions": _collect_block(xs.store_a, [s[1] for s in xs.q_slots]),
+        "d_params": _collect_block(xs.store_v, [s[0] for s in xs.d_slots]),
+        "d_actions": _collect_block(xs.store_a, [s[1] for s in xs.d_slots]),
+        "rhs_vectors": _collect_block(xs.store_v, xs.rhs_slots),
+        "rhs_norm": np.asarray(xs.rhs_norm, dtype=np.float64),
+        "p_dense": _collect_block(xs.store_v, xs.p_slots),
+        "errors": np.asarray(solver.errors, dtype=np.float64),
+        "working_set": np.asarray(solver.working_set, dtype=np.int64),
+        "solutions": np.asarray(getattr(solver.subspace_solver, "solutions", np.zeros((0, 0)))),
+    }
+    try:
+        data["eigenvalues"] = np.asarray(solver.subspace_solver.eigenvalues, dtype=np.float64)
+    except Exception:
+        data["eigenvalues"] = np.zeros(0)
+
+    meta = {
+        "solver_class": type(solver).__name__,
+        "n": solver.n,
+        "nroots": solver.nroots,
+        "convergence_threshold": solver.convergence_threshold,
+        "max_iter": solver.max_iter,
+        "hermitian": xs.hermitian,
+        "action_dot_action": xs.action_dot_action,
+        "p_sparse": [
+            {str(k): float(v) for k, v in p.items()} for p in xs.p_sparse
+        ],
+        "stats": {k: int(v) for k, v in vars(solver.stats).items()},
+        "extras": {},
+    }
+    # solver-family extras needed for bit-faithful resumption
+    if hasattr(solver, "_last_values"):
+        meta["extras"]["last_values"] = list(map(float, solver._last_values))
+    if hasattr(solver, "rspt_values"):
+        meta["extras"]["rspt_values"] = list(map(float, solver.rspt_values))
+    if hasattr(solver, "_alphas"):
+        meta["extras"]["alphas"] = list(map(float, np.asarray(solver._alphas)))
+    if hasattr(solver, "max_size_qspace"):
+        meta["extras"]["max_size_qspace"] = int(solver.max_size_qspace)
+
+    np.savez_compressed(path, meta=json.dumps(meta), **data)
+
+
+def load_checkpoint(path: str, sharding=None, dtype=None):
+    """Rebuild a solver from a checkpoint; returns the restored solver."""
+    from ..solvers.linear_eigensystem import LinearEigensystemDavidson, LinearEigensystemRSPT
+    from ..solvers.linear_equations import LinearEquationsDavidson
+    from ..solvers.nonlinear_diis import NonLinearEquationsDIIS
+    from ..solvers.optimize import OptimizeBFGS, OptimizeSD
+    from ..array import vector_ops as vops
+
+    registry = {
+        cls.__name__: cls
+        for cls in (
+            LinearEigensystemDavidson,
+            LinearEigensystemRSPT,
+            LinearEquationsDavidson,
+            NonLinearEquationsDIIS,
+            OptimizeBFGS,
+            OptimizeSD,
+        )
+    }
+    with np.load(path, allow_pickle=False) as z:
+        meta = json.loads(str(z["meta"]))
+        arrays = {k: z[k] for k in z.files if k != "meta"}
+
+    cls = registry[meta["solver_class"]]
+    solver = cls(meta["n"], meta["nroots"], sharding=sharding, dtype=dtype)
+    solver.convergence_threshold = meta["convergence_threshold"]
+    solver.max_iter = meta["max_iter"]
+    xs = solver.xspace
+    xs.hermitian = meta["hermitian"]
+    xs.action_dot_action = meta["action_dot_action"]
+    if hasattr(solver.subspace_solver, "hermitian"):
+        solver.subspace_solver.hermitian = meta["hermitian"]
+    if "max_size_qspace" in meta["extras"] and hasattr(solver, "max_size_qspace"):
+        solver.max_size_qspace = meta["extras"]["max_size_qspace"]
+
+    # restore basis vectors in logical order
+    for row in arrays["p_dense"]:
+        xs.p_slots.append(xs.store_v.append(vops.to_device(row, xs.dtype, sharding)))
+    xs.p_sparse = [
+        {int(k): float(v) for k, v in p.items()} for p in meta["p_sparse"]
+    ]
+    for vec in arrays["rhs_vectors"]:
+        xs.rhs_slots.append(xs.store_v.append(vops.to_device(vec, xs.dtype, sharding)))
+    xs.rhs_norm = list(arrays["rhs_norm"])
+    for qp, qa in zip(arrays["q_params"], arrays["q_actions"]):
+        xs.q_slots.append(
+            (
+                xs.store_v.append(vops.to_device(qp, xs.dtype, sharding)),
+                xs.store_a.append(vops.to_device(qa, xs.dtype, sharding)),
+                next(xs._unique_id),
+            )
+        )
+    for dp, da in zip(arrays["d_params"], arrays["d_actions"]):
+        xs.d_slots.append(
+            (
+                xs.store_v.append(vops.to_device(dp, xs.dtype, sharding)),
+                xs.store_a.append(vops.to_device(da, xs.dtype, sharding)),
+            )
+        )
+    xs.s = arrays["s"]
+    xs.h = arrays["h"]
+    xs.rhs = arrays["rhs_mat"]
+    xs.value = arrays["value"]
+
+    solver.errors = list(arrays["errors"])
+    solver.working_set = [int(i) for i in arrays["working_set"]]
+    solver.subspace_solver.solutions = arrays["solutions"]
+    if arrays["eigenvalues"].size and hasattr(solver.subspace_solver, "eigenvalues"):
+        try:
+            solver.subspace_solver.eigenvalues = arrays["eigenvalues"]
+        except AttributeError:
+            pass
+    solver.subspace_solver.errors = list(arrays["errors"])
+    for k, v in meta["stats"].items():
+        setattr(solver.stats, k, v)
+    if "last_values" in meta["extras"] and hasattr(solver, "_last_values"):
+        solver._last_values = meta["extras"]["last_values"]
+    if "rspt_values" in meta["extras"] and hasattr(solver, "rspt_values"):
+        solver.rspt_values = meta["extras"]["rspt_values"]
+    if "alphas" in meta["extras"] and hasattr(solver, "_alphas"):
+        solver._alphas = np.asarray(meta["extras"]["alphas"])
+    return solver
