@@ -1,0 +1,42 @@
+"""End-to-end test of the embedded C shared library: builds the .so with
+cffi, compiles the C example with gcc, runs it in a subprocess, and checks
+the Davidson result — the analogue of the reference's Fortran-twin gtest
+cross-checks through the C ABI."""
+
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.skipif(shutil.which("gcc") is None, reason="gcc unavailable")
+def test_c_program_through_embedded_library(tmp_path):
+    import sysconfig
+
+    build_dir = str(tmp_path / "build_c")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", JAX_ENABLE_X64="1")
+    # build the embedded library (writes include/ next to build dir's parent)
+    out = subprocess.run(
+        [sys.executable, "-m", "iterative_solver_tpu.bindings.build_embedded", build_dir],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr
+    so_dir = build_dir
+    include_dir = str(tmp_path / "include")
+    exe = str(tmp_path / "test_c_abi")
+    src = os.path.join(REPO, "examples", "c", "linear_eigensystem_c.c")
+    compile_out = subprocess.run(
+        ["gcc", "-O2", src, "-I", include_dir, "-L", so_dir,
+         "-literative_solver_tpu_c", "-o", exe],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert compile_out.returncode == 0, compile_out.stderr
+    pylib = sysconfig.get_config_var("LIBDIR") or ""
+    env["LD_LIBRARY_PATH"] = so_dir + ":" + pylib
+    run = subprocess.run([exe], env=env, capture_output=True, text=True, timeout=240)
+    assert run.returncode == 0, run.stdout + run.stderr
+    assert "C ABI OK" in run.stdout
