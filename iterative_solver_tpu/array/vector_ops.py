@@ -116,6 +116,20 @@ def select_max_dot(x: Array, y: Array, n: int) -> Tuple[Array, Array]:
 
 
 @functools.partial(jax.jit)
+def fused_axpy(alphas: Array, xs: Array, y: Array) -> Array:
+    """y + sum_k alphas[k] * xs[k] in one pass — the batch operation the
+    reference's LazyHandle registered and replayed (ArrayHandler.h:271-292).
+    Under XLA this is a single fused matvec over the stack."""
+    return y + jnp.einsum("k,kn->n", alphas, xs, precision=_PRECISION)
+
+
+@functools.partial(jax.jit)
+def fused_dot(x: Array, ys: Array) -> Array:
+    """All <x, ys[k]> in one pass (LazyHandle fused_dot)."""
+    return jnp.matmul(ys, x, precision=_PRECISION)
+
+
+@functools.partial(jax.jit)
 def mgs_project(r: Array, xblock: Array, inv_norms: Array) -> Array:
     """Sequential modified-Gram-Schmidt projection of rows of ``r`` against the
     rows of ``xblock`` in order: r -= (r . x_i) * inv_norms[i] * x_i.

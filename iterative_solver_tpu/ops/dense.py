@@ -283,6 +283,28 @@ def solve_linear_equations(
     return solutions, eigenvalues
 
 
+def gram_schmidt_transform(s: np.ndarray, norm_thresh: float = 0.0) -> np.ndarray:
+    """Lower-triangular transformation L (unit diagonal) such that the rows of
+    L·V are mutually orthogonal, computed purely from the overlap S = V V^T.
+
+    Port of subspace/gram_schmidt.h:38-69: row i projects out all previous
+    transformed rows; rows whose transformed norm² falls below ``norm_thresh``
+    contribute no further projections.
+    """
+    s = np.asarray(s, dtype=np.float64)
+    n = s.shape[0]
+    l = np.eye(n)
+    norms2 = np.zeros(n)
+    for i in range(n):
+        for j in range(i):
+            if norms2[j] > norm_thresh:
+                # <v_i, w_j> = row_i(S) . l_j
+                ov = float(s[i] @ l[j])
+                l[i] -= (ov / norms2[j]) * l[j]
+        norms2[i] = float(l[i] @ s @ l[i])
+    return l
+
+
 def solve_diis(b: np.ndarray, svd_thresh: float = 1e-10) -> np.ndarray:
     """DIIS extrapolation coefficients from the residual-overlap matrix ``b``.
 

@@ -54,8 +54,14 @@ class BSRMatrix:
         return self.n_blocks * self.bm * self.bn
 
     @classmethod
-    def from_dense(cls, matrix: np.ndarray, bm: int = 128, bn: int = 128,
+    def from_dense(cls, matrix: np.ndarray, bm: Optional[int] = None, bn: Optional[int] = None,
                    tol: float = 0.0, dtype=None) -> "BSRMatrix":
+        from ... import config
+
+        if bm is None:
+            bm = int(config.get_option("BSR_BLOCK"))
+        if bn is None:
+            bn = bm
         matrix = np.asarray(matrix, dtype=np.float64)
         n, m = matrix.shape
         n_pad = ((n + bm - 1) // bm) * bm
