@@ -1,3 +1,4 @@
+from . import synthetic_fci
 from .matrix_problem import (
     ExampleProblem,
     MatrixProblem,
@@ -8,6 +9,7 @@ from .matrix_problem import (
 )
 
 __all__ = [
+    "synthetic_fci",
     "ExampleProblem",
     "MatrixProblem",
     "QuadraticOptimizeProblem",
