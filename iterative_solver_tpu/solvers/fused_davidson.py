@@ -58,10 +58,15 @@ def _masked_eigh(v, w, mask):
     h = h * m2
     big = 4.0 * jnp.max(jnp.abs(h)) + 1.0
     h = h + (1.0 - mask)[:, None] * (1.0 - mask)[None, :] * jnp.eye(h.shape[0], dtype=h.dtype) * big
-    if jax.config.read("jax_enable_x64") and h.dtype != jnp.float64:
-        # the subspace matrix is tiny: do the eigh in (emulated) f64 — TPU
-        # f32 eigh is only ~1e-3-relative accurate, which would cap the
-        # whole solve's eigenvalue accuracy
+    if (
+        jax.config.read("jax_enable_x64")
+        and h.dtype != jnp.float64
+        and jax.default_backend() != "tpu"
+    ):
+        # the subspace matrix is tiny: promote the eigh to f64 where f64 is
+        # native. On TPU f64 is software-emulated and the emulated eigh costs
+        # seconds — there the f32 eigh + Rayleigh-quotient refinement carries
+        # the accuracy instead.
         evals, c = jnp.linalg.eigh(h.astype(jnp.float64))
         return evals.astype(h.dtype), c.astype(h.dtype)
     return jnp.linalg.eigh(h)
