@@ -74,7 +74,15 @@ class IterativeSolverTemplate:
         self.dtype = dtype
         self.sharding = sharding
         self.logger = logger or Logger()
-        self.profiler = profiler or null_profiler()
+        if profiler is None:
+            # ambient PROFILER_DEPTH enables region timing, PROFILER_OUTPUT
+            # dumps the tree at teardown (molpro::Options parity,
+            # IterativeSolverTemplate.h:485-501)
+            from .. import config as _config
+
+            depth = int(_config.get_option("PROFILER_DEPTH"))
+            profiler = Profiler(max_depth=depth) if depth > 0 else null_profiler()
+        self.profiler = profiler
         self.stats = Statistics()
         cap = capacity if capacity is not None else max(16, 4 * nroots)
         self.xspace = XSpace(n, dtype, sharding, capacity=cap, logger=self.logger, stats=self.stats)
@@ -93,6 +101,17 @@ class IterativeSolverTemplate:
         self.normalise_solution = False
         self._end_iteration_needed = True
         self._nwork_rows = nroots  # number of R rows the driver carries
+
+    def __del__(self):
+        try:
+            from .. import config as _config
+
+            out = _config.get_option("PROFILER_OUTPUT")
+            if out and self.profiler.max_depth > 0:
+                with open(out, "w") as f:
+                    f.write(self.profiler.report() + "\n")
+        except Exception:
+            pass
 
     # ------------------------------------------------------------------
     def set_n_roots(self, nroots: int) -> None:
@@ -183,6 +202,21 @@ class IterativeSolverTemplate:
 
     def solution_params(self, roots: Sequence[int]) -> Array:
         return self._construct_solution_params(roots)
+
+    def suggest_p(self, solution: Array, residual: Array, max_number: int, threshold: float):
+        """Suggest P-space indices by largest |solution_i * residual_i|
+        contributions above threshold. (The reference declares this interface
+        but leaves it unimplemented, IterativeSolverTemplate.h:458-461; the
+        natural TPU implementation is a top-k over the contribution vector —
+        the same rule its select_max_dot handler encodes.)"""
+        solution = jnp.atleast_2d(solution)
+        residual = jnp.atleast_2d(residual)
+        contrib = jnp.max(jnp.abs(solution * residual), axis=0)
+        k = min(max_number, self.n)
+        vals, idx = jax.lax.top_k(contrib, k)
+        vals = np.asarray(vals)
+        idx = np.asarray(idx)
+        return [int(i) for i, v in zip(idx, vals) if v > threshold]
 
     def _construct_solution_params(self, roots: Sequence[int]) -> Array:
         sol = self.subspace_solver.solutions
