@@ -9,7 +9,7 @@ ABI (IterativeSolverCMPI.cpp:90-110).
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 
 class Distribution:
@@ -43,9 +43,6 @@ class Distribution:
 
     def compatible(self, other: "Distribution") -> bool:
         return self.chunk_borders == other.chunk_borders
-
-
-from typing import Optional  # noqa: E402  (keep import near use for clarity)
 
 
 def spread_remainder(dimension: int, n_ranks: int) -> Distribution:

@@ -22,7 +22,7 @@ handling) reproduce the reference:
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

@@ -95,10 +95,6 @@ class BSRMatrix:
         )
 
 
-def _bsr_flat(bsr: BSRMatrix):
-    return (bsr.values, bsr.col_idx, bsr.row_idx)
-
-
 @functools.partial(jax.jit, static_argnums=(4, 5, 6))
 def _bsr_matmat_xla(x, values, col_idx, row_idx, bm, bn, n_rb):
     """y(m, N) = x(m, N) @ A^T via gather + batched block gemm + segment sum."""
