@@ -102,6 +102,11 @@ def precise_matvec_fn(op: SplitOperator):
 
 
 # ---------------------------------------------------------------------------
+class _RefineStats:
+    def __init__(self):
+        self.iterations = 0
+
+
 def refine_on_host(
     matrix: np.ndarray,
     x0: np.ndarray,
@@ -110,20 +115,55 @@ def refine_on_host(
     max_iter: int = 30,
     hermitian: bool = True,
 ):
-    """Warm-start the f64 parity Davidson from accelerator-converged vectors.
+    """Warm-start an f64 block-Davidson refinement from accelerator-converged
+    vectors — pure numpy, so it runs in true double precision regardless of
+    the process's jax backend/x64 configuration (calling jax here from a TPU
+    process would silently refine in f32 on the accelerator).
 
-    Returns ``(eigenvalues, vectors, solver)``; with a ~1e-5-accurate start
-    the host phase typically needs only a few N^2 matvecs.
+    Returns ``(eigenvalues, vectors, info)`` with ``info.iterations`` and
+    ``info.errors``. With a ~1e-5-accurate start this typically needs only a
+    few N^2 host matvecs.
     """
-    from .. import create_linear_eigensystem, models
-
-    problem = models.MatrixProblem(np.asarray(matrix, dtype=np.float64))
-    solver = create_linear_eigensystem(matrix.shape[0], nroots, "Davidson")
-    solver.set_hermiticity(hermitian)
-    solver.verbosity = 0
-    solver.convergence_threshold = convergence_threshold
-    solver.max_iter = max_iter
+    a = np.asarray(matrix, dtype=np.float64)
+    diag = np.diagonal(a)
     x0 = np.asarray(x0, dtype=np.float64)[:nroots]
-    converged, x, r = solver.solve(x0, problem=problem)
-    vectors = np.asarray(solver.solution_params(list(range(nroots))))
-    return np.asarray(solver.eigenvalues())[:nroots], vectors, solver
+    # orthonormalize the start
+    v = x0 / np.linalg.norm(x0, axis=1, keepdims=True)
+    v, _ = np.linalg.qr(v.T)
+    v = v.T
+    m_max = max(4 * nroots, nroots + 8)
+    info = _RefineStats()
+    errors = np.full(nroots, np.inf)
+    evals = np.zeros(nroots)
+    x = v[:nroots].copy()
+    for it in range(max_iter):
+        w = v @ a.T
+        h = v @ w.T
+        h = 0.5 * (h + h.T)
+        theta, c = np.linalg.eigh(h)
+        coeff = c[:, :nroots].T
+        x = coeff @ v
+        ax = coeff @ w
+        evals = theta[:nroots]
+        r = ax - evals[:, None] * x
+        errors = np.linalg.norm(r, axis=1)
+        info.iterations = it + 1
+        if np.all(errors <= convergence_threshold):
+            break
+        t = r / (diag[None, :] - evals[:, None] + 1e-15)
+        # orthogonalise against V twice, then among themselves
+        for _ in range(2):
+            t = t - (t @ v.T) @ v
+        keep = np.linalg.norm(t, axis=1) > 1e-12
+        t = t[keep]
+        if t.shape[0] == 0:
+            break
+        q, _ = np.linalg.qr(t.T)
+        t = q.T
+        if v.shape[0] + t.shape[0] > m_max:
+            v = x / np.linalg.norm(x, axis=1, keepdims=True)
+            q, _ = np.linalg.qr(v.T)
+            v = q.T
+        v = np.vstack([v, t])
+    info.errors = list(errors)
+    return evals.copy(), x, info

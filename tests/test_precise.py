@@ -104,10 +104,10 @@ class TestHybridRefinement:
             v0[r, i] = 1.0
         evals32, x32, errors32, iters32 = fused.run(v0)
 
-        # phase 2: warm-started f64 refinement on the host
-        evals, vectors, solver = refine_on_host(matrix, np.asarray(x32), nroots)
+        # phase 2: warm-started f64 refinement on the host (pure numpy)
+        evals, vectors, info = refine_on_host(matrix, np.asarray(x32), nroots)
         ref = np.linalg.eigvalsh(matrix)[:nroots]
         np.testing.assert_allclose(evals, ref, atol=2e-9)
-        assert max(solver.errors) <= 2e-8
+        assert max(info.errors) <= 1e-8
         # the refinement phase should be cheap relative to a cold start
-        assert solver.stats.iterations <= 6
+        assert info.iterations <= 8
