@@ -66,11 +66,13 @@ def main():
     st = solver.init_state(v0)
     out, it0 = solve_fixed(st, solver.operand, solver.diag)  # compile + warmup
     jax.block_until_ready(out.errors)
-    st = solver.init_state(v0)
-    t0 = time.perf_counter()
-    out, iters_fixed = solve_fixed(st, solver.operand, solver.diag)
-    np.asarray(out.errors)  # fetch a scalar-sized array: closes the async loop
-    wall_throughput = time.perf_counter() - t0
+    wall_throughput = float("inf")
+    for _ in range(3):  # best-of-3: the remote tunnel adds noisy latency
+        st = solver.init_state(v0)
+        t0 = time.perf_counter()
+        out, iters_fixed = solve_fixed(st, solver.operand, solver.diag)
+        np.asarray(out.errors)  # fetch a scalar-sized array: closes the async loop
+        wall_throughput = min(wall_throughput, time.perf_counter() - t0)
     flops_per_iter = (
         2 * NROOTS * N * N
         + 2 * M_MAX * M_MAX * N
@@ -93,6 +95,42 @@ def main():
         ev_err = max(ev_err, abs(rq - ref[i]))
         res_f64 = max(res_f64, float(np.linalg.norm(matrix @ xi - rq * xi)))
 
+    # ---- sparse action throughput (BASELINE.md: Davidson SpMV nnz/s/chip) ----
+    from iterative_solver_tpu.models.synthetic_fci import synthetic_fci_bsr
+    from iterative_solver_tpu.ops.kernels import bsr_matmat
+
+    bsr, _ = synthetic_fci_bsr(8192, block=128, density=0.3, seed=1, dtype=dtype)
+    xs = jnp.asarray(np.random.default_rng(2).standard_normal((NROOTS, bsr.shape[0])), dtype=dtype)
+
+    from iterative_solver_tpu.ops.kernels.spmv_pallas import _bsr_matmat_xla
+
+    n_rb = bsr.shape[0] // bsr.bm
+
+    def spmm_loop(k):
+        def fn(x, values, col_idx, row_idx):
+            def body(i, acc):
+                return _bsr_matmat_xla(acc, values, col_idx, row_idx, bsr.bm, bsr.bn, n_rb) * 1e-2
+
+            return jax.lax.fori_loop(0, k, body, x)
+
+        return jax.jit(fn)
+
+    # marginal (two trip counts) removes the ~28 ms tunnel dispatch overhead;
+    # trip counts large enough that the marginal dwarfs RTT jitter
+    walls = {}
+    for k in (64, 1024):
+        f = spmm_loop(k)
+        np.asarray(f(xs, bsr.values, bsr.col_idx, bsr.row_idx)[0, :2])
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            out = f(xs, bsr.values, bsr.col_idx, bsr.row_idx)
+            np.asarray(out[0, :2])
+            best = min(best, time.perf_counter() - t0)
+        walls[k] = best
+    spmv_wall = (walls[1024] - walls[64]) / 960
+    nnz_per_s = bsr.nnz * NROOTS / spmv_wall
+
     result = {
         "metric": f"fused_davidson_n{N}_r{NROOTS}_sustained",
         "value": round(gflops, 1),
@@ -104,6 +142,8 @@ def main():
         "solve_iterations": int(iters),
         "max_residual_f64": res_f64,
         "eigenvalue_error_vs_dense_f64": ev_err,
+        "spmv_gnnz_per_s": round(nnz_per_s / 1e9, 2),
+        "spmv_nnz": bsr.nnz,
         "backend": backend,
     }
     print(json.dumps(result))
