@@ -47,3 +47,27 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def pad_to_multiple(n: int, k: int) -> int:
     return ((n + k - 1) // k) * k
+
+
+def init_multi_host(coordinator_address: Optional[str] = None,
+                    num_processes: Optional[int] = None,
+                    process_id: Optional[int] = None) -> Mesh:
+    """Initialise the jax distributed runtime and return the global 1-D mesh.
+
+    The multi-host replacement for the reference's mpirun + communicator
+    plumbing (SURVEY.md §2.5): one controller process per host, all chips of
+    the pod slice joined into a single data-axis mesh; pjit/GSPMD then routes
+    the psum/all-gather traffic over ICI within hosts and DCN between them.
+    Arguments default to the TPU pod's automatic configuration.
+    """
+    import jax
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    jax.distributed.initialize(**kwargs)
+    return make_mesh()
