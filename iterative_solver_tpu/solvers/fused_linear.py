@@ -1,0 +1,179 @@
+"""Fused on-device linear-equation solver (A X = B, multiple RHS).
+
+The production TPU counterpart of `LinearEquationsDavidson` — the same
+fixed-capacity masked-basis design as the fused Davidson (fused_davidson.py)
+but the subspace step solves the projected system instead of an
+eigenproblem:
+
+  matvec -> masked projected matrix H = V (A V)^T and rhs beta = V B^T ->
+  small solve -> X = C V, residual R = (A X - B) -> Jacobi preconditioning ->
+  Gram-Schmidt -> whiten -> append
+
+The whole solve runs in one lax.while_loop dispatch; everything shards over
+a 1-D mesh by the vector axis with XLA-inserted psums.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+_PREC = jax.lax.Precision.HIGHEST
+
+
+class LinearState(NamedTuple):
+    v: Array        # (m_max, N) basis
+    w: Array        # (m_max, N) A·basis
+    mask: Array     # (m_max,)
+    k: Array        # int32
+    x: Array        # (nrhs, N) current solutions
+    r: Array        # (nrhs, N) current residuals
+    errors: Array   # (nrhs,) |A x - b| / |b|
+
+
+def _step_body(matvec: Callable[..., Array], nrhs: int, m_max: int, null_thresh: float = 1e-10):
+    def step(state: LinearState, operand, diag: Array, b: Array, b_norm: Array) -> LinearState:
+        v, w, mask, k = state.v, state.w, state.mask, state.k
+        h = jnp.matmul(v, w.T, precision=_PREC)
+        m2 = mask[:, None] * mask[None, :]
+        # inactive slots solve a trivial identity system with zero rhs
+        h = h * m2 + (1.0 - mask)[:, None] * (1.0 - mask)[None, :] * jnp.eye(m_max, dtype=h.dtype)
+        beta = jnp.matmul(v, b.T, precision=_PREC) * mask[:, None]  # (m_max, nrhs)
+        coeff = jnp.linalg.solve(h, beta).T * mask[None, :]          # (nrhs, m_max)
+        x = jnp.matmul(coeff, v, precision=_PREC)
+        ax = jnp.matmul(coeff, w, precision=_PREC)
+        r = ax - b
+        errors = jnp.sqrt(jnp.abs(jnp.einsum("in,in->i", r, r, precision=_PREC))) / b_norm
+
+        t = r / (diag[None, :] + 1e-15)
+        for _ in range(2):
+            proj = jnp.matmul(t, v.T, precision=_PREC) * mask[None, :]
+            t = t - jnp.matmul(proj, v, precision=_PREC)
+        g = jnp.matmul(t, t.T, precision=_PREC)
+        norms2 = jnp.diagonal(g)
+        keep = norms2 > null_thresh**2
+        g = jnp.where(keep[:, None] & keep[None, :], g, 0.0)
+        g = g + jnp.where(keep, 1e-30, 1.0) * jnp.eye(nrhs, dtype=g.dtype)
+        l = jnp.linalg.cholesky(g)
+        t = jax.scipy.linalg.solve_triangular(l, t, lower=True)
+        t = t * keep[:, None]
+
+        v_new = jax.lax.dynamic_update_slice(v, t.astype(v.dtype), (k, jnp.zeros((), k.dtype)))
+        w_new = jax.lax.dynamic_update_slice(w, matvec(t, operand).astype(w.dtype), (k, jnp.zeros((), k.dtype)))
+        slot_ids = jax.lax.broadcasted_iota(jnp.int32, (m_max, 1), 0)[:, 0]
+        new_rows = (slot_ids >= k) & (slot_ids < k + nrhs)
+        keep_full = jnp.zeros((m_max,), dtype=bool).at[:nrhs].set(keep)
+        mask_new = jnp.where(new_rows & jnp.roll(keep_full, k), 1.0, mask)
+        return LinearState(v_new, w_new, mask_new, k + nrhs, x, r, errors)
+
+    return step
+
+
+def _restart_body(matvec, nrhs: int, m_max: int):
+    def restart(state: LinearState, operand) -> LinearState:
+        x = state.x
+        g = jnp.matmul(x, x.T, precision=_PREC)
+        l = jnp.linalg.cholesky(g + 1e-30 * jnp.eye(nrhs, dtype=g.dtype))
+        xo = jax.scipy.linalg.solve_triangular(l, x, lower=True)
+        v = jnp.zeros_like(state.v).at[:nrhs].set(xo)
+        w = jnp.zeros_like(state.w).at[:nrhs].set(matvec(xo, operand))
+        mask = jnp.zeros_like(state.mask).at[:nrhs].set(1.0)
+        return LinearState(v, w, mask, jnp.asarray(nrhs, state.k.dtype), state.x, state.r, state.errors)
+
+    return restart
+
+
+def make_linear_solve(matvec, nrhs: int, m_max: int, tol: float, max_iter: int):
+    """Whole A X = B solve in one dispatch (cf. make_davidson_solve)."""
+    step = _step_body(matvec, nrhs, m_max)
+    restart = _restart_body(matvec, nrhs, m_max)
+
+    def solve(state: LinearState, operand, diag: Array, b: Array, b_norm: Array):
+        def cond(carry):
+            s, it = carry
+            return (it < max_iter) & (jnp.max(s.errors) > tol)
+
+        def body(carry):
+            s, it = carry
+            s = jax.lax.cond(
+                s.k + nrhs > m_max,
+                lambda ss: restart(ss, operand),
+                lambda ss: ss,
+                s,
+            )
+            return step(s, operand, diag, b, b_norm), it + 1
+
+        return jax.lax.while_loop(cond, body, (state, jnp.asarray(0, jnp.int32)))
+
+    return jax.jit(solve)
+
+
+class FusedLinearEquations:
+    """Driver: whole multi-RHS solve in one device dispatch."""
+
+    def __init__(
+        self,
+        matvec: Callable[..., Array],
+        diagonals,
+        n: int,
+        nrhs: int,
+        m_max: Optional[int] = None,
+        dtype=None,
+        sharding=None,
+        convergence_threshold: float = 1e-8,
+        max_iter: int = 200,
+        operand=None,
+    ):
+        if dtype is None:
+            dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+        self.matvec = matvec
+        self.n = n
+        self.nrhs = nrhs
+        self.m_max = m_max if m_max is not None else max(4 * nrhs, min(n, 24))
+        self.dtype = dtype
+        self.sharding = sharding
+        self.tol = convergence_threshold
+        self.max_iter = max_iter
+        from ..array.vector_ops import adapt_sharding
+
+        self.diag = jnp.asarray(np.asarray(diagonals), dtype=dtype)
+        if sharding is not None:
+            self.diag = jax.device_put(self.diag, adapt_sharding(sharding, 1))
+        self.operand = operand
+        self._solve = make_linear_solve(matvec, nrhs, self.m_max, self.tol, self.max_iter)
+
+    def solve(self, b, x0=None):
+        """Returns (x, errors, iterations). b is (nrhs, N)."""
+        b = jnp.asarray(np.asarray(b), dtype=self.dtype)
+        if self.sharding is not None:
+            b = jax.device_put(b, self.sharding)
+        b_norm = jnp.sqrt(jnp.abs(jnp.einsum("in,in->i", b, b, precision=_PREC)))
+        if x0 is None:
+            v0 = b / b_norm[:, None]
+        else:
+            x0 = jnp.asarray(np.asarray(x0), dtype=self.dtype)
+            n0 = jnp.sqrt(jnp.abs(jnp.einsum("in,in->i", x0, x0)))
+            v0 = x0 / jnp.where(n0 > 0, n0, 1.0)[:, None]
+        g = np.asarray(v0 @ v0.T)
+        l = np.linalg.cholesky(g + 1e-30 * np.eye(self.nrhs))
+        v0 = jnp.asarray(np.linalg.solve(l, np.asarray(v0)), dtype=self.dtype)
+        v = jnp.zeros((self.m_max, self.n), dtype=self.dtype).at[: self.nrhs].set(v0)
+        w = jnp.zeros_like(v).at[: self.nrhs].set(self.matvec(v0, self.operand))
+        if self.sharding is not None:
+            v = jax.device_put(v, self.sharding)
+            w = jax.device_put(w, self.sharding)
+        mask = jnp.zeros((self.m_max,), dtype=self.dtype).at[: self.nrhs].set(1.0)
+        state = LinearState(
+            v, w, mask, jnp.asarray(self.nrhs, jnp.int32),
+            jnp.zeros((self.nrhs, self.n), dtype=self.dtype),
+            jnp.zeros((self.nrhs, self.n), dtype=self.dtype),
+            jnp.full((self.nrhs,), jnp.inf, dtype=self.dtype),
+        )
+        final, iters = self._solve(state, self.operand, self.diag, b, b_norm)
+        jax.block_until_ready(final.errors)
+        return final.x, np.asarray(final.errors), int(iters)
