@@ -30,6 +30,9 @@ from .solvers.linear_eigensystem import LinearEigensystemDavidson, LinearEigensy
 from .solvers.linear_equations import LinearEquationsDavidson
 from .solvers.nonlinear_diis import NonLinearEquationsDIIS
 from .solvers.optimize import OptimizeBFGS, OptimizeSD
+from .solvers.fused_davidson import FusedDavidson
+from .solvers.fused_linear import FusedLinearEquations
+from .solvers.fused_lbfgs import FusedLBFGS
 
 __version__ = "0.1.0"
 
@@ -43,6 +46,9 @@ __all__ = [
     "NonLinearEquationsDIIS",
     "OptimizeBFGS",
     "OptimizeSD",
+    "FusedDavidson",
+    "FusedLinearEquations",
+    "FusedLBFGS",
     "Interpolate",
     "Point",
     "create_linear_eigensystem",

@@ -4,6 +4,9 @@ from .linear_eigensystem import LinearEigensystemDavidson, LinearEigensystemRSPT
 from .linear_equations import LinearEquationsDavidson
 from .nonlinear_diis import NonLinearEquationsDIIS
 from .optimize import OptimizeBFGS, OptimizeSD
+from .fused_davidson import FusedDavidson
+from .fused_linear import FusedLinearEquations
+from .fused_lbfgs import FusedLBFGS
 
 __all__ = [
     "IterativeSolverTemplate",
@@ -16,4 +19,7 @@ __all__ = [
     "NonLinearEquationsDIIS",
     "OptimizeBFGS",
     "OptimizeSD",
+    "FusedDavidson",
+    "FusedLinearEquations",
+    "FusedLBFGS",
 ]
