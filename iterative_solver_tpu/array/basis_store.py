@@ -142,6 +142,28 @@ class BasisStore:
         return self.data[jnp.asarray(list(slots), dtype=jnp.int32)]
 
     # -- block numerics --------------------------------------------------
+    def gram_block(self, x: Array) -> np.ndarray:
+        """<x_i, basis_slot> for EVERY physical slot: (m, capacity) host array.
+
+        One static-shape matmul; callers index the tiny result by their
+        logical slot lists. (Unused slots contribute garbage columns that are
+        simply never read.)"""
+        return np.asarray(_gram_against(x, self.data))
+
+    def mgs_sweep(self, r: Array, slots: Sequence[int], inv_norms) -> Array:
+        """Sequential modified-Gram-Schmidt of the rows of ``r`` against the
+        logical rows ``slots`` in order, scaling each projection by
+        ``inv_norms`` (1/<x,x>). Device path: one fused fori_loop kernel."""
+        from . import vector_ops as vops
+
+        idx = np.zeros(self.capacity, dtype=np.int32)
+        inv = np.zeros(self.capacity)
+        for logical, slot in enumerate(slots):
+            idx[logical] = slot
+            inv[logical] = inv_norms[logical]
+        xblock = self.data[jnp.asarray(idx)]
+        return vops.mgs_project(r, xblock, jnp.asarray(inv, dtype=self.dtype))
+
     def gram(self, x: Array, slots: Sequence[int]) -> np.ndarray:
         """<x_i, basis_j> for the logical rows ``slots``: returns (m, k) host array.
 

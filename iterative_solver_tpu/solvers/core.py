@@ -67,6 +67,7 @@ class IterativeSolverTemplate:
         capacity: Optional[int] = None,
         logger: Optional[Logger] = None,
         profiler: Optional[Profiler] = None,
+        offload: bool = False,
     ):
         if dtype is None:
             dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
@@ -85,7 +86,16 @@ class IterativeSolverTemplate:
         self.profiler = profiler
         self.stats = Statistics()
         cap = capacity if capacity is not None else max(16, 4 * nroots)
-        self.xspace = XSpace(n, dtype, sharding, capacity=cap, logger=self.logger, stats=self.stats)
+        store_factory = None
+        if offload:
+            # host/disk spill tier for basis histories beyond HBM
+            from ..array.offload_store import OffloadBasisStore
+
+            store_factory = OffloadBasisStore
+        self.xspace = XSpace(
+            n, dtype, sharding, capacity=cap, logger=self.logger,
+            stats=self.stats, store_factory=store_factory,
+        )
         self.subspace_solver = None  # set by concrete solver
         self.errors: List[float] = []
         self.value_errors: List[float] = []

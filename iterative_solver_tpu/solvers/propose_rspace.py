@@ -169,7 +169,7 @@ def append_overlap_with_r(xspace: XSpace, rparams: Array) -> np.ndarray:
     nx = dims.nX
     ov = np.zeros((nx + nr, nx + nr))
     ov[:nx, :nx] = xspace.s
-    gv = np.asarray(vops.gram(rparams, xspace.store_v.data))
+    gv = xspace.store_v.gram_block(rparams)
     slots = (
         list(xspace.p_slots)
         + [s[0] for s in xspace.q_slots]
@@ -215,17 +215,11 @@ def modified_gram_schmidt(
         + [s[0] for s in xspace.q_slots]
         + [s[0] for s in xspace.d_slots]
     )
-    capacity = xspace.store_v.capacity
-    idx = np.zeros(capacity, dtype=np.int32)
-    inv_norms = np.zeros(capacity)
     diag = np.abs(np.diag(xspace.s))
-    for logical, slot in enumerate(slots):
-        idx[logical] = slot
-        inv_norms[logical] = 1.0 / diag[logical] if diag[logical] != 0 else 0.0
-    xblock = xspace.store_v.data[jnp.asarray(idx)]
-    rparams = vops.mgs_project(
-        rparams, xblock, jnp.asarray(inv_norms, dtype=xspace.dtype)
+    inv_norms = np.asarray(
+        [1.0 / diag[i] if diag[i] != 0 else 0.0 for i in range(len(slots))]
     )
+    rparams = xspace.store_v.mgs_sweep(rparams, slots, inv_norms)
 
     # pairwise orthonormalisation among the R rows (host loop, tiny count)
     null_params: List[int] = []

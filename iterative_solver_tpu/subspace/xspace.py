@@ -55,14 +55,18 @@ class XSpace:
         capacity: int = 16,
         logger: Optional[Logger] = None,
         stats: Optional[Statistics] = None,
+        store_factory=None,
     ):
         self.n = int(n)
         self.dtype = dtype
         self.sharding = sharding
         self.logger = logger or Logger()
         self.stats = stats or Statistics()
-        self.store_v = BasisStore(capacity, n, dtype, sharding, name="params")
-        self.store_a = BasisStore(capacity, n, dtype, sharding, name="actions")
+        # store_factory swaps the basis backend: device-HBM BasisStore by
+        # default, OffloadBasisStore for the host/disk spill tier
+        factory = store_factory or BasisStore
+        self.store_v = factory(capacity, n, dtype, sharding, name="params")
+        self.store_a = factory(capacity, n, dtype, sharding, name="actions")
         # logical index lists; q newest-first
         self.p_slots: List[int] = []
         self.p_sparse: List[Dict[int, float]] = []
@@ -121,12 +125,10 @@ class XSpace:
         nX = dims.nX
 
         # Device passes: overlaps of new params/actions with both stacks.
-        gv_p = np.asarray(vops.gram(params, self.store_v.data))  # params . all stored vectors
-        ga_p = np.asarray(vops.gram(params, self.store_a.data))  # params . all stored actions
-        gv_a = np.asarray(vops.gram(actions, self.store_v.data))  # actions . all stored vectors
-        ga_a = (
-            np.asarray(vops.gram(actions, self.store_a.data)) if self.action_dot_action else None
-        )
+        gv_p = self.store_v.gram_block(params)  # params . all stored vectors
+        ga_p = self.store_a.gram_block(params)  # params . all stored actions
+        gv_a = self.store_v.gram_block(actions)  # actions . all stored vectors
+        ga_a = self.store_a.gram_block(actions) if self.action_dot_action else None
         rr_s = np.asarray(vops.gram_sym(params))
         if self.action_dot_action:
             rr_h = np.asarray(vops.gram_sym(actions))
@@ -227,9 +229,9 @@ class XSpace:
         qv = [s[0] for s in self.q_slots]
         qa = [s[1] for s in self.q_slots]
 
-        gv_dp = np.asarray(vops.gram(dparams, self.store_v.data))
-        ga_dp = np.asarray(vops.gram(dparams, self.store_a.data))
-        gv_da = np.asarray(vops.gram(dactions, self.store_v.data))
+        gv_dp = self.store_v.gram_block(dparams)
+        ga_dp = self.store_a.gram_block(dparams)
+        gv_da = self.store_v.gram_block(dactions)
         s_dd = np.asarray(vops.gram_sym(dparams))
         h_dd = np.asarray(vops.gram(dparams, dactions))
         self.stats.gemm_inner_ops += 4
