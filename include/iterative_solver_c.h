@@ -27,6 +27,9 @@ void IterativeSolverSolution(int nroot, int* roots, double* parameters, double* 
 size_t IterativeSolverAddValue(double value, double* parameters, double* action, int sync);
 size_t IterativeSolverEndIteration(size_t buffer_size, double* solution, double* residual, int sync);
 int IterativeSolverEndIterationNeeded();
+size_t IterativeSolverAddP(size_t buffer_size, size_t nP, const size_t* offsets, const size_t* indices,
+                           const double* coefficients, const double* pp, double* parameters, double* action,
+                           int sync, void (*func)(const double*, double*, size_t, const size_t*));
 void IterativeSolverErrors(double* errors);
 void IterativeSolverEigenvalues(double* eigenvalues);
 void IterativeSolverWorkingSetEigenvalues(double* eigenvalues);

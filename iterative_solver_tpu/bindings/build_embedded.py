@@ -39,6 +39,9 @@ void IterativeSolverSolution(int nroot, int* roots, double* parameters, double* 
 size_t IterativeSolverAddValue(double value, double* parameters, double* action, int sync);
 size_t IterativeSolverEndIteration(size_t buffer_size, double* solution, double* residual, int sync);
 int IterativeSolverEndIterationNeeded();
+size_t IterativeSolverAddP(size_t buffer_size, size_t nP, const size_t* offsets, const size_t* indices,
+                           const double* coefficients, const double* pp, double* parameters, double* action,
+                           int sync, void (*func)(const double*, double*, size_t, const size_t*));
 void IterativeSolverErrors(double* errors);
 void IterativeSolverEigenvalues(double* eigenvalues);
 void IterativeSolverWorkingSetEigenvalues(double* eigenvalues);
@@ -182,6 +185,45 @@ def IterativeSolverEndIteration(buffer_size, solution, residual, sync):
 @ffi.def_extern()
 def IterativeSolverEndIterationNeeded():
     return _api().IterativeSolverEndIterationNeeded()
+
+
+@ffi.def_extern()
+def IterativeSolverAddP(buffer_size, nP, offsets, indices, coefficients, pp,
+                        parameters, action, sync, func):
+    """P-space installation with the caller's action callback — the
+    Fortran/C trampoline of the reference (apply_on_p_c,
+    IterativeSolverCMPI.cpp:143-160): func(pcoeffs_flat, action_rows,
+    update_size, ranges) ADDS the P action into contiguous row buffers."""
+    n = _dim()
+    nP = int(nP)
+    offs = np.frombuffer(ffi.buffer(offsets, (nP + 1) * 8), dtype=np.uint64)
+    nidx = int(offs[nP])
+    idx = np.frombuffer(ffi.buffer(indices, max(nidx, 1) * 8), dtype=np.uint64)
+    coeffs = np.frombuffer(ffi.buffer(coefficients, max(nidx, 1) * 8), dtype=np.float64)
+    pp_arr = _buf(pp, nP * nP).copy()
+    p = _buf(parameters, int(buffer_size) * n)
+    a = _buf(action, int(buffer_size) * n)
+
+    def apply_p(pcoeff, pvecs):
+        import jax.numpy as jnp
+
+        m = pcoeff.shape[0]
+        out = np.zeros((m, n), dtype=np.float64)
+        ranges = np.zeros(2 * m, dtype=np.uint64)
+        ranges[1::2] = n
+        flat = np.ascontiguousarray(np.asarray(pcoeff, dtype=np.float64)).reshape(-1)
+        func(
+            ffi.cast("const double*", ffi.from_buffer(flat)),
+            ffi.cast("double*", ffi.from_buffer(out)),
+            m,
+            ffi.cast("const size_t*", ffi.from_buffer(ranges)),
+        )
+        return jnp.asarray(out)
+
+    nwork = _api().IterativeSolverAddP(
+        buffer_size, nP, offs, idx, coeffs, pp_arr, p, a, sync, func=apply_p
+    )
+    return max(int(nwork), 0)
 
 
 @ffi.def_extern()

@@ -40,3 +40,16 @@ def test_c_program_through_embedded_library(tmp_path):
     run = subprocess.run([exe], env=env, capture_output=True, text=True, timeout=240)
     assert run.returncode == 0, run.stdout + run.stderr
     assert "C ABI OK" in run.stdout
+
+    # P-space with the C action callback (the Fortran-trampoline parity path)
+    src_p = os.path.join(REPO, "examples", "c", "pspace_c.c")
+    exe_p = str(tmp_path / "test_pspace_c")
+    compile_p = subprocess.run(
+        ["gcc", "-O2", src_p, "-I", include_dir, "-L", so_dir,
+         "-literative_solver_tpu_c", "-o", exe_p],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert compile_p.returncode == 0, compile_p.stderr
+    run_p = subprocess.run([exe_p], env=env, capture_output=True, text=True, timeout=240)
+    assert run_p.returncode == 0, run_p.stdout + run_p.stderr
+    assert "P-space C ABI OK" in run_p.stdout
