@@ -21,7 +21,7 @@ traffic (the reference's matrix shuffles happen on tiny host matrices).
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ full replication) are XLA collectives instead of MPI_Allreduce/Allgatherv
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

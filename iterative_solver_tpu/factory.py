@@ -6,10 +6,6 @@ mirrors create_LinearEigensystem<R,Q,P>(method, options).
 
 from __future__ import annotations
 
-from typing import Optional
-
-import numpy as np
-
 from . import options as opt
 from .solvers.core import IterativeSolverTemplate
 from .solvers.linear_eigensystem import LinearEigensystemDavidson, LinearEigensystemRSPT

@@ -18,8 +18,7 @@
 from __future__ import annotations
 
 import functools
-import os
-from typing import Dict, Optional, Sequence
+from typing import Dict, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -10,8 +10,6 @@ block-structured off-diagonal coupling that decays with diagonal separation
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import numpy as np
 
 

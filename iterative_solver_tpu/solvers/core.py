@@ -110,7 +110,6 @@ class IterativeSolverTemplate:
         self.apply_p: Optional[Callable] = None
         self.normalise_solution = False
         self._end_iteration_needed = True
-        self._nwork_rows = nroots  # number of R rows the driver carries
 
     def __del__(self):
         try:

@@ -24,7 +24,6 @@ ICI replacement for the reference's MPI_Allreduce (gemm.h:43-46).
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, NamedTuple, Optional
 
 import jax

@@ -15,7 +15,6 @@ a 1-D mesh by the vector axis with XLA-inserted psums.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, NamedTuple, Optional
 
 import jax

@@ -14,7 +14,6 @@ import numpy as np
 
 from ..array import vector_ops as vops
 from ..subspace.solvers import SubspaceSolverLinEig, SubspaceSolverRSPT
-from ..utils import Logger
 from .core import IterativeSolverTemplate
 from .propose_rspace import DSpaceResetter, propose_rspace
 

@@ -11,11 +11,8 @@ preemption (the TPU-era failure-recovery story).
 from __future__ import annotations
 
 import json
-from typing import Optional
-
 import numpy as np
 
-from ..utils.statistics import Statistics
 
 
 def _collect_block(store, slots):

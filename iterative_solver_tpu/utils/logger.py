@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import enum
 import sys
-from typing import Iterable, Optional
+from typing import Iterable
 
 
 class Level(enum.IntEnum):
