@@ -169,7 +169,7 @@ class DistrArray:
         return float(jnp.dot(self.data, other.data, precision=jax.lax.Precision.HIGHEST))
 
     def norm(self) -> float:
-        return float(jnp.sqrt(jnp.abs(jnp.dot(self.data, self.data))))
+        return float(jnp.sqrt(jnp.abs(jnp.dot(self.data, self.data, precision=jax.lax.Precision.HIGHEST))))
 
     # -- reductions / selections (DistrArray.h:245-283) ------------------
     def _top_pairs(self, values: Array, n: int, largest: bool) -> List[Tuple[int, float]]:

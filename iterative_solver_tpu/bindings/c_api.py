@@ -75,6 +75,7 @@ def IterativeSolverLinearEquationsInitialize(
 ):
     solver = create_linear_equations(int(n), int(nroot), algorithm or "Davidson", options)
     solver.convergence_threshold = thresh
+    solver.convergence_threshold_value = thresh_value
     solver.set_hermiticity(bool(hermitian))
     solver.set_augmented_hessian(float(aughes))
     solver.verbosity = int(verbosity)
@@ -191,8 +192,11 @@ def IterativeSolverAddP(nbuffer, nP, offsets, indices, coefficients, pp,
     p = _to_block(inst, parameters, nbuffer)
     a = _to_block(inst, action, nbuffer)
 
-    def apply_p(pcoeff, pvecs):
-        return func(np.asarray(pcoeff), pvecs)
+    if func is not None:
+        def apply_p(pcoeff, pvecs):
+            return func(np.asarray(pcoeff), pvecs)
+    else:
+        apply_p = None
 
     nwork, p, a = inst.solver.add_p(pvectors, pp_mat, p, a, apply_p)
     inst.params, inst.actions = p, a

@@ -73,6 +73,10 @@ def create_linear_equations(
     o = opt.LinearEquationsDavidsonOptions.from_string(options)
     solver = LinearEquationsDavidson(n, nroots, **kwargs)
     _apply_common(solver, o)
+    if o.reset_D is not None:
+        solver.set_reset_D(o.reset_D)
+    if o.reset_D_max_Q_size is not None:
+        solver.set_reset_D_maxQ_size(o.reset_D_max_Q_size)
     if o.max_size_qspace is not None:
         solver.set_max_size_qspace(o.max_size_qspace)
     if o.norm_thresh is not None:

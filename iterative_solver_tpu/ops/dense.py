@@ -305,12 +305,13 @@ def gram_schmidt_transform(s: np.ndarray, norm_thresh: float = 0.0) -> np.ndarra
     return l
 
 
-def solve_diis(b: np.ndarray, svd_thresh: float = 1e-10) -> np.ndarray:
+def solve_diis(b: np.ndarray) -> np.ndarray:
     """DIIS extrapolation coefficients from the residual-overlap matrix ``b``.
 
     Solves the bordered system [[B, -1], [-1, 0]] c = [0, ..., 0, -1] by SVD
-    pseudo-inverse (helper-implementation.h:619-669; the reference zeroes its
-    SVD cutoff, i.e. plain least-squares).
+    pseudo-inverse. The reference multiplies its SVD cutoff by zero
+    (helper-implementation.h:648), i.e. plain least-squares — so no threshold
+    parameter is exposed here.
     """
     b = np.asarray(b, dtype=np.float64)
     dim = b.shape[0]

@@ -43,6 +43,10 @@ class SplitOperator:
     @classmethod
     def from_dense(cls, matrix: np.ndarray, n_chunks: int = 64, sharding=None) -> "SplitOperator":
         matrix = np.asarray(matrix, dtype=np.float64)
+        n = matrix.shape[1]
+        if n % n_chunks != 0:
+            # snap to the largest divisor of N not exceeding the request
+            n_chunks = max(k for k in range(1, min(n_chunks, n) + 1) if n % k == 0)
         hi = matrix.astype(np.float32)
         lo = (matrix - hi.astype(np.float64)).astype(np.float32)
         hi_d = jnp.asarray(hi)

@@ -154,6 +154,11 @@ class OptimizeBFGSOptions(Options):
             max_size_qspace=_get(m, "MAX_SIZE_QSPACE", int),
             norm_thresh=_get(m, "NORM_THRESH", float),
             svd_thresh=_get(m, "SVD_THRESH", float),
+            strong_Wolfe=_get(m, "STRONG_WOLFE", _bool),
+            Wolfe_1=_get(m, "WOLFE_1", float),
+            Wolfe_2=_get(m, "WOLFE_2", float),
+            linesearch_tolerance=_get(m, "LINESEARCH_TOLERANCE", float),
+            linesearch_grow_factor=_get(m, "LINESEARCH_GROW_FACTOR", float),
         )
         return cls(**fields)
 

@@ -64,6 +64,8 @@ def sharded_dot(mesh: Mesh, axis: str = DATA_AXIS):
         out_specs=P(),
     )
     def dots(x, y):
-        return jax.lax.psum(jnp.einsum("in,in->i", x, y), axis)
+        return jax.lax.psum(
+            jnp.einsum("in,in->i", x, y, precision=jax.lax.Precision.HIGHEST), axis
+        )
 
     return dots

@@ -353,7 +353,7 @@ class IterativeSolverTemplate:
             if self.linear_eigensystem:
                 if not use_diagonals:
                     raise RuntimeError("Default initial guess requested, but diagonal elements are not available")
-                idx, _ = vops.select_smallest(diagonals, parameters.shape[0])
+                idx, _ = vops.select_smallest(diagonals, min(parameters.shape[0], self.n))
                 guess = np.zeros((parameters.shape[0], self.n))
                 for row, i in enumerate(np.asarray(idx)):
                     guess[row, int(i)] = 1.0
@@ -416,7 +416,7 @@ class IterativeSolverTemplate:
     def _auto_pspace(self, problem: Problem, diagonals: Array, parameters: Array, actions: Array):
         """Automatic P-space selection from smallest diagonals
         (IterativeSolverTemplate.h:353-376)."""
-        idx, vals = vops.select_smallest(diagonals, self.max_p)
+        idx, vals = vops.select_smallest(diagonals, min(self.max_p, self.n))
         idx = np.asarray(idx)
         vals = np.asarray(vals, dtype=float)
         keep = [0] if len(idx) else []

@@ -250,7 +250,7 @@ class FusedDavidson:
 
     def init_state(self, v0) -> DavidsonState:
         v0 = jnp.asarray(np.asarray(v0), dtype=self.dtype)
-        g = v0 @ v0.T
+        g = jnp.matmul(v0, v0.T, precision=jax.lax.Precision.HIGHEST)
         l = np.linalg.cholesky(np.asarray(g) + 1e-30 * np.eye(self.nroots))
         v0 = jnp.asarray(np.linalg.solve(l, np.asarray(v0)), dtype=self.dtype)
         v = jnp.zeros((self.m_max, self.n), dtype=self.dtype).at[: self.nroots].set(v0)
@@ -284,9 +284,15 @@ class FusedDavidson:
 
     def run_on_device(self, v0):
         """Entire solve in one dispatch (lax.while_loop driver)."""
-        solve = make_davidson_solve(
-            self.matvec, self.nroots, self.m_max, self.tol, self.max_iter
-        )
+        key = (self.tol, self.max_iter)
+        if getattr(self, "_solve_cache_key", None) != key:
+            # cache the jitted whole-solve: rebuilding per call would force a
+            # full XLA recompilation every run
+            self._solve_cache = make_davidson_solve(
+                self.matvec, self.nroots, self.m_max, self.tol, self.max_iter
+            )
+            self._solve_cache_key = key
+        solve = self._solve_cache
         state = self.init_state(v0)
         final, iters = solve(state, self.operand, self.diag)
         jax.block_until_ready(final.errors)
@@ -304,7 +310,9 @@ class FusedDavidson:
         sweep, checking convergence only at restart boundaries. Same math as
         ``run`` with far fewer host round-trips — the production TPU path."""
         steps = max(1, (self.m_max - self.nroots) // self.nroots)
-        sweep = make_davidson_sweep(self.matvec, self.nroots, self.m_max, steps)
+        if getattr(self, "_sweep_cache", None) is None:
+            self._sweep_cache = make_davidson_sweep(self.matvec, self.nroots, self.m_max, steps)
+        sweep = self._sweep_cache
         state = self.init_state(v0)
         max_sweeps = max(1, self.max_iter // steps + 1)
         for _ in range(max_sweeps):

@@ -105,7 +105,9 @@ def make_lbfgs_solve(
         s = alpha * d
         y = g_new - state.g
         sy = jnp.matmul(s, y, precision=_PREC)
-        good = sy > 1e-12 * jnp.sqrt(jnp.matmul(s, s) * jnp.matmul(y, y))
+        good = sy > 1e-12 * jnp.sqrt(
+            jnp.matmul(s, s, precision=_PREC) * jnp.matmul(y, y, precision=_PREC)
+        )
         head = state.head
         s_hist = jnp.where(good, state.s_hist.at[head].set(s), state.s_hist)
         y_hist = jnp.where(good, state.y_hist.at[head].set(y), state.y_hist)
@@ -163,7 +165,7 @@ class FusedLBFGS:
         state = LBFGSState(
             x0, f0, g0, zeros, zeros, jnp.zeros((m,), self.dtype),
             jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
-            jnp.sqrt(jnp.matmul(g0, g0)),
+            jnp.sqrt(jnp.matmul(g0, g0, precision=jax.lax.Precision.HIGHEST)),
         )
         final, iters = self._solve(state, self.operand)
         jax.block_until_ready(final.x)

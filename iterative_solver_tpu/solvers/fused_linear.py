@@ -152,13 +152,15 @@ class FusedLinearEquations:
         if self.sharding is not None:
             b = jax.device_put(b, self.sharding)
         b_norm = jnp.sqrt(jnp.abs(jnp.einsum("in,in->i", b, b, precision=_PREC)))
+        if not bool(jnp.all(b_norm > 0)):
+            raise RuntimeError("RHS vector cannot be zero")
         if x0 is None:
             v0 = b / b_norm[:, None]
         else:
             x0 = jnp.asarray(np.asarray(x0), dtype=self.dtype)
-            n0 = jnp.sqrt(jnp.abs(jnp.einsum("in,in->i", x0, x0)))
+            n0 = jnp.sqrt(jnp.abs(jnp.einsum("in,in->i", x0, x0, precision=_PREC)))
             v0 = x0 / jnp.where(n0 > 0, n0, 1.0)[:, None]
-        g = np.asarray(v0 @ v0.T)
+        g = np.asarray(jnp.matmul(v0, v0.T, precision=_PREC))
         l = np.linalg.cholesky(g + 1e-30 * np.eye(self.nrhs))
         v0 = jnp.asarray(np.linalg.solve(l, np.asarray(v0)), dtype=self.dtype)
         v = jnp.zeros((self.m_max, self.n), dtype=self.dtype).at[: self.nrhs].set(v0)

@@ -42,6 +42,12 @@ class LinearEquationsDavidson(IterativeSolverTemplate):
         self.xspace.hermitian = hermitian
         self.subspace_solver.hermitian = hermitian
 
+    def set_reset_D(self, n: int) -> None:
+        self.dspace_resetter.nreset = n
+
+    def set_reset_D_maxQ_size(self, n: int) -> None:
+        self.dspace_resetter.max_qsize_after_reset = n
+
     def set_max_size_qspace(self, n: int) -> None:
         self.max_size_qspace = n
         if self.dspace_resetter.max_qsize_after_reset > n:

@@ -90,7 +90,7 @@ class SubspaceSolverDIIS:
         if self.converged:
             self.solutions[0, 0] = 1.0
             return
-        coeffs = dense.solve_diis(xspace.h.T, svd_thresh=1e-10)
+        coeffs = dense.solve_diis(xspace.h.T)
         self.solutions[0, :] = coeffs
         self.errors = [xspace.h[0, 0]]
 

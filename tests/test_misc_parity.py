@@ -85,3 +85,72 @@ class TestProfiler:
         with prof.push("anything"):
             pass
         assert prof.report() == ""
+
+
+class TestReviewRegressions:
+    """Fixes from the round-1 self code-review."""
+
+    def test_bfgs_wolfe_options_parsed(self):
+        import iterative_solver_tpu as its
+
+        s = its.create_optimize(5, "BFGS", "Wolfe_2=0.5,strong_Wolfe=false,linesearch_tolerance=0.3")
+        assert s.wolfe_2 == 0.5
+        assert s.strong_wolfe is False
+        assert s.linesearch_tolerance == 0.3
+
+    def test_linear_equations_reset_d_option(self):
+        import iterative_solver_tpu as its
+
+        s = its.create_linear_equations(5, 1, options="reset_D=5,reset_D_max_Q_size=4")
+        assert s.dspace_resetter.nreset == 5
+        assert s.dspace_resetter.max_qsize_after_reset == 4
+
+    def test_fused_linear_zero_rhs_raises(self):
+        import jax.numpy as jnp
+        import pytest as _pytest
+
+        from iterative_solver_tpu.solvers.fused_linear import FusedLinearEquations
+
+        def mv(x, op):
+            return x
+
+        solver = FusedLinearEquations(mv, np.ones(8), 8, 1, operand=None)
+        with _pytest.raises(RuntimeError, match="zero"):
+            solver.solve(np.zeros((1, 8)))
+
+    def test_max_p_clamped_to_dimension(self):
+        import iterative_solver_tpu as its
+
+        n = 6
+        problem = its.models.ExampleProblem(n)
+        solver = its.create_linear_eigensystem(n, 1, "Davidson", f"max_p={n * 4}")
+        solver.set_hermiticity(True)
+        solver.verbosity = its.Verbosity.NONE
+        conv, *_ = solver.solve(np.zeros((1, n)), problem=problem, generate_initial_guess=True)
+        assert conv
+
+    def test_split_operator_indivisible_n(self):
+        from iterative_solver_tpu.ops.precise import SplitOperator, precise_matmat
+
+        rng = np.random.default_rng(0)
+        matrix = rng.standard_normal((100, 100))
+        op = SplitOperator.from_dense(matrix, n_chunks=64)
+        assert 100 % op.n_chunks == 0
+        x = jnp.asarray(rng.standard_normal((2, 100)), dtype=jnp.float32)
+        out = np.asarray(precise_matmat(x, op))
+        np.testing.assert_allclose(out, np.asarray(x, dtype=np.float64) @ matrix.T, atol=1e-4)
+
+    def test_addp_none_callback_keeps_guard(self):
+        from iterative_solver_tpu.bindings import c_api
+
+        c_api.IterativeSolverLinearEigensystemInitialize(4, 1, hermitian=True)
+        try:
+            params = np.zeros((1, 4))
+            actions = np.zeros((1, 4))
+            offsets = np.asarray([0, 1], dtype=np.int64)
+            c_api.IterativeSolverAddP(1, 1, offsets, np.asarray([0]), np.asarray([1.0]),
+                                      np.asarray([[2.0]]), params, actions, func=None)
+            # apply_p must remain None so the template's guard can fire
+            assert c_api._top().solver.apply_p is None
+        finally:
+            c_api.IterativeSolverFinalize()
