@@ -40,10 +40,16 @@ def _step_body(matvec: Callable[..., Array], nrhs: int, m_max: int, null_thresh:
         v, w, mask, k = state.v, state.w, state.mask, state.k
         h = jnp.matmul(v, w.T, precision=_PREC)
         m2 = mask[:, None] * mask[None, :]
-        # inactive slots solve a trivial identity system with zero rhs
+        # inactive slots solve a trivial identity system with zero rhs.
+        # This fused path targets hermitian operators (the parity solver
+        # handles the general case), so the projected solve goes through an
+        # eigh — much cheaper to compile inside a while_loop than LU.
+        h = 0.5 * (h + h.T)
         h = h * m2 + (1.0 - mask)[:, None] * (1.0 - mask)[None, :] * jnp.eye(m_max, dtype=h.dtype)
         beta = jnp.matmul(v, b.T, precision=_PREC) * mask[:, None]  # (m_max, nrhs)
-        coeff = jnp.linalg.solve(h, beta).T * mask[None, :]          # (nrhs, m_max)
+        evals_h, c = jnp.linalg.eigh(h)
+        safe = jnp.where(jnp.abs(evals_h) > 1e-30, evals_h, 1.0)
+        coeff = (c @ ((c.T @ beta) / safe[:, None])).T * mask[None, :]  # (nrhs, m_max)
         x = jnp.matmul(coeff, v, precision=_PREC)
         ax = jnp.matmul(coeff, w, precision=_PREC)
         r = ax - b
