@@ -103,3 +103,32 @@ def test_fused_davidson_with_bsr():
     evals, x, errors, iters = solver.run(v0)
     ref = np.linalg.eigvalsh(matrix)[:2]
     np.testing.assert_allclose(evals, ref, atol=1e-8)
+
+
+class TestMaskedGramPallas:
+    def test_interpret_matches_reference(self):
+        from iterative_solver_tpu.ops.kernels import masked_gram_pallas
+
+        rng = np.random.default_rng(0)
+        m, n = 16, 1024
+        v = rng.standard_normal((m, n)).astype(np.float32)
+        w = rng.standard_normal((m, n)).astype(np.float32)
+        mask = np.zeros(m, dtype=np.float32)
+        mask[:10] = 1.0
+        out = np.asarray(masked_gram_pallas(jnp.asarray(v), jnp.asarray(w), jnp.asarray(mask), interpret=True))
+        h = (v @ w.T) * np.outer(mask, mask)
+        ref = 0.5 * (h + h.T)
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-4)
+
+    def test_tile_sweep(self):
+        from iterative_solver_tpu.ops.kernels import masked_gram_pallas
+
+        rng = np.random.default_rng(1)
+        m, n = 8, 512
+        v = rng.standard_normal((m, n)).astype(np.float32)
+        mask = np.ones(m, dtype=np.float32)
+        ref = 0.5 * ((v @ v.T) + (v @ v.T).T)
+        for tile in (128, 256, 512):
+            out = np.asarray(masked_gram_pallas(jnp.asarray(v), jnp.asarray(v), jnp.asarray(mask),
+                                                tile=tile, interpret=True))
+            np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-4)
