@@ -174,22 +174,26 @@ def make_davidson_solve(
     matvec,
     nroots: int,
     m_max: int,
-    tol: float,
-    max_iter: int,
+    tol: Optional[float] = None,
+    max_iter: Optional[int] = None,
     null_thresh: float = 1e-10,
 ):
     """The whole solve in ONE dispatch: a lax.while_loop that steps until
     convergence or ``max_iter``, restarting on-device whenever the basis
     fills. This is the production entry — on a remote/tunneled TPU the host
-    round-trip otherwise dominates (observed ~70 ms RTT vs ~100 us of
-    compute per iteration)."""
+    round-trip otherwise dominates (observed ~28 ms RTT vs ~1 ms of compute
+    per iteration).
+
+    ``tol`` and ``max_iter`` are runtime arguments of the returned function
+    (traced scalars), so one compilation serves every convergence setting;
+    passing them here instead binds them for backward compatibility."""
     step = _step_body(matvec, nroots, m_max, null_thresh)
     restart = _restart_body(matvec, nroots, m_max)
 
-    def solve(state: DavidsonState, operand, diag: Array):
+    def solve(state: DavidsonState, operand, diag: Array, tol_, max_iter_):
         def cond(carry):
             s, it = carry
-            return (it < max_iter) & (jnp.max(s.errors) > tol)
+            return (it < max_iter_) & (jnp.max(s.errors) > tol_)
 
         def body(carry):
             s, it = carry
@@ -204,7 +208,14 @@ def make_davidson_solve(
         final, iters = jax.lax.while_loop(cond, body, (state, jnp.asarray(0, jnp.int32)))
         return final, iters
 
-    return jax.jit(solve)
+    solve_jit = jax.jit(solve)
+    if tol is None and max_iter is None:
+        return solve_jit
+
+    def bound(state, operand, diag):
+        return solve_jit(state, operand, diag, tol, max_iter)
+
+    return bound
 
 
 class FusedDavidson:
