@@ -195,6 +195,10 @@ class XSpace:
             if self.rhs.size:
                 rhs_mat[at + m :, :] = self.rhs[at:, :]
             self.rhs = rhs_mat
+        if self.logger.data_dump:
+            # subspace-matrix dump parity (XSpace.h:72-81)
+            self.logger.msg(f"S = {np.array2string(self.s, precision=6)}", 4)
+            self.logger.msg(f"H = {np.array2string(self.h, precision=6)}", 4)
         # NOTE: the value matrix is managed by the nonlinear solvers themselves
         # (OptimizeBFGS.h:59-64 resizes/shifts it before calling add_vector);
         # update_qspace leaves it alone, matching QSpace::update.
