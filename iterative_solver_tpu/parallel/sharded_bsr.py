@@ -1,22 +1,27 @@
-"""Mesh-sharded block-sparse Hamiltonian action.
+"""Mesh-sharded block-sparse Hamiltonian action with overlapped halo exchange.
 
 The reference's distributed SpMV keeps vector rows on their owning MPI rank
 and streams remote operator pages (SURVEY.md §2.5); the TPU-native layout
-partitions the operator by BLOCK ROWS across the mesh: every device owns the
-blocks of a contiguous range of row-blocks, input vectors arrive sharded by
-the vector axis, are all-gathered over ICI inside the kernel (the halo
-exchange), each device computes its row range with batched MXU block gemms +
-a local segment-sum, and the output comes out sharded by the same vector
-axis with NO reduction collective (rows are uniquely owned).
+partitions the operator by BLOCK ROWS across the mesh. Each device's blocks
+are split into two groups:
 
-Per-device block counts are padded to the maximum with zero blocks so the
-shard_map body is static-shape on every device.
+- **local** blocks whose column range lives in the device's own shard of x —
+  computed immediately from ``x_local`` with no communication;
+- **remote** blocks that need other devices' columns — computed from the
+  all-gathered x.
+
+Because the local contribution is data-independent of the all-gather, XLA's
+latency-hiding scheduler overlaps the ICI halo exchange with the local MXU
+work — the TPU shape of the reference's "overlap halo traffic with SpMV
+compute" requirement (BufferManager-style pipelining across the network
+boundary). Output comes out sharded by the same vector axis with no
+reduction collective (rows are uniquely owned). Per-device block counts are
+padded to the maximum with zero blocks so the shard_map body is static.
 """
 
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Tuple
 
 import jax
@@ -32,20 +37,41 @@ Array = jax.Array
 _PREC = jax.lax.Precision.HIGHEST
 
 
+def _group_to_device_arrays(groups, values, col_idx, row_idx, ndev, bm, bn, rb_per_dev):
+    """Pad each device's block list to the max count; returns flat arrays
+    sharded on axis 0 plus the per-device count."""
+    max_b = max((len(g) for g in groups), default=1) or 1
+    v = np.zeros((ndev, max_b, bm, bn))
+    c = np.zeros((ndev, max_b), dtype=np.int32)
+    r = np.zeros((ndev, max_b), dtype=np.int32)
+    for d, idx in enumerate(groups):
+        k = len(idx)
+        if k:
+            v[d, :k] = values[idx]
+            c[d, :k] = col_idx[idx]
+            r[d, :k] = row_idx[idx] - d * rb_per_dev
+        # pad blocks are zeros scattered into local row 0 — harmless
+    return v.reshape(ndev * max_b, bm, bn), c.reshape(-1), r.reshape(-1)
+
+
 @dataclasses.dataclass
 class ShardedBSR:
-    """Row-block-partitioned BSR operator bound to a mesh."""
+    """Row-block-partitioned BSR operator bound to a mesh, with blocks split
+    into comm-free (local-column) and halo (remote-column) groups."""
 
-    values: Array      # (ndev * max_b, bm, bn) sharded on axis 0
-    col_idx: Array     # (ndev * max_b,) global block-column ids
-    local_row: Array   # (ndev * max_b,) row-block id LOCAL to the owner
+    loc_values: Array   # (ndev * max_loc, bm, bn) sharded on axis 0
+    loc_col: Array      # (ndev * max_loc,) column block id LOCAL to the device shard
+    loc_row: Array      # (ndev * max_loc,) row-block id local to the owner
+    rem_values: Array   # (ndev * max_rem, bm, bn)
+    rem_col: Array      # (ndev * max_rem,) GLOBAL column block id
+    rem_row: Array      # (ndev * max_rem,)
     mesh: Mesh
     axis: str
     shape: Tuple[int, int]
     bm: int
     bn: int
     rb_per_dev: int
-    diagonal: Array    # (N,) sharded
+    diagonal: Array     # (N,) sharded
 
     @property
     def n(self) -> int:
@@ -55,6 +81,7 @@ class ShardedBSR:
     def from_bsr(cls, bsr: BSRMatrix, mesh: Mesh, axis: str = DATA_AXIS) -> "ShardedBSR":
         ndev = mesh.devices.size
         bm, bn = bsr.bm, bsr.bn
+        assert bm == bn, "square blocks required for the row/column partition to align"
         n_rb = bsr.shape[0] // bm
         n_rb_pad = ((n_rb + ndev - 1) // ndev) * ndev
         rb_per_dev = n_rb_pad // ndev
@@ -62,66 +89,86 @@ class ShardedBSR:
         col_idx = np.asarray(bsr.col_idx)
         values = np.asarray(bsr.values, dtype=np.float64)
         owners = row_idx // rb_per_dev
-        per_dev = [np.nonzero(owners == d)[0] for d in range(ndev)]
-        max_b = max((len(p) for p in per_dev), default=1) or 1
-        v = np.zeros((ndev, max_b, bm, bn))
-        c = np.zeros((ndev, max_b), dtype=np.int32)
-        r = np.zeros((ndev, max_b), dtype=np.int32)
-        for d, idx in enumerate(per_dev):
-            k = len(idx)
-            if k:
-                v[d, :k] = values[idx]
-                c[d, :k] = col_idx[idx]
-                r[d, :k] = row_idx[idx] - d * rb_per_dev
-            # pad blocks are zeros scattered into local row 0 — harmless
+        col_owner = col_idx // rb_per_dev
+        loc_groups, rem_groups = [], []
+        for d in range(ndev):
+            mine = owners == d
+            loc_groups.append(np.nonzero(mine & (col_owner == d))[0])
+            rem_groups.append(np.nonzero(mine & (col_owner != d))[0])
+        lv, lc, lr = _group_to_device_arrays(
+            loc_groups, values, col_idx, row_idx, ndev, bm, bn, rb_per_dev
+        )
+        # local group: translate column ids into the device's own shard
+        for d in range(ndev):
+            max_loc = lv.shape[0] // ndev
+            sl = slice(d * max_loc, (d + 1) * max_loc)
+            lc[sl] = np.maximum(lc[sl] - d * rb_per_dev, 0)
+        rv, rc, rr = _group_to_device_arrays(
+            rem_groups, values, col_idx, row_idx, ndev, bm, bn, rb_per_dev
+        )
         n_pad = n_rb_pad * bm
         diag = np.zeros(n_pad)
         diag[: bsr.shape[0]] = np.asarray(bsr.diagonal, dtype=np.float64)
         dtype = bsr.values.dtype
+
+        def put(arr, spec):
+            return jax.device_put(jnp.asarray(arr), NamedSharding(mesh, spec))
+
         return cls(
-            values=jax.device_put(
-                jnp.asarray(v.reshape(ndev * max_b, bm, bn), dtype=dtype),
-                NamedSharding(mesh, P(axis, None, None)),
-            ),
-            col_idx=jax.device_put(
-                jnp.asarray(c.reshape(-1)), NamedSharding(mesh, P(axis))
-            ),
-            local_row=jax.device_put(
-                jnp.asarray(r.reshape(-1)), NamedSharding(mesh, P(axis))
-            ),
+            loc_values=put(jnp.asarray(lv, dtype=dtype), P(axis, None, None)),
+            loc_col=put(lc, P(axis)),
+            loc_row=put(lr, P(axis)),
+            rem_values=put(jnp.asarray(rv, dtype=dtype), P(axis, None, None)),
+            rem_col=put(rc, P(axis)),
+            rem_row=put(rr, P(axis)),
             mesh=mesh,
             axis=axis,
             shape=(n_pad, n_pad),
             bm=bm,
             bn=bn,
             rb_per_dev=rb_per_dev,
-            diagonal=jax.device_put(jnp.asarray(diag, dtype=dtype), NamedSharding(mesh, P(axis))),
+            diagonal=put(jnp.asarray(diag, dtype=dtype), P(axis)),
         )
 
     def matvec_fn(self):
-        """Return a jit-able ``f(x, operand)`` with operand=self flattened;
-        x is (m, N) sharded on the vector axis, output identically sharded."""
+        """Return a jit-able ``f(x, operand)``; x is (m, N) sharded on the
+        vector axis, output identically sharded."""
         mesh, axis = self.mesh, self.axis
         bm, bn, rb_per_dev = self.bm, self.bn, self.rb_per_dev
 
-        @functools.partial(
-            shard_map,
+        def contract(x_tiles, values, col_idx, local_row):
+            x_blocks = x_tiles[col_idx]                        # (max_b, m, bn)
+            contrib = jnp.einsum("kmn,kin->kmi", x_blocks, values, precision=_PREC)
+            y = jax.ops.segment_sum(contrib, local_row, num_segments=rb_per_dev)
+            return y  # (rb_per_dev, m, bm)
+
+        @jax.jit
+        @jax.shard_map(
             mesh=mesh,
-            in_specs=(P(None, axis), P(axis, None, None), P(axis), P(axis)),
+            in_specs=(
+                P(None, axis),
+                P(axis, None, None), P(axis), P(axis),
+                P(axis, None, None), P(axis), P(axis),
+            ),
             out_specs=P(None, axis),
         )
-        def sharded_action(x_local, values, col_idx, local_row):
-            # halo exchange: gather the full x over ICI (tiled concat)
+        def sharded_action(x_local, lv, lc, lr, rv, rc, rr):
+            m = x_local.shape[0]
+            # comm-free contribution from the device's own x shard...
+            x_loc_tiles = x_local.reshape(m, -1, bn).transpose(1, 0, 2)
+            y_loc = contract(x_loc_tiles, lv, lc, lr)
+            # ...while the halo exchange (all-gather over ICI) is in flight —
+            # XLA's latency-hiding scheduler overlaps the two
             x = jax.lax.all_gather(x_local, axis, axis=1, tiled=True)
-            m = x.shape[0]
-            xt = x.reshape(m, -1, bn).transpose(1, 0, 2)      # (n_cb, m, bn)
-            x_blocks = xt[col_idx]                             # (max_b, m, bn)
-            contrib = jnp.einsum("kmn,kin->kmi", x_blocks, values, precision=_PREC)
-            y_blocks = jax.ops.segment_sum(contrib, local_row, num_segments=rb_per_dev)
-            return y_blocks.transpose(1, 0, 2).reshape(m, rb_per_dev * bm)
+            x_tiles = x.reshape(m, -1, bn).transpose(1, 0, 2)
+            y_rem = contract(x_tiles, rv, rc, rr)
+            return (y_loc + y_rem).transpose(1, 0, 2).reshape(m, rb_per_dev * bm)
 
         def matvec(x, operand):
-            values, col_idx, local_row = operand
-            return sharded_action(x, values, col_idx, local_row)
+            lv, lc, lr, rv, rc, rr = operand
+            return sharded_action(x, lv, lc, lr, rv, rc, rr)
 
-        return matvec, (self.values, self.col_idx, self.local_row)
+        return matvec, (
+            self.loc_values, self.loc_col, self.loc_row,
+            self.rem_values, self.rem_col, self.rem_row,
+        )
