@@ -271,9 +271,12 @@ class FusedDavidson:
             w = jax.device_put(w, self.sharding)
         mask = jnp.zeros((self.m_max,), dtype=self.dtype).at[: self.nroots].set(1.0)
         nan = jnp.full((self.nroots,), jnp.inf, dtype=self.dtype)
+        nan2 = jnp.full((self.nroots,), jnp.inf, dtype=self.dtype)
+        # distinct buffers: aliased x/r would be donated twice by the step
         zeros = jnp.zeros((self.nroots, self.n), dtype=self.dtype)
+        zeros2 = jnp.zeros((self.nroots, self.n), dtype=self.dtype)
         self.matvecs += self.nroots
-        return DavidsonState(v, w, mask, jnp.asarray(self.nroots, jnp.int32), nan, zeros, zeros, nan)
+        return DavidsonState(v, w, mask, jnp.asarray(self.nroots, jnp.int32), nan, zeros, zeros2, nan2)
 
     def run(self, v0):
         state = self.init_state(v0)

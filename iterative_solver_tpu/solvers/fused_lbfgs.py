@@ -161,9 +161,10 @@ class FusedLBFGS:
             x0 = jax.device_put(x0, adapt_sharding(self.sharding, 1))
         f0, g0 = self._vg(x0, self.operand)
         m = self.history
-        zeros = jnp.zeros((m, self.n), dtype=self.dtype)
+        zeros_s = jnp.zeros((m, self.n), dtype=self.dtype)
+        zeros_y = jnp.zeros((m, self.n), dtype=self.dtype)
         state = LBFGSState(
-            x0, f0, g0, zeros, zeros, jnp.zeros((m,), self.dtype),
+            x0, f0, g0, zeros_s, zeros_y, jnp.zeros((m,), self.dtype),
             jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
             jnp.sqrt(jnp.matmul(g0, g0, precision=jax.lax.Precision.HIGHEST)),
         )
