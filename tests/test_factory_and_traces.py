@@ -12,7 +12,7 @@ import pytest
 
 import iterative_solver_tpu as its
 
-GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "data", "bh_trace.json")
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "data")
 
 
 class TestSolverFactory:
@@ -89,16 +89,19 @@ def collect_trace(matrix, nroot=2, max_iter=12):
     return trace
 
 
-def test_golden_bh_trace(hamiltonians):
-    """Per-iteration eigenvalue sequence frozen at round-1 behaviour: any
+@pytest.mark.parametrize("name", ["he", "bh", "hf"])
+def test_golden_traces(hamiltonians, name):
+    """Per-iteration eigenvalue sequences frozen at round-1 behaviour: any
     drift in propose_rspace ordering/conditioning shows up here at 1e-10."""
-    trace = collect_trace(hamiltonians["bh"])
-    if not os.path.exists(GOLDEN_PATH):
-        os.makedirs(os.path.dirname(GOLDEN_PATH), exist_ok=True)
-        with open(GOLDEN_PATH, "w") as f:
+    nroot = min(2, hamiltonians[name].shape[0])
+    trace = collect_trace(hamiltonians[name], nroot=nroot)
+    path = os.path.join(GOLDEN_DIR, f"{name}_trace.json")
+    if not os.path.exists(path):
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        with open(path, "w") as f:
             json.dump(trace, f, indent=1)
         pytest.skip("golden trace recorded")
-    with open(GOLDEN_PATH) as f:
+    with open(path) as f:
         golden = json.load(f)
     assert len(trace) == len(golden), f"iteration count changed: {len(trace)} vs {len(golden)}"
     for it, (got, want) in enumerate(zip(trace, golden)):
