@@ -8,6 +8,8 @@ jax.config.update("jax_enable_x64", True)
 import numpy as np
 import jax.numpy as jnp
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import iterative_solver_tpu as its
 from iterative_solver_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 

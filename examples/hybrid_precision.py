@@ -10,6 +10,8 @@ jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 from iterative_solver_tpu.models.synthetic_fci import synthetic_fci_dense
 from iterative_solver_tpu.ops.precise import SplitOperator, precise_matvec_fn, refine_on_host
 from iterative_solver_tpu.solvers.fused_davidson import FusedDavidson

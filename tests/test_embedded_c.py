@@ -19,6 +19,7 @@ def test_c_program_through_embedded_library(tmp_path):
 
     build_dir = str(tmp_path / "build_c")
     env = dict(os.environ, JAX_PLATFORMS="cpu", JAX_ENABLE_X64="1")
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     # build the embedded library (writes include/ next to build dir's parent)
     out = subprocess.run(
         [sys.executable, "-m", "iterative_solver_tpu.bindings.build_embedded", build_dir],
