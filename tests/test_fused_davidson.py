@@ -137,3 +137,83 @@ def test_minimal_basis_restart_every_step():
     # with no subspace beyond the block this is plain preconditioned power
     # iteration — just require monotone progress and sane values
     assert np.all(np.isfinite(evals))
+
+
+def test_chunked_solve_matches_dense():
+    """make_davidson_solve_chunked: convergence checked only at sweep
+    boundaries; the answers must match the dense reference and the
+    iteration count be a multiple of the sweep length."""
+    from iterative_solver_tpu.solvers.fused_davidson import make_davidson_solve_chunked
+
+    n = 96
+    nroots = 3
+    matrix = make_matrix(n, seed=5)
+    mdev = jnp.asarray(matrix)
+
+    def matvec(x, mat):
+        return jnp.matmul(x, mat.T, precision=jax.lax.Precision.HIGHEST)
+
+    m_max = 18
+    solver = FusedDavidson(matvec, np.diag(matrix), n, nroots, m_max=m_max, operand=mdev)
+    state = solver.init_state(initial_guess(matrix, nroots))
+    solve = make_davidson_solve_chunked(matvec, nroots, m_max)
+    final, iters = solve(state, mdev, solver.diag, 1e-9, 200)
+    fill = (m_max - nroots) // nroots
+    assert int(iters) % fill == 0
+    ref = np.linalg.eigvalsh(matrix)[:nroots]
+    np.testing.assert_allclose(np.asarray(final.evals), ref, atol=1e-9)
+    assert np.all(np.asarray(final.errors) <= 1e-9)
+
+
+def test_chunked_run_on_device_driver():
+    n = 64
+    matrix = make_matrix(n, seed=6)
+    mdev = jnp.asarray(matrix)
+
+    def matvec(x, mat):
+        return jnp.matmul(x, mat.T, precision=jax.lax.Precision.HIGHEST)
+
+    solver = FusedDavidson(matvec, np.diag(matrix), n, 2, m_max=12, operand=mdev)
+    evals, x, errors, iters = solver.run_on_device(initial_guess(matrix, 2), chunked=True)
+    ref = np.linalg.eigvalsh(matrix)[:2]
+    np.testing.assert_allclose(evals, ref, atol=1e-9)
+    assert np.all(errors <= solver.tol)
+
+
+def test_init_state_reports_guess_rayleigh_data():
+    """init_state seeds evals/x/r/errors with the guess block's true
+    Rayleigh quotients and residuals (single fused dispatch)."""
+    n = 48
+    matrix = make_matrix(n, seed=7)
+    mdev = jnp.asarray(matrix)
+
+    def matvec(x, mat):
+        return jnp.matmul(x, mat.T, precision=jax.lax.Precision.HIGHEST)
+
+    solver = FusedDavidson(matvec, np.diag(matrix), n, 2, m_max=8, operand=mdev)
+    v0 = initial_guess(matrix, 2)
+    st = solver.init_state(v0)
+    for i in range(2):
+        xi = np.array(st.x[i])
+        xi /= np.linalg.norm(xi)
+        rho = xi @ matrix @ xi
+        np.testing.assert_allclose(float(st.evals[i]), rho, atol=1e-10)
+        np.testing.assert_allclose(
+            float(st.errors[i]), np.linalg.norm(matrix @ xi - rho * xi), atol=1e-9
+        )
+
+
+def test_init_state_already_converged_guess():
+    """run_on_device returns zero iterations when the guess already meets
+    the tolerance (the honest-init errors drive the while_loop cond)."""
+    matrix = make_matrix(40, seed=8)
+    w, vecs = np.linalg.eigh(matrix)
+    mdev = jnp.asarray(matrix)
+
+    def matvec(x, mat):
+        return jnp.matmul(x, mat.T, precision=jax.lax.Precision.HIGHEST)
+
+    solver = FusedDavidson(matvec, np.diag(matrix), 40, 2, m_max=8, operand=mdev)
+    evals, x, errors, iters = solver.run_on_device(vecs[:, :2].T)
+    assert iters == 0
+    np.testing.assert_allclose(evals, w[:2], atol=1e-10)
