@@ -7,6 +7,11 @@ from .optimize import OptimizeBFGS, OptimizeSD
 from .fused_davidson import FusedDavidson
 from .fused_linear import FusedLinearEquations
 from .fused_lbfgs import FusedLBFGS
+from .chebyshev import (
+    estimate_spectral_bounds,
+    make_chebyshev_davidson,
+    make_chebyshev_expand,
+)
 
 __all__ = [
     "IterativeSolverTemplate",
@@ -22,4 +27,7 @@ __all__ = [
     "FusedDavidson",
     "FusedLinearEquations",
     "FusedLBFGS",
+    "estimate_spectral_bounds",
+    "make_chebyshev_davidson",
+    "make_chebyshev_expand",
 ]

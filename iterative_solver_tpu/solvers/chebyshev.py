@@ -1,0 +1,195 @@
+"""Chebyshev polynomial filtering for the fused Davidson expansion step.
+
+The reference expands its Krylov space with the Jacobi-preconditioned
+residual (IterativeSolver.h:34-44). On a TPU the matvec is a dense/BSR
+matmul running at the HBM roof, while everything *between* matvecs (eigh,
+Gram-Schmidt) is latency-bound — so trading "more matvecs per subspace
+vector" for "fewer subspace iterations" is a net win whenever the spectrum
+is not strongly diagonally dominant. Chebyshev-filtered subspace expansion
+(Zhou & Saad Chebyshev-Davidson; ChASE) does exactly that: the new
+direction is
+
+    t = p_d(A) x,   p_d = scaled Chebyshev polynomial of degree ``d``
+
+damping every spectral component in the unwanted interval [a, b] while
+amplifying the wanted low end below ``a``. Each filter application is
+``d`` extra matvecs fused into the SAME jitted step — zero extra host
+round-trips, and the matvecs batch over the whole ``(nroots, N)`` block so
+the MXU stays saturated.
+
+This module has no reference twin (the reference has no polynomial
+filtering); it exists because the fused TPU step makes extra matvecs nearly
+free relative to per-iteration latency. It plugs into
+``FusedDavidson(expand=...)`` via the generic expansion hook.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def estimate_spectral_bounds(
+    matvec: Callable[..., Array],
+    n: int,
+    operand=None,
+    iters: int = 12,
+    dtype=None,
+    seed: int = 0,
+    safety: float = 1.05,
+) -> Tuple[float, float]:
+    """Estimate (lambda_min, lambda_max) of the operator with a short Lanczos
+    run, padded by the final Lanczos residual norm so the returned interval
+    CONTAINS the spectrum (an upper bound that clips the true spectrum makes
+    the Chebyshev filter amplify, not damp, the clipped components).
+
+    Runs as one jitted fori_loop — a single dispatch on the TPU. The matvec
+    is called on an ``(1, n)`` row block, matching the solver's convention.
+    """
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+
+    k = int(iters)
+
+    def lanczos(v0, op):
+        v0 = v0 / jnp.sqrt(jnp.einsum("in,in->i", v0, v0, precision=_PREC))[:, None]
+
+        def body(i, carry):
+            v_prev, v, beta, alphas, betas = carry
+            w = matvec(v, op) - beta * v_prev
+            alpha = jnp.einsum("in,in->i", w, v, precision=_PREC)[0]
+            w = w - alpha * v
+            beta_new = jnp.sqrt(jnp.abs(jnp.einsum("in,in->i", w, w, precision=_PREC)))[0]
+            v_next = w / jnp.where(beta_new > 0, beta_new, 1.0)
+            return (v, v_next, beta_new,
+                    alphas.at[i].set(alpha), betas.at[i].set(beta_new))
+
+        init = (jnp.zeros_like(v0), v0, jnp.zeros((), dtype),
+                jnp.zeros((k,), dtype), jnp.zeros((k,), dtype))
+        _, _, _, alphas, betas = jax.lax.fori_loop(0, k, body, init)
+        # tridiagonal Ritz values + final residual pad
+        tmat = (jnp.diag(alphas)
+                + jnp.diag(betas[:-1], 1)
+                + jnp.diag(betas[:-1], -1))
+        ritz = jnp.linalg.eigvalsh(tmat)
+        pad = jnp.abs(betas[-1])
+        return ritz[0] - pad, ritz[-1] + pad
+
+    rng = np.random.default_rng(seed)
+    v0 = jnp.asarray(rng.standard_normal((1, n)), dtype=dtype)
+    lo, hi = jax.jit(lanczos)(v0, operand)
+    lo, hi = float(lo), float(hi)
+    center = 0.5 * (lo + hi)
+    half = 0.5 * (hi - lo) * float(safety)
+    return center - half, center + half
+
+
+def make_chebyshev_expand(
+    matvec: Callable[..., Array],
+    degree: int,
+    lambda_max: float,
+    lambda_min: Optional[float] = None,
+):
+    """Build an ``expand`` hook for :class:`FusedDavidson`: degree-``d``
+    scaled Chebyshev filter applied to the RITZ block (Zhou-Saad
+    Chebyshev-Davidson). Filtering the Ritz vectors — not the residuals —
+    is what converges: the residual's correction components live inside the
+    damping window by construction, while ``p_d(A) x`` enriches the wanted
+    eigendirections relative to the contamination every application
+    (measured on a 96x96 block-3 problem: 35 iterations to 1e-8 filtering
+    ``x`` vs stalled at 300 filtering ``r``).
+
+    The damping interval is ``[a, lambda_max]`` where ``a`` is chosen each
+    iteration from the CURRENT subspace: the largest active Ritz value (the
+    top edge of what the basis already resolves — the CheFSI convention).
+    ``lambda_max`` must be an upper bound of the full spectrum
+    (:func:`estimate_spectral_bounds`). ``lambda_min``, when given, floors
+    the scaling point so the amplification factor stays bounded.
+
+    Uses the sigma-scaled three-term recurrence (ChASE / Zhou-Saad), which
+    keeps intermediate norms O(1) in float32:
+
+        e = (b - a)/2, c = (b + a)/2, sigma_1 = e / (c - lambda_0)
+        y_1 = (sigma_1/e) (A - c) y_0
+        sigma_{k+1} = 1 / (2/sigma_1 - sigma_k)
+        y_{k+1} = 2 (sigma_{k+1}/e) (A - c) y_k - sigma_k sigma_{k+1} y_{k-1}
+
+    Cost: ``degree`` matvecs per iteration on the ``(nroots, N)`` block,
+    all inside the fused jitted step. Pass
+    ``matvecs_per_direction=degree`` to keep FusedDavidson's statistics
+    honest.
+    """
+    if degree < 1:
+        raise ValueError("Chebyshev degree must be >= 1")
+    b = float(lambda_max)
+
+    def expand(x, r, evals, evals_all, mask, diag, operand):
+        del r, diag
+        dt = x.dtype
+        # lower filter edge: top of what the subspace currently resolves.
+        # Masked max over ACTIVE slots only — inactive diagonals were padded
+        # above the active spectrum by _masked_eigh and must not leak in.
+        neg_inf = jnp.asarray(-jnp.inf, evals_all.dtype)
+        a = jnp.max(jnp.where(mask > 0, evals_all, neg_inf))
+        # keep a strictly inside (lambda_0, b) so e > 0 and sigma_1 is finite
+        lam0 = evals[0]
+        a = jnp.clip(a, lam0 + 1e-6 * (abs(b) + 1.0), b - 1e-6 * (abs(b) + 1.0))
+        e = jnp.asarray(0.5, dt) * (b - a)
+        c = jnp.asarray(0.5, dt) * (b + a)
+        if lambda_min is not None:
+            lam0 = jnp.maximum(lam0, jnp.asarray(float(lambda_min), dt))
+        sigma1 = e / (c - lam0)
+
+        y_prev = x
+        y = (sigma1 / e)[..., None] * (matvec(x, operand) - c * x)
+        sigma = sigma1
+        for _ in range(degree - 1):
+            sigma_next = 1.0 / (2.0 / sigma1 - sigma)
+            ay = matvec(y, operand) - c * y
+            y_next = (2.0 * sigma_next / e)[..., None] * ay - (sigma * sigma_next)[..., None] * y_prev
+            y_prev, y, sigma = y, y_next, sigma_next
+        return y
+
+    return expand
+
+
+def make_chebyshev_davidson(
+    matvec: Callable[..., Array],
+    diagonals,
+    n: int,
+    nroots: int = 1,
+    degree: int = 4,
+    lambda_max: Optional[float] = None,
+    lambda_min: Optional[float] = None,
+    operand=None,
+    **kwargs,
+):
+    """Convenience factory: a :class:`FusedDavidson` whose expansion step is
+    the degree-``degree`` Chebyshev filter. Spectral bounds are Lanczos-
+    estimated when not supplied."""
+    from .fused_davidson import FusedDavidson
+
+    if lambda_max is None:
+        lo, hi = estimate_spectral_bounds(matvec, n, operand=operand,
+                                          dtype=kwargs.get("dtype"))
+        lambda_max = hi
+        if lambda_min is None:
+            lambda_min = lo
+    expand = make_chebyshev_expand(matvec, degree, lambda_max, lambda_min)
+    return FusedDavidson(
+        matvec,
+        diagonals,
+        n,
+        nroots=nroots,
+        operand=operand,
+        expand=expand,
+        matvecs_per_direction=degree,
+        **kwargs,
+    )

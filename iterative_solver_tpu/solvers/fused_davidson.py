@@ -76,8 +76,13 @@ def _step_body(
     nroots: int,
     m_max: int,
     null_thresh: float = 1e-10,
+    expand: Optional[Callable] = None,
 ):
-    """Raw (unjitted) single-iteration body shared by step and sweep."""
+    """Raw (unjitted) single-iteration body shared by step and sweep.
+
+    ``expand(x, r, evals, evals_all, mask, diag, operand) -> t`` produces the
+    new direction block; the default is the Jacobi/Davidson preconditioner
+    applied to the residuals (IterativeSolver.h:34-44 semantics)."""
 
     def step(state: DavidsonState, operand, diag: Array) -> DavidsonState:
         v, w, mask, k = state.v, state.w, state.mask, state.k
@@ -95,8 +100,11 @@ def _step_body(
         r = ax - evals[:, None] * x
         errors = jnp.sqrt(jnp.abs(jnp.einsum("in,in->i", r, r, precision=_PREC)))
 
-        # Jacobi/Davidson preconditioner (IterativeSolver.h:34-44 semantics)
-        t = r / (diag[None, :] - evals[:, None] + 1e-15)
+        if expand is None:
+            # Jacobi/Davidson preconditioner (IterativeSolver.h:34-44 semantics)
+            t = r / (diag[None, :] - evals[:, None] + 1e-15)
+        else:
+            t = expand(x, r, evals, evals_all, mask, diag, operand)
 
         # orthogonalise against the basis: two classical GS passes, each one
         # matmul pair (the fused analogue of propose_rspace's MGS sweep)
@@ -126,20 +134,22 @@ def _step_body(
     return step
 
 
-def make_davidson_step(matvec, nroots: int, m_max: int, null_thresh: float = 1e-10):
+def make_davidson_step(matvec, nroots: int, m_max: int, null_thresh: float = 1e-10,
+                       expand: Optional[Callable] = None):
     """Jitted single iteration: state, operand, diag -> state. The operator
     data and diagonals are traced ARGUMENTS, not closed-over constants, so
     multi-GB operators never get baked into the HLO (essential for
     remote-compile paths and donation)."""
-    return jax.jit(_step_body(matvec, nroots, m_max, null_thresh), donate_argnums=(0,))
+    return jax.jit(_step_body(matvec, nroots, m_max, null_thresh, expand), donate_argnums=(0,))
 
 
-def make_davidson_sweep(matvec, nroots: int, m_max: int, steps: int, null_thresh: float = 1e-10):
+def make_davidson_sweep(matvec, nroots: int, m_max: int, steps: int, null_thresh: float = 1e-10,
+                        expand: Optional[Callable] = None):
     """Jitted multi-iteration sweep: ``steps`` Davidson iterations in ONE
     dispatch (lax.fori_loop), amortising host/tunnel launch latency — the
     analogue of the reference's batched BufferManager passes, but for control
     overhead instead of IO."""
-    body = _step_body(matvec, nroots, m_max, null_thresh)
+    body = _step_body(matvec, nroots, m_max, null_thresh, expand)
 
     def sweep(state: DavidsonState, operand, diag: Array) -> DavidsonState:
         return jax.lax.fori_loop(0, steps, lambda i, s: body(s, operand, diag), state)
@@ -211,6 +221,7 @@ def make_davidson_solve(
     tol: Optional[float] = None,
     max_iter: Optional[int] = None,
     null_thresh: float = 1e-10,
+    expand: Optional[Callable] = None,
 ):
     """The whole solve in ONE dispatch: a lax.while_loop that steps until
     convergence or ``max_iter``, restarting on-device whenever the basis
@@ -221,7 +232,7 @@ def make_davidson_solve(
     ``tol`` and ``max_iter`` are runtime arguments of the returned function
     (traced scalars), so one compilation serves every convergence setting;
     passing them here instead binds them for backward compatibility."""
-    step = _step_body(matvec, nroots, m_max, null_thresh)
+    step = _step_body(matvec, nroots, m_max, null_thresh, expand)
     restart = _restart_body(matvec, nroots, m_max)
 
     def solve(state: DavidsonState, operand, diag: Array, tol_, max_iter_):
@@ -257,6 +268,7 @@ def make_davidson_solve_chunked(
     nroots: int,
     m_max: int,
     null_thresh: float = 1e-10,
+    expand: Optional[Callable] = None,
 ):
     """Whole solve in one dispatch with the convergence check hoisted to
     restart boundaries: the outer lax.while_loop runs one basis-fill sweep
@@ -269,7 +281,7 @@ def make_davidson_solve_chunked(
     which matters once the cond's scalar reduction requires a cross-chip
     sync on a sharded mesh. Iteration counts are quantised up to the sweep
     length."""
-    step = _step_body(matvec, nroots, m_max, null_thresh)
+    step = _step_body(matvec, nroots, m_max, null_thresh, expand)
     restart = _restart_body(matvec, nroots, m_max)
     fill_steps = max(1, (m_max - nroots) // nroots)
 
@@ -310,6 +322,8 @@ class FusedDavidson:
         convergence_threshold: float = 1e-8,
         max_iter: int = 200,
         operand=None,
+        expand: Optional[Callable] = None,
+        matvecs_per_direction: int = 1,
     ):
         if dtype is None:
             dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
@@ -331,7 +345,11 @@ class FusedDavidson:
             diag_spec = PartitionSpec(spec[-1]) if len(spec) else PartitionSpec()
             self.diag = jax.device_put(self.diag, NamedSharding(sharding.mesh, diag_spec))
         self.operand = operand
-        self.step = make_davidson_step(matvec, nroots, self.m_max)
+        self.expand = expand
+        # matvec count per appended direction (Chebyshev expansion applies
+        # the operator ``degree`` extra times per block)
+        self.matvecs_per_direction = matvecs_per_direction
+        self.step = make_davidson_step(matvec, nroots, self.m_max, expand=expand)
         self.restart = make_restart(matvec, nroots, self.m_max)
         self.iterations = 0
         self.matvecs = 0
@@ -361,7 +379,7 @@ class FusedDavidson:
                 state = self.restart(state, self.operand)
             state = self.step(state, self.operand, self.diag)
             self.iterations += 1
-            self.matvecs += self.nroots
+            self.matvecs += self.nroots * self.matvecs_per_direction
             errors = np.asarray(state.errors)
             if np.all(errors <= self.tol):
                 break
@@ -383,12 +401,15 @@ class FusedDavidson:
             # cache the jitted whole-solve: rebuilding per call would force a
             # full XLA recompilation every run
             if chunked:
-                chunk_fn = make_davidson_solve_chunked(self.matvec, self.nroots, self.m_max)
+                chunk_fn = make_davidson_solve_chunked(
+                    self.matvec, self.nroots, self.m_max, expand=self.expand
+                )
                 tol_, max_iter_ = self.tol, self.max_iter
                 self._solve_cache = lambda st, op, dg: chunk_fn(st, op, dg, tol_, max_iter_)
             else:
                 self._solve_cache = make_davidson_solve(
-                    self.matvec, self.nroots, self.m_max, self.tol, self.max_iter
+                    self.matvec, self.nroots, self.m_max, self.tol, self.max_iter,
+                    expand=self.expand,
                 )
             self._solve_cache_key = key
         solve = self._solve_cache
@@ -396,7 +417,7 @@ class FusedDavidson:
         final, iters = solve(state, self.operand, self.diag)
         jax.block_until_ready(final.errors)
         self.iterations += int(iters)
-        self.matvecs += int(iters) * self.nroots
+        self.matvecs += int(iters) * self.nroots * self.matvecs_per_direction
         return (
             np.asarray(final.evals),
             final.x,
@@ -410,14 +431,16 @@ class FusedDavidson:
         ``run`` with far fewer host round-trips — the production TPU path."""
         steps = max(1, (self.m_max - self.nroots) // self.nroots)
         if getattr(self, "_sweep_cache", None) is None:
-            self._sweep_cache = make_davidson_sweep(self.matvec, self.nroots, self.m_max, steps)
+            self._sweep_cache = make_davidson_sweep(
+                self.matvec, self.nroots, self.m_max, steps, expand=self.expand
+            )
         sweep = self._sweep_cache
         state = self.init_state(v0)
         max_sweeps = max(1, self.max_iter // steps + 1)
         for _ in range(max_sweeps):
             state = sweep(state, self.operand, self.diag)
             self.iterations += steps
-            self.matvecs += steps * self.nroots
+            self.matvecs += steps * self.nroots * self.matvecs_per_direction
             errors = np.asarray(state.errors)
             if np.all(errors <= self.tol) or self.iterations >= self.max_iter:
                 break
