@@ -50,9 +50,11 @@ def eigensolver_descending(matrix: np.ndarray) -> List[SVDSystem]:
 
     Mirrors the reference's dsyev wrapper which flips LAPACK's ascending order
     (helper-implementation.h:190-196) so the list starts at the largest
-    eigenvalue.
+    eigenvalue. Complex-hermitian input uses the same path (eigh); eigenvalues
+    are real either way.
     """
-    matrix = np.asarray(matrix, dtype=np.float64)
+    matrix = np.asarray(matrix)
+    matrix = matrix.astype(np.complex128 if np.iscomplexobj(matrix) else np.float64)
     dim = matrix.shape[0]
     if dim == 0:
         return []
@@ -72,8 +74,14 @@ def svd_system(
     order). Otherwise: SVD, keep singular values < threshold (ascending
     order). Mirrors helper-implementation.h:263-296 including the ordering of
     each branch, which downstream deletion heuristics depend on.
+
+    Complex inputs are supported (the reference's std::complex<double>
+    instantiation is an assert(false) stub, helper-implementation.h:298-303;
+    here the same code path handles both, with conjugate-transpose
+    semantics).
     """
-    m = np.asarray(m, dtype=np.float64)
+    m = np.asarray(m)
+    m = m.astype(np.complex128 if np.iscomplexobj(m) else np.float64)
     if m.size == 0:
         return []
     nrows, ncols = m.shape
@@ -137,7 +145,16 @@ def eigenproblem(
     rank-deficient subspace yields fewer solutions than its dimension.
 
     Port of helper-implementation.h:318-543 (semantics, not code).
+
+    Complex-valued H/S are handled natively (hermitian: complex eigh with
+    conjugate-transpose whitening; else complex eig) — the reference's
+    std::complex<double> instantiation is an assert(false) stub
+    (helper-implementation.h:311-316, IterativeSolver-complex-double.cpp),
+    so this is a capability extension, returning complex eigenvectors with
+    real eigenvalues (hermitian) or complex eigenvalues (non-hermitian).
     """
+    if np.iscomplexobj(h) or np.iscomplexobj(s):
+        return _eigenproblem_complex(h, s, hermitian, svd_thresh)
     h = np.asarray(h, dtype=np.float64)
     s = np.asarray(s, dtype=np.float64)
     dim = h.shape[0]
@@ -239,6 +256,64 @@ def eigenproblem(
     return evals.real.copy(), np.ascontiguousarray(evecs.real.T)
 
 
+def _eigenproblem_complex(
+    h: np.ndarray,
+    s: np.ndarray,
+    hermitian: bool,
+    svd_thresh: float,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Complex generalized eigenproblem (capability the reference stubs out).
+
+    Same conditioning semantics as the real path: whiten through the overlap
+    decomposition with near-null directions (< 1e-14) removed, solve the
+    whitened problem, sort ascending by real part, and fix each vector's
+    phase so its largest-magnitude component is real-positive (the complex
+    generalisation of the reference's sign convention,
+    helper-implementation.h:449-455)."""
+    h = np.asarray(h, dtype=np.complex128)
+    s = np.asarray(s, dtype=np.complex128)
+    dim = h.shape[0]
+    if dim == 0:
+        return np.zeros(0), np.zeros((0, 0), dtype=np.complex128)
+
+    if hermitian:
+        sv, u = np.linalg.eigh(s)
+        sv = sv[::-1].real
+        u = np.ascontiguousarray(u[:, ::-1])
+        v = u
+        rank = _rank_from_values(sv, svd_thresh)
+        head = sv[:rank]
+    else:
+        u, sv, vh = np.linalg.svd(s)
+        v = vh.conj().T
+        eps = np.finfo(np.float64).eps
+        rank = int(np.count_nonzero(sv > max(s.shape) * eps * (sv[0] if sv.size else 0.0)))
+        head = sv[:rank]
+
+    svmh = np.where(head > 1e-14, 1.0 / np.sqrt(np.where(head > 1e-14, head, 1.0)), 0.0)
+    hbar = (svmh[:, None] * u[:, :rank].conj().T) @ h @ (v[:, :rank] * svmh[None, :])
+
+    if hermitian:
+        evals, evecs = np.linalg.eigh(0.5 * (hbar + hbar.conj().T))
+        evals = evals.astype(np.complex128)
+    else:
+        evals, evecs = np.linalg.eig(hbar)
+    evecs = (v[:, :rank] * svmh[None, :]) @ evecs
+
+    order = np.argsort(evals.real, kind="stable")
+    evals = evals[order]
+    evecs = evecs[:, order]
+    for k in range(evecs.shape[1]):
+        col = evecs[:, k]
+        lmax = int(np.argmax(np.abs(col)))
+        phase = col[lmax]
+        if abs(phase) > 0:
+            evecs[:, k] = col * (abs(phase) / phase)
+    if hermitian:
+        evals = evals.real.copy()
+    return evals, np.ascontiguousarray(evecs.T)
+
+
 def solve_linear_equations(
     h: np.ndarray,
     s: np.ndarray,
@@ -254,9 +329,20 @@ def solve_linear_equations(
 
     ``rhs`` has shape (nX, nroot). Returns ``(solutions, eigenvalues)`` with
     ``solutions[root]`` the coefficient row.
+
+    Complex H/rhs take the direct-solve path natively (the reference stubs
+    complex entirely, helper-implementation.h:545-551); the augmented-Hessian
+    branch remains real-only like the reference.
     """
     import scipy.linalg
 
+    if np.iscomplexobj(h) or np.iscomplexobj(rhs):
+        if augmented_hessian > 0:
+            raise NotImplementedError("augmented Hessian is real-only (as in the reference)")
+        h = np.asarray(h, dtype=np.complex128)
+        n_x = h.shape[0]
+        rhs = np.asarray(rhs, dtype=np.complex128).reshape(n_x, -1)
+        return np.linalg.solve(h, rhs).T, np.zeros(rhs.shape[1])
     h = np.asarray(h, dtype=np.float64)
     rhs = np.asarray(rhs, dtype=np.float64)
     n_x = h.shape[0]

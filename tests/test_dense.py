@@ -131,3 +131,86 @@ class TestSvdSystem:
     def test_get_rank(self):
         values = [1.0, 0.5, 1e-15]
         assert dense.get_rank(values, 1e-12) == 2
+
+
+class TestComplexDense:
+    """Complex<double> dense-kernel support. The reference declares the
+    std::complex<double> instantiation (IterativeSolver-complex-double.cpp)
+    but stubs every function with assert(false)
+    (helper-implementation.h:298-316, :545-551); here the capability is
+    real."""
+
+    def _random_hermitian(self, n, seed=0):
+        rng = np.random.default_rng(seed)
+        a = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+        return 0.5 * (a + a.conj().T)
+
+    def test_eigenproblem_complex_hermitian_identity_overlap(self):
+        n = 12
+        h = self._random_hermitian(n, seed=1)
+        evals, evecs = dense.eigenproblem(h, np.eye(n, dtype=complex), hermitian=True, svd_thresh=1e-12)
+        ref = np.linalg.eigvalsh(h)
+        np.testing.assert_allclose(evals.real, ref, atol=1e-12)
+        assert np.abs(evals.imag).max() < 1e-14 if np.iscomplexobj(evals) else True
+        for k in range(n):
+            r = h @ evecs[k] - evals[k].real * evecs[k]
+            assert np.linalg.norm(r) < 1e-10
+            # phase convention: largest-|.| component real positive
+            lmax = int(np.argmax(np.abs(evecs[k])))
+            assert abs(evecs[k][lmax].imag) < 1e-12 and evecs[k][lmax].real > 0
+
+    def test_eigenproblem_complex_general_overlap(self):
+        n = 10
+        rng = np.random.default_rng(2)
+        h = self._random_hermitian(n, seed=3)
+        b = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+        s = b @ b.conj().T / n + np.eye(n)  # hermitian positive definite
+        evals, evecs = dense.eigenproblem(h, s, hermitian=True, svd_thresh=1e-12)
+        import scipy.linalg
+
+        ref = scipy.linalg.eigh(h, s, eigvals_only=True)
+        np.testing.assert_allclose(evals.real, ref, atol=1e-9)
+        for k in range(n):
+            r = h @ evecs[k] - evals[k].real * (s @ evecs[k])
+            assert np.linalg.norm(r) < 1e-8
+
+    def test_eigenproblem_complex_rank_deficient(self):
+        """Near-null overlap directions are removed: fewer solutions return."""
+        n = 8
+        h = self._random_hermitian(n, seed=4)
+        q, _ = np.linalg.qr(np.random.default_rng(5).standard_normal((n, n))
+                            + 1j * np.random.default_rng(6).standard_normal((n, n)))
+        svals = np.array([1.0] * 6 + [1e-16, 1e-16])
+        s = (q * svals) @ q.conj().T
+        evals, evecs = dense.eigenproblem(h, s, hermitian=True, svd_thresh=1e-12)
+        assert evecs.shape[0] == 6
+
+    def test_eigenproblem_complex_nonhermitian(self):
+        n = 9
+        rng = np.random.default_rng(7)
+        h = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+        evals, evecs = dense.eigenproblem(h, np.eye(n, dtype=complex), hermitian=False, svd_thresh=1e-12)
+        # sorted ascending by real part, each pair solves H v = e v
+        assert np.all(np.diff(evals.real) >= -1e-12)
+        for k in range(n):
+            r = h @ evecs[k] - evals[k] * evecs[k]
+            assert np.linalg.norm(r) < 1e-9
+
+    def test_solve_linear_equations_complex(self):
+        n = 11
+        rng = np.random.default_rng(8)
+        h = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n)) + 5 * np.eye(n)
+        rhs = rng.standard_normal((n, 2)) + 1j * rng.standard_normal((n, 2))
+        sol, _ = dense.solve_linear_equations(h, np.eye(n), rhs)
+        np.testing.assert_allclose(h @ sol.T, rhs, atol=1e-10)
+
+    def test_svd_system_complex(self):
+        n = 7
+        rng = np.random.default_rng(9)
+        q, _ = np.linalg.qr(rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n)))
+        svals = np.array([3.0, 2.0, 1.5, 1.0, 0.5, 1e-13, 1e-14])
+        m = (q * svals) @ q.conj().T
+        systems = dense.svd_system(m, threshold=1e-10, hermitian=False)
+        assert len(systems) == 2
+        for sysv in systems:
+            assert np.linalg.norm(m @ sysv.v.conj()) < 1e-9 or np.linalg.norm(m @ sysv.v) < 1e-9
