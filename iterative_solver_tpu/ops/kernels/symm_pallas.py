@@ -131,6 +131,13 @@ def _symm_matmat_pallas_impl(ii, jj, x, values, *, m, n, b, n_pairs, interpret):
 
     # f32 accumulation on TPU; f64 only in the CPU-f64 test configuration
     acc_dtype = jnp.float64 if x.dtype == jnp.float64 else jnp.float32
+    # bf16 tile storage selects the single-pass MXU tier: bf16 x bf16
+    # products are exact and accumulate in f32, so the only loss is the
+    # bf16 rounding of operator and operand (~2^-8 relative) — the same
+    # tier as a DEFAULT-precision dense matmul, at a quarter the traffic.
+    # f32 tiles keep HIGHEST (6-pass) semantics.
+    bf16_tier = values.dtype == jnp.bfloat16 and x.dtype == jnp.float32
+    dot_prec = None if bf16_tier else _PREC
 
     def kernel(ii_ref, jj_ref, x_ref, values_ref, y_ref, acc):
         t = pl.program_id(0)
@@ -142,21 +149,27 @@ def _symm_matmat_pallas_impl(ii, jj, x, values, *, m, n, b, n_pairs, interpret):
         i = ii_ref[t]
         j = jj_ref[t]
         a = values_ref[0]                       # (b, b) tile A_ij
-        xj = x_ref[:, pl.ds(j * b, b)]
+        if not bf16_tier:
+            # cast in-register: Mosaic rejects mixed-dtype matmuls
+            a = a.astype(x_ref.dtype)
+
+        def xblk(base):
+            blk = x_ref[:, pl.ds(base, b)]
+            return blk.astype(jnp.bfloat16) if bf16_tier else blk
+
         # y_i += x_j A_ij^T
         yi = jax.lax.dot_general(
-            xj, a, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=acc_dtype, precision=_PREC,
+            xblk(j * b), a, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=acc_dtype, precision=dot_prec,
         )
         acc[:, pl.ds(i * b, b)] += yi
 
         @pl.when(i != j)
         def _():
-            xi = x_ref[:, pl.ds(i * b, b)]
             # y_j += x_i A_ij
             yj = jax.lax.dot_general(
-                xi, a, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=acc_dtype, precision=_PREC,
+                xblk(i * b), a, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=acc_dtype, precision=dot_prec,
             )
             acc[:, pl.ds(j * b, b)] += yj
 
@@ -186,3 +199,156 @@ def _symm_matmat_pallas_impl(ii, jj, x, values, *, m, n, b, n_pairs, interpret):
             transcendentals=0,
         ),
     )(ii, jj, x, values)
+
+
+# ---------------------------------------------------------------------------
+# Split-bf16 packed storage: same HBM bytes as f32, one-pass MXU dots.
+#
+# The f32 HIGHEST packed kernel above is MXU-bound, not DMA-bound, for
+# narrow row blocks: an f32 HIGHEST matmul decomposes into 6 bf16 passes and
+# an m=16 operand uses 16/128 of the systolic rows, so the arithmetic
+# (~260 us for 8192^2) overtakes the halved tile traffic (~174 us). Storing
+# the tile as a bf16 (hi, lo) pair keeps the same bytes/element while each
+# contribution needs only 3 single-pass bf16 dots (x_hi A_hi, x_hi A_lo,
+# x_lo A_hi) — half the MXU work — pushing the kernel back to the DMA roof.
+# The dropped x_lo A_lo term bounds the operator error at ~2^-16 relative
+# (vs 2^-8 for plain bf16 and 2^-24 for f32); the hybrid host-refinement
+# pipeline (ops/precise.py) still reaches 1e-8 eigenvalues from it.
+
+
+@dataclasses.dataclass
+class SymmetricBlockedSplit:
+    """Packed lower triangle in double-bfloat16 tiles: hi + lo sums to the
+    f32-grade matrix while every MXU pass is a native one-pass bf16 dot."""
+
+    hi: Array            # (n_pairs, b, b) bfloat16
+    lo: Array            # (n_pairs, b, b) bfloat16 residual (A - hi)
+    ii: Array            # (n_pairs,) int32 block row
+    jj: Array            # (n_pairs,) int32 block col (jj <= ii)
+    shape: Tuple[int, int]
+    b: int
+    diagonal: Optional[Array] = None
+
+    @property
+    def n_pairs(self) -> int:
+        return self.hi.shape[0]
+
+    @classmethod
+    def from_dense(cls, matrix: np.ndarray, b: int = 512) -> "SymmetricBlockedSplit":
+        full = SymmetricBlocked.from_dense(matrix, b=b, dtype=jnp.float32)
+        vals64 = np.asarray(full.values, dtype=np.float64)
+        # numpy has no bfloat16: round-trip through jax for the split
+        hi_j = jnp.asarray(vals64, dtype=jnp.bfloat16)
+        lo_j = jnp.asarray(vals64 - np.asarray(hi_j, dtype=np.float64), dtype=jnp.bfloat16)
+        return cls(
+            hi=hi_j,
+            lo=lo_j,
+            ii=full.ii,
+            jj=full.jj,
+            shape=full.shape,
+            b=full.b,
+            diagonal=full.diagonal,
+        )
+
+
+@functools.lru_cache(maxsize=64)
+def _pallas_symm_split_fn(m, n, b, n_pairs, interpret):
+    return jax.jit(
+        functools.partial(
+            _symm_matmat_split_impl, m=m, n=n, b=b, n_pairs=n_pairs, interpret=interpret
+        )
+    )
+
+
+def symm_matmat_split_pallas(x: Array, sym: SymmetricBlockedSplit,
+                             interpret: bool = False) -> Array:
+    """Half-traffic symmetric action from split-bf16 tiles, 1-pass dots."""
+    m, n = x.shape
+    assert n == sym.shape[0], "x width must match the operator dimension"
+    fn = _pallas_symm_split_fn(m, n, sym.b, sym.n_pairs, interpret)
+    return fn(sym.ii, sym.jj, x, sym.hi, sym.lo)
+
+
+def _symm_matmat_split_impl(ii, jj, x, hi, lo, *, m, n, b, n_pairs, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    # Split the (resident) row block once, outside the tile loop. The naive
+    # `x - bf16(x)` split is ILLEGAL under XLA's --xla_allow_excess_precision
+    # (set by this TPU runtime): the f32->bf16->f32 round-trip gets folded to
+    # identity and the lo term silently becomes zero. Masking the low mantissa
+    # bits through an integer bitcast is fold-proof: xh keeps the top 7
+    # mantissa bits (exactly bf16-representable), and the f32 subtraction
+    # x - xh is exact.
+    if x.dtype == jnp.float32:
+        bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+        xh_f32 = jax.lax.bitcast_convert_type(
+            bits & jnp.uint32(0xFFFF0000), jnp.float32
+        )
+        xh = xh_f32.astype(jnp.bfloat16)
+        xl = (x - xh_f32).astype(jnp.bfloat16)
+    else:
+        xh = x.astype(jnp.bfloat16)
+        xl = (x - xh.astype(x.dtype)).astype(jnp.bfloat16)
+
+    def kernel(ii_ref, jj_ref, xh_ref, xl_ref, hi_ref, lo_ref, y_ref, acc):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            acc[...] = jnp.zeros_like(acc)
+
+        i = ii_ref[t]
+        j = jj_ref[t]
+        ah = hi_ref[0]
+        al = lo_ref[0]
+
+        def contract(xh_blk, xl_blk, transpose):
+            dn = (((1,), (1 if transpose else 0,)), ((), ()))
+            y = jax.lax.dot_general(xh_blk, ah, dimension_numbers=dn,
+                                    preferred_element_type=jnp.float32)
+            y += jax.lax.dot_general(xh_blk, al, dimension_numbers=dn,
+                                     preferred_element_type=jnp.float32)
+            y += jax.lax.dot_general(xl_blk, ah, dimension_numbers=dn,
+                                     preferred_element_type=jnp.float32)
+            return y
+
+        # y_i += x_j A_ij^T
+        acc[:, pl.ds(i * b, b)] += contract(
+            xh_ref[:, pl.ds(j * b, b)], xl_ref[:, pl.ds(j * b, b)], True
+        )
+
+        @pl.when(i != j)
+        def _():
+            # y_j += x_i A_ij
+            acc[:, pl.ds(j * b, b)] += contract(
+                xh_ref[:, pl.ds(i * b, b)], xl_ref[:, pl.ds(i * b, b)], False
+            )
+
+        @pl.when(t == n_pairs - 1)
+        def _():
+            y_ref[...] = acc[...].astype(y_ref.dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # ii, jj
+        grid=(n_pairs,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),                      # xh, resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),                      # xl, resident
+            pl.BlockSpec((1, b, b), lambda t, *_: (t, 0, 0)),           # hi tile stream
+            pl.BlockSpec((1, b, b), lambda t, *_: (t, 0, 0)),           # lo tile stream
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((m, n), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 4 * m * n_pairs * b * b,
+            bytes_accessed=n_pairs * b * b * 4 + 2 * m * n * 4,
+            transcendentals=0,
+        ),
+    )(ii, jj, xh, xl, hi, lo)

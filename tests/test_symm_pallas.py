@@ -7,6 +7,7 @@ lower triangle, in both the portable XLA path and the Pallas kernel
 (interpret mode on CPU).
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -92,6 +93,136 @@ def test_fused_davidson_with_symm_action():
     for row, i in enumerate(np.argsort(np.diag(mat))[:nroots]):
         v0[row, i] = 1.0
     evals, _, errors, _ = solver.run_on_device(v0)
+    assert np.max(errors) < 1e-9
+    ref = np.linalg.eigvalsh(mat)[:nroots]
+    np.testing.assert_allclose(np.sort(np.asarray(evals)), ref, atol=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# split double-bf16 storage + bf16 fast tier
+
+
+def test_split_storage_reconstructs_f32_grade():
+    """hi + lo must carry ~2^-16 relative storage error (vs 2^-8 for hi
+    alone) — this is the property the fold-proof bitmask split protects."""
+    from iterative_solver_tpu.ops.kernels.symm_pallas import SymmetricBlockedSplit
+
+    mat = _random_symmetric(96, seed=7) * 10.0
+    sym = SymmetricBlockedSplit.from_dense(mat, b=32)
+    hi = np.asarray(sym.hi, dtype=np.float64)
+    lo = np.asarray(sym.lo, dtype=np.float64)
+    assert np.abs(lo).max() > 0.0, "lo tiles must not be folded away"
+    scale = np.abs(mat).max()
+    # reconstruct the packed region and compare tile-wise
+    err_hi, err_hilo = 0.0, 0.0
+    b = sym.b
+    for t in range(hi.shape[0]):
+        i, j = int(sym.ii[t]), int(sym.jj[t])
+        ref = mat[i * b:(i + 1) * b, j * b:(j + 1) * b]
+        err_hi = max(err_hi, np.abs(ref - hi[t]).max())
+        err_hilo = max(err_hilo, np.abs(ref - hi[t] - lo[t]).max())
+    assert err_hilo < 1e-4 * scale
+    assert err_hilo < err_hi / 50
+
+
+@pytest.mark.parametrize("n,b", [(96, 32), (128, 64)])
+def test_split_pallas_interpret_matches_dense(n, b):
+    from iterative_solver_tpu.ops.kernels.symm_pallas import (
+        SymmetricBlockedSplit,
+        symm_matmat_split_pallas,
+    )
+
+    mat = _random_symmetric(n, seed=8)
+    sym = SymmetricBlockedSplit.from_dense(mat, b=b)
+    x = np.random.default_rng(9).standard_normal((4, n)).astype(np.float32)
+    y = np.asarray(
+        symm_matmat_split_pallas(jnp.asarray(x), sym, interpret=True),
+        dtype=np.float64,
+    )[:, :n]
+    ref = x.astype(np.float64) @ mat
+    # 3-term double-bf16: ~2^-16 relative accuracy
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-4
+
+
+def test_bf16_tier_interpret_matches_dense_loosely():
+    """bf16 tiles select the single-pass tier: ~2^-8 operator accuracy."""
+    n, b = 96, 32
+    mat = _random_symmetric(n, seed=10)
+    sym = SymmetricBlocked.from_dense(mat, b=b, dtype=jnp.bfloat16)
+    x = np.random.default_rng(11).standard_normal((3, n)).astype(np.float32)
+    y = np.asarray(
+        symm_matmat_pallas(jnp.asarray(x), sym, interpret=True), dtype=np.float64
+    )[:, :n]
+    ref = x.astype(np.float64) @ mat
+    rel = np.abs(y - ref).max() / np.abs(ref).max()
+    assert rel < 3e-2
+    assert rel > 0  # it did compute something
+
+
+def test_fused_davidson_split_action_converges():
+    """Full solve through the split-bf16 packed action (interpret on CPU)."""
+    from iterative_solver_tpu.ops.kernels.symm_pallas import (
+        SymmetricBlockedSplit,
+        symm_matmat_split_pallas,
+    )
+    from iterative_solver_tpu.solvers.fused_davidson import FusedDavidson
+    import dataclasses
+
+    n, b, nroots = 128, 32, 2
+    rng = np.random.default_rng(12)
+    dvals = np.concatenate([np.linspace(-2.0, 0.0, 8), np.linspace(2.0, 30.0, n - 8)])
+    a = rng.standard_normal((n, n)) * (0.05 / np.sqrt(n))
+    mat = a + a.T + np.diag(dvals)
+    sym = SymmetricBlockedSplit.from_dense(mat, b=b)
+    op = (sym.hi, sym.lo, sym.ii, sym.jj)
+
+    def matvec(x, o):
+        s = dataclasses.replace(sym, hi=o[0], lo=o[1], ii=o[2], jj=o[3])
+        return symm_matmat_split_pallas(x.astype(jnp.float32), s, interpret=True).astype(x.dtype)
+
+    solver = FusedDavidson(
+        matvec, np.diag(mat), n, nroots, m_max=16,
+        convergence_threshold=5e-5, max_iter=80, operand=op,
+    )
+    v0 = np.zeros((nroots, n))
+    for row, i in enumerate(np.argsort(np.diag(mat))[:nroots]):
+        v0[row, i] = 1.0
+    evals, x, errors, _ = solver.run(v0)
+    assert np.max(errors) < 5e-5
+    ref = np.linalg.eigvalsh(mat)[:nroots]
+    # double-bf16 operator: eigenvalues good to ~1e-5 relative
+    np.testing.assert_allclose(np.sort(np.asarray(evals)), ref, atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# window Rayleigh-Ritz (rr="window")
+
+
+@pytest.mark.parametrize("rr", ["full", "window"])
+def test_window_rr_converges_to_reference(rr):
+    """rr="window" (2r x 2r locally-optimal RR) reaches the same eigenpairs
+    as the full-basis RR; it may take more iterations (LOBPCG-grade local
+    optimality without the momentum block) but must not change the answer."""
+    from iterative_solver_tpu.solvers.fused_davidson import FusedDavidson
+
+    n, nroots = 192, 3
+    rng = np.random.default_rng(13)
+    dvals = np.concatenate([np.linspace(-2.0, 1.0, 12), np.linspace(3.0, 40.0, n - 12)])
+    a = rng.standard_normal((n, n)) * (0.1 / np.sqrt(n))
+    mat = a + a.T + np.diag(dvals)
+    matj = jnp.asarray(mat)
+
+    def matvec(x, op):
+        return jnp.matmul(x, op.T, precision=jax.lax.Precision.HIGHEST)
+
+    solver = FusedDavidson(
+        matvec, np.diag(mat), n, nroots, m_max=8 * nroots,
+        convergence_threshold=1e-9, max_iter=300, operand=matj, rr=rr,
+    )
+    v0 = np.zeros((nroots, n))
+    for row, i in enumerate(np.argsort(np.diag(mat))[:nroots]):
+        v0[row, i] = 1.0
+    evals, x, errors, iters = solver.run_on_device(v0)
     assert np.max(errors) < 1e-9
     ref = np.linalg.eigvalsh(mat)[:nroots]
     np.testing.assert_allclose(np.sort(np.asarray(evals)), ref, atol=1e-8)
