@@ -45,6 +45,7 @@ class DavidsonState(NamedTuple):
     r: Array        # (nroots, N) current residuals
     errors: Array   # (nroots,) residual norms
     c: Optional[Array] = None   # (m_max, nroots) carried Ritz coefficients
+    cm: Optional[Array] = None  # (m_max, nroots) momentum block (rr="window3")
 
 
 def _masked_eigh(v, w, mask):
@@ -72,7 +73,7 @@ def _masked_eigh(v, w, mask):
     return jnp.linalg.eigh(h)
 
 
-def _window_rr(v, w, mask, k, c_prev, nroots, m_max):
+def _window_rr(v, w, mask, k, c_prev, nroots, m_max, c_mom=None):
     """Locally-optimal window Rayleigh-Ritz: diagonalise H over the 2r-dim
     subspace span[c_prev | newest appended block] instead of the full m-dim
     basis. The newest block's slots are orthonormal to everything older (the
@@ -80,11 +81,13 @@ def _window_rr(v, w, mask, k, c_prev, nroots, m_max):
     has no support there, so W is orthonormal by construction — no extra
     factorisation. The small eigh shrinks from (m_max, m_max) to
     (2r, 2r): 163 us -> 71 us at m=64, r=16 on one v5e, which dominates the
-    non-matvec cost of a fused iteration. Convergence is LOBPCG-grade
-    (locally optimal over the carried Ritz block + fresh preconditioned
-    directions) rather than full-Davidson; the basis stack still provides
-    full-history orthogonalisation so stagnation-by-reintroduction cannot
-    occur."""
+    non-matvec cost of a fused iteration. Without ``c_mom`` convergence is
+    locally-optimal-without-momentum (LOBPCG minus the p block) — correct
+    but slower on hard spectra; passing ``c_mom`` (the coefficient block
+    from the step before, rr="window3") appends an eigh-whitened momentum
+    group, restoring full LOBPCG three-term recursion at a (3r, 3r) eigh.
+    The basis stack still provides full-history orthogonalisation either
+    way, so stagnation-by-reintroduction cannot occur."""
     dtype = v.dtype
     h = jnp.matmul(v, w.T, precision=_PREC)
     h = 0.5 * (h + h.T)
@@ -103,25 +106,46 @@ def _window_rr(v, w, mask, k, c_prev, nroots, m_max):
     n2 = jnp.sum(e * e, axis=0)
     keep = n2 > 0.5  # columns are one-hots: either ~1 or projected to ~0
     e = e * jnp.where(keep, 1.0 / jnp.sqrt(jnp.where(keep, n2, 1.0)), 0.0)[None, :]
-    wmat = jnp.concatenate([c_prev, e], axis=1)  # (m_max, 2r), orthonormal
+    groups = [c_prev, e]
+    keeps = [jnp.ones((nroots,), dtype=bool), keep]
+
+    if c_mom is not None:
+        # momentum group: previous-step Ritz block, projected against the
+        # first two groups then eigh-whitened (columns go collinear as roots
+        # converge — Cholesky jitter would amplify the null directions)
+        p = c_mom
+        p = p - jnp.matmul(c_prev, jnp.matmul(c_prev.T, p, precision=_PREC),
+                           precision=_PREC)
+        p = p - jnp.matmul(e, jnp.matmul(e.T, p, precision=_PREC), precision=_PREC)
+        g = jnp.matmul(p.T, p, precision=_PREC)
+        g = 0.5 * (g + g.T)
+        gw, gu = jnp.linalg.eigh(g)
+        keep_p = gw > 1e-8
+        scale = jnp.where(keep_p, 1.0 / jnp.sqrt(jnp.where(keep_p, gw, 1.0)), 0.0)
+        p = jnp.matmul(p, gu * scale[None, :], precision=_PREC)
+        groups.append(p)
+        keeps.append(keep_p)
+
+    wmat = jnp.concatenate(groups, axis=1)  # (m_max, 2r|3r), orthonormal
+    nw = wmat.shape[1]
 
     hw = jnp.matmul(wmat.T, jnp.matmul(h, wmat, precision=_PREC), precision=_PREC)
     hw = 0.5 * (hw + hw.T)
-    colmask = jnp.concatenate([jnp.ones((nroots,), dtype), keep.astype(dtype)])
+    colmask = jnp.concatenate([kk.astype(dtype) for kk in keeps])
     hw = hw * (colmask[:, None] * colmask[None, :])
     big = 4.0 * jnp.max(jnp.abs(hw)) + 1.0
     hw = hw + (1.0 - colmask)[:, None] * (1.0 - colmask)[None, :] * jnp.eye(
-        2 * nroots, dtype=dtype) * big
+        nw, dtype=dtype) * big
     evals_all, u = jnp.linalg.eigh(hw)
     cw = u[:, :nroots] * colmask[:, None]
     c_new = jnp.matmul(wmat, cw, precision=_PREC)  # (m_max, r) orthonormal cols
     # eigenvalues of dropped (big-padded) columns sort last; blank them and
     # pad to an (m_max,) vector so expand hooks see the same shape/semantics
     # as the full path (max over active entries = top resolved Ritz value)
-    n_active = nroots + jnp.sum(keep.astype(jnp.int32))
-    idx = jax.lax.broadcasted_iota(jnp.int32, (2 * nroots, 1), 0)[:, 0]
+    n_active = jnp.sum(colmask.astype(jnp.int32))
+    idx = jax.lax.broadcasted_iota(jnp.int32, (nw, 1), 0)[:, 0]
     clean = jnp.where(idx < n_active, evals_all, -jnp.inf)
-    padded = jnp.full((m_max,), -jnp.inf, dtype=dtype).at[: 2 * nroots].set(clean)
+    padded = jnp.full((m_max,), -jnp.inf, dtype=dtype).at[:nw].set(clean)
     return evals_all[:nroots], c_new, padded
 
 
@@ -142,13 +166,16 @@ def _step_body(
     ``rr`` selects the Rayleigh-Ritz strategy: "full" diagonalises the whole
     masked (m_max, m_max) subspace matrix every step (reference Davidson
     semantics); "window" carries the Ritz coefficient block and solves a
-    (2r, 2r) locally-optimal window instead (see _window_rr)."""
+    (2r, 2r) locally-optimal window instead; "window3" adds the LOBPCG
+    momentum block — a (3r, 3r) window with near-full-Davidson convergence
+    (requires m_max >= 3*nroots; see _window_rr)."""
 
     def step(state: DavidsonState, operand, diag: Array) -> DavidsonState:
         v, w, mask, k = state.v, state.w, state.mask, state.k
-        if rr == "window":
+        if rr in ("window", "window3"):
             evals, c_new, evals_all = _window_rr(
-                v, w, mask, k, state.c, nroots, m_max
+                v, w, mask, k, state.c, nroots, m_max,
+                c_mom=state.cm if rr == "window3" else None,
             )
             coeff = c_new.T  # (nroots, m_max)
         else:
@@ -196,9 +223,11 @@ def _step_body(
         keep_full = jnp.zeros((m_max,), dtype=bool).at[:nroots].set(keep)
         keep_rolled = jnp.roll(keep_full, k)
         mask_new = jnp.where(new_mask_rows & keep_rolled, 1.0, mask)
-        c_out = c_new if state.c is not None or rr == "window" else None
+        c_out = c_new if state.c is not None or rr != "full" else None
+        # the outgoing Ritz block becomes next step's momentum (window3)
+        cm_out = state.c if state.cm is not None else None
         return DavidsonState(v_new, w_new, mask_new, k + nroots, evals, x, r, errors,
-                             c_out)
+                             c_out, cm_out)
 
     return step
 
@@ -246,8 +275,9 @@ def _restart_body(matvec: Callable[..., Array], nroots: int, m_max: int):
                 jnp.eye(nroots, dtype=state.c.dtype))
         else:
             c0 = None
+        cm0 = None if state.cm is None else jnp.zeros_like(state.cm)
         return DavidsonState(v, w, mask, jnp.asarray(nroots, dtype=state.k.dtype),
-                             state.evals, state.x, state.r, state.errors, c0)
+                             state.evals, state.x, state.r, state.errors, c0, cm0)
 
     return restart
 
@@ -282,8 +312,11 @@ def _init_body(matvec: Callable[..., Array], nroots: int, m_max: int):
         errors = jnp.sqrt(jnp.abs(jnp.einsum("in,in->i", r0, r0, precision=_PREC)))
         c0 = jnp.zeros((m_max, nroots), dtype=v0.dtype).at[:nroots, :nroots].set(
             jnp.eye(nroots, dtype=v0.dtype))
+        # momentum starts at zero: the whitening drops null columns until a
+        # real previous Ritz block exists
+        cm0 = jnp.zeros((m_max, nroots), dtype=v0.dtype)
         return DavidsonState(v, w, mask, jnp.asarray(nroots, jnp.int32),
-                             rho, v0o, r0, errors, c0)
+                             rho, v0o, r0, errors, c0, cm0)
 
     return init
 
@@ -408,6 +441,14 @@ class FusedDavidson:
     ):
         if dtype is None:
             dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+        window_width = {"full": 1, "window": 2, "window3": 3}.get(rr)
+        if window_width is None:
+            raise ValueError(f"unknown rr mode {rr!r}: use 'full', 'window' or 'window3'")
+        eff_m_max = m_max if m_max is not None else max(4 * nroots, min(n, 24))
+        if window_width * nroots > eff_m_max:
+            raise ValueError(
+                f"rr={rr!r} needs m_max >= {window_width}*nroots "
+                f"({window_width * nroots}), got {eff_m_max}")
         self.matvec = matvec
         self.n = n
         self.nroots = nroots

@@ -198,7 +198,7 @@ def test_fused_davidson_split_action_converges():
 # window Rayleigh-Ritz (rr="window")
 
 
-@pytest.mark.parametrize("rr", ["full", "window"])
+@pytest.mark.parametrize("rr", ["full", "window", "window3"])
 def test_window_rr_converges_to_reference(rr):
     """rr="window" (2r x 2r locally-optimal RR) reaches the same eigenpairs
     as the full-basis RR; it may take more iterations (LOBPCG-grade local
@@ -226,3 +226,35 @@ def test_window_rr_converges_to_reference(rr):
     assert np.max(errors) < 1e-9
     ref = np.linalg.eigvalsh(mat)[:nroots]
     np.testing.assert_allclose(np.sort(np.asarray(evals)), ref, atol=1e-8)
+
+
+def test_window3_momentum_beats_window():
+    """The LOBPCG momentum block must cut the plain window's iteration count
+    (it restores the three-term recursion the 2r window lacks)."""
+    from iterative_solver_tpu.solvers.fused_davidson import FusedDavidson
+
+    n, nroots = 256, 4
+    rng = np.random.default_rng(14)
+    a = rng.standard_normal((n, n)) * (0.1 / np.sqrt(n))
+    mat = a + a.T + np.diag(np.linspace(0.0, 10.0, n))  # gapless: hard
+    matj = jnp.asarray(mat)
+
+    def matvec(x, op):
+        return jnp.matmul(x, op.T, precision=jax.lax.Precision.HIGHEST)
+
+    iters = {}
+    for rr in ("window", "window3"):
+        solver = FusedDavidson(
+            matvec, np.diag(mat), n, nroots, m_max=8 * nroots,
+            convergence_threshold=1e-9, max_iter=400, operand=matj, rr=rr,
+        )
+        v0 = np.zeros((nroots, n))
+        for row, i in enumerate(np.argsort(np.diag(mat))[:nroots]):
+            v0[row, i] = 1.0
+        evals, x, errors, it = solver.run_on_device(v0)
+        assert np.max(errors) < 1e-9
+        np.testing.assert_allclose(
+            np.sort(np.asarray(evals)), np.linalg.eigvalsh(mat)[:nroots], atol=1e-8
+        )
+        iters[rr] = it
+    assert iters["window3"] < iters["window"]
