@@ -7,6 +7,8 @@ from .mesh import (
     vector_sharding,
 )
 from . import collectives
+from .sharded_bsr import ShardedBSR
+from .sharded_symm import ShardedSymmetric
 
 __all__ = [
     "DATA_AXIS",
@@ -16,4 +18,6 @@ __all__ = [
     "matrix_row_sharding",
     "replicated",
     "collectives",
+    "ShardedBSR",
+    "ShardedSymmetric",
 ]
