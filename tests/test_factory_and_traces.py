@@ -124,3 +124,98 @@ def test_random_matrix_sweep(nroot):
     ref = np.sort(np.linalg.eigvalsh(matrix))[:nroot]
     np.testing.assert_allclose(solver.eigenvalues()[:nroot], ref, atol=2e-9)
     assert solver.stats.r_creations <= (nroot + 1) * solver.stats.iterations
+
+
+# ---------------------------------------------------------------------------
+# golden traces for the non-eigensolver families: per-iteration error
+# sequences frozen at round-1 behaviour (the reference pins its behaviour
+# through gtest expected values; these are the equivalent drift locks for
+# linear equations, quasi-Newton, DIIS and the RSPT series)
+
+
+def _trace_errors(solver, *solve_args, **solve_kw):
+    """Run the one-call driver recording solver.errors at each report tick."""
+    rec = []
+
+    def report(iteration=None):
+        rec.append([float(e) for e in solver.errors])
+
+    solver.report = report
+    solver.verbosity = its.Verbosity.ITERATION
+    conv, *_ = solver.solve(*solve_args, **solve_kw)
+    return conv, rec
+
+
+def _check_golden(name, trace):
+    path = os.path.join(GOLDEN_DIR, f"{name}_trace.json")
+    if not os.path.exists(path):
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(trace, f, indent=1)
+        pytest.skip("golden trace recorded")
+    with open(path) as f:
+        golden = json.load(f)
+    assert len(trace) == len(golden), f"iteration count changed: {len(trace)} vs {len(golden)}"
+    for it, (got, want) in enumerate(zip(trace, golden)):
+        np.testing.assert_allclose(got, want, atol=1e-9, err_msg=f"iteration {it}")
+
+
+def test_golden_trace_linear_equations(hamiltonians):
+    mat = hamiltonians["bh"]
+    n = mat.shape[0]
+    # shift to diagonal dominance so the plain-residual path converges
+    mat = mat + np.eye(n) * (1.0 - np.min(np.linalg.eigvalsh(mat)))
+    rng = np.random.default_rng(7)
+    rhs = rng.standard_normal((2, n))
+    problem = its.models.MatrixProblem(mat)
+    solver = its.create_linear_equations(n, 2, "Davidson")
+    solver.convergence_threshold = 1e-10
+    solver.add_equations(rhs)
+    conv, trace = _trace_errors(
+        solver, np.zeros((2, n)), problem=problem, generate_initial_guess=True
+    )
+    assert conv
+    _check_golden("lineq_bh", trace)
+
+
+def test_golden_trace_bfgs():
+    n = 24
+    rng = np.random.default_rng(8)
+    a = rng.standard_normal((n, n)) * 0.1
+    hess = a @ a.T + np.eye(n) * 2.0
+    b = rng.standard_normal(n)
+    problem = its.models.QuadraticOptimizeProblem(hess, b)
+    solver = its.create_optimize(n, "BFGS")
+    solver.convergence_threshold = 1e-10
+    conv, trace = _trace_errors(solver, rng.standard_normal((1, n)), problem=problem)
+    assert conv
+    _check_golden("bfgs_quadratic", trace)
+
+
+def test_golden_trace_diis():
+    problem = its.models.TrigNonlinearProblem(6)
+    solver = its.create_nonlinear_equations(6, "DIIS")
+    solver.convergence_threshold = 1e-10
+    conv, trace = _trace_errors(solver, np.full((1, 6), 0.3), problem=problem)
+    assert conv
+    _check_golden("diis_trig", trace)
+
+
+def test_golden_trace_rspt(hamiltonians):
+    """RSPT perturbation-series energies on he: the E_n sequence itself is
+    the trace (test_RSPT.cpp pins the analytic expansion)."""
+    mat = hamiltonians["he"]
+    n = mat.shape[0]
+    problem = its.models.MatrixProblem(mat)
+    solver = its.create_linear_eigensystem(n, 1, "RSPT")
+    solver.verbosity = its.Verbosity.NONE
+    solver.convergence_threshold = 1e-12
+    conv, *_ = solver.solve(
+        np.zeros((1, n)), problem=problem, generate_initial_guess=True
+    )
+    series = [float(v) for v in solver.rspt_values]
+    _check_golden("rspt_he_series", [series])
+    # the truncated series (order ~14 at the solver's own stopping rule)
+    # approaches the lowest eigenvalue; the trace above is the drift lock
+    ref = np.linalg.eigvalsh(mat)[0]
+    assert abs(sum(series) - ref) < 1e-4
