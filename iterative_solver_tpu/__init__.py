@@ -16,6 +16,10 @@ Quick start::
     solver.eigenvalues()
 """
 
+from . import config as config  # noqa: F401  (re-exported ambient options)
+
+config.enable_compile_cache()
+
 from . import models, options, utils
 from .factory import (
     create_linear_eigensystem,

@@ -11,6 +11,10 @@ Knobs:
 - ``GEMM_BUFFERS``   prefetch depth of the native vecstore pipeline (2)
 - ``PROFILER_DEPTH`` max region nesting recorded by utils.Profiler (0 = off)
 - ``PROFILER_OUTPUT`` file to dump the profile tree to at solver teardown
+- ``COMPILE_CACHE``  persistent XLA compilation cache directory ("" = off,
+  "auto" = ~/.cache/iterative_solver_tpu/xla). The fused solvers compile
+  while_loop+eigh graphs that cost tens of seconds through a remote-compile
+  TPU tunnel (measured 76 s -> 3 s on the second process with the cache).
 """
 
 from __future__ import annotations
@@ -23,6 +27,7 @@ _DEFAULTS: Dict[str, Any] = {
     "GEMM_BUFFERS": 2,
     "PROFILER_DEPTH": 0,
     "PROFILER_OUTPUT": "",
+    "COMPILE_CACHE": "auto",
 }
 
 _overrides: Dict[str, Any] = {}
@@ -49,3 +54,36 @@ def set_option(key: str, value: Any) -> None:
 
 def clear_options() -> None:
     _overrides.clear()
+
+
+_cache_enabled = False
+
+
+def enable_compile_cache() -> None:
+    """Point jax at the persistent compilation cache (idempotent).
+
+    Called at package import. The first compile of a fused-solver graph
+    through a remote TPU tunnel costs tens of seconds; with the persistent
+    cache, later processes replay it in ~3 s."""
+    global _cache_enabled
+    if _cache_enabled:
+        return
+    target = get_option("COMPILE_CACHE")
+    if not target:
+        return
+    if target == "auto":
+        target = os.path.join(
+            os.path.expanduser("~"), ".cache", "iterative_solver_tpu", "xla"
+        )
+    try:
+        import jax
+
+        os.makedirs(target, exist_ok=True)
+        # respect an explicit user/jax-level setting
+        if jax.config.jax_compilation_cache_dir is None:
+            jax.config.update("jax_compilation_cache_dir", target)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _cache_enabled = True
+    except Exception:  # cache is an optimisation, never a hard dependency
+        pass
