@@ -27,6 +27,8 @@ _DEFAULTS: Dict[str, Any] = {
     "GEMM_BUFFERS": 2,
     "PROFILER_DEPTH": 0,
     "PROFILER_OUTPUT": "",
+    "PROFILER_DOTGRAPH": "",
+    "PROFILER_THRESHOLD": 0.01,
     "COMPILE_CACHE": "auto",
 }
 

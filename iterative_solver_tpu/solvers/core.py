@@ -119,6 +119,11 @@ class IterativeSolverTemplate:
             if out and self.profiler.max_depth > 0:
                 with open(out, "w") as f:
                     f.write(self.profiler.report() + "\n")
+            dot = _config.get_option("PROFILER_DOTGRAPH", "")
+            if dot and self.profiler.max_depth > 0:
+                thresh = float(_config.get_option("PROFILER_THRESHOLD", 0.01))
+                with open(dot, "w") as f:
+                    f.write(self.profiler.dotgraph(thresh) + "\n")
         except Exception:
             pass
 

@@ -73,6 +73,37 @@ class Profiler:
             walk(child, 0)
         return "\n".join(lines)
 
+    def dotgraph(self, threshold: float = 0.01) -> str:
+        """Graphviz rendering of the region tree (the reference's
+        PROFILER_DOTGRAPH output, IterativeSolverTemplate.h:485-501):
+        nodes below ``threshold`` fraction of total wall time are pruned,
+        hotter nodes are filled redder."""
+        total = sum(c.total for c in self.root.children.values()) or 1.0
+        lines = ["digraph profile {", '  node [shape=box, style=filled];']
+        counter = [0]
+
+        def walk(node: _Node, parent_id):
+            frac = node.total / total
+            if frac < threshold:
+                return
+            nid = f"n{counter[0]}"
+            counter[0] += 1
+            heat = int(255 * min(1.0, frac))
+            color = f"#ff{255 - heat:02x}{255 - heat:02x}"
+            lines.append(
+                f'  {nid} [label="{node.name}\\n{node.total:.4f}s x{node.calls}",'
+                f' fillcolor="{color}"];'
+            )
+            if parent_id is not None:
+                lines.append(f"  {parent_id} -> {nid};")
+            for child in sorted(node.children.values(), key=lambda n: -n.total):
+                walk(child, nid)
+
+        for child in sorted(self.root.children.values(), key=lambda n: -n.total):
+            walk(child, None)
+        lines.append("}")
+        return "\n".join(lines)
+
     def __str__(self) -> str:
         return self.report()
 

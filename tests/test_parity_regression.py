@@ -84,8 +84,10 @@ class TestSuggestP:
 class TestProfilerWiring:
     def test_profile_dump(self, tmp_path, hamiltonians):
         out = str(tmp_path / "profile.txt")
+        dot = str(tmp_path / "profile.dot")
         config.set_option("PROFILER_DEPTH", 10)
         config.set_option("PROFILER_OUTPUT", out)
+        config.set_option("PROFILER_DOTGRAPH", dot)
         try:
             solver, conv = run_davidson(hamiltonians["he"], 1)
             assert solver.profiler.max_depth == 10
@@ -97,5 +99,9 @@ class TestProfilerWiring:
             gc.collect()
             assert os.path.exists(out)
             assert "add_vector" in open(out).read()
+            # graphviz dump (reference PROFILER_DOTGRAPH semantics)
+            dot_text = open(dot).read()
+            assert dot_text.startswith("digraph")
+            assert "add_vector" in dot_text
         finally:
             config.clear_options()
