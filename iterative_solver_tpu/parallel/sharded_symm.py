@@ -20,33 +20,66 @@ contributions and an Allreduce combines them (gemm.h:43-46,
 DistrArray.cpp:126-136) — but rides reduce-scatter over ICI instead of a
 full allreduce, and keeps the packed-storage bandwidth win per chip.
 
-The per-device contraction uses the portable XLA einsum path by default
-(runs on the CPU test mesh) and the Pallas packed kernel per shard on TPU
-(``use_pallas=True`` / auto).
+Both storage tiers shard: plain tiles (f32 HIGHEST / bf16 single-pass,
+``from_symmetric``) and split double-bf16 hi+lo tiles (``from_split`` —
+the precise tier). The per-device contraction uses the portable XLA einsum
+path by default (runs on the CPU test mesh) and the Pallas packed kernels
+per shard on TPU (``use_pallas=True`` / auto).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.kernels.symm_pallas import SymmetricBlocked, _symm_matmat_pallas_impl
+from ..ops.kernels.symm_pallas import (
+    SymmetricBlocked,
+    SymmetricBlockedSplit,
+    _symm_matmat_pallas_impl,
+    _symm_matmat_split_impl,
+)
 from .mesh import DATA_AXIS
 
 Array = jax.Array
 _PREC = jax.lax.Precision.HIGHEST
 
 
+def _interleave_pairs(values, ii, jj, ndev, b):
+    """Round-robin tile pairs over devices, padded to equal count with zero
+    tiles aimed at block (0, 0) — they contribute nothing."""
+    n_pairs = values.shape[0]
+    max_p = (n_pairs + ndev - 1) // ndev
+    v = np.zeros((ndev, max_p, b, b))
+    gi = np.zeros((ndev, max_p), dtype=np.int32)
+    gj = np.zeros((ndev, max_p), dtype=np.int32)
+    for d in range(ndev):
+        idx = np.arange(d, n_pairs, ndev)
+        k = len(idx)
+        v[d, :k] = values[idx]
+        gi[d, :k] = ii[idx]
+        gj[d, :k] = jj[idx]
+    return v.reshape(ndev * max_p, b, b), gi.reshape(-1), gj.reshape(-1), max_p
+
+
+def _bf16_split(x):
+    """Fold-proof double-bf16 split of an f32 block (see symm_pallas.py:
+    the naive x - bf16(x) round-trip is eliminated by XLA under
+    --xla_allow_excess_precision; integer mantissa masking is not)."""
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    xh_f32 = jax.lax.bitcast_convert_type(bits & jnp.uint32(0xFFFF0000), jnp.float32)
+    return xh_f32.astype(jnp.bfloat16), (x - xh_f32).astype(jnp.bfloat16)
+
+
 @dataclasses.dataclass
 class ShardedSymmetric:
     """Packed lower-triangle tiles interleaved across a 1-D mesh."""
 
-    values: Array       # (ndev * max_p, b, b) sharded on axis 0
+    values: Array       # (ndev * max_p, b, b) sharded on axis 0 (or hi tiles)
     ii: Array           # (ndev * max_p,) int32 GLOBAL block row
     jj: Array           # (ndev * max_p,) int32 GLOBAL block col (jj <= ii)
     mesh: Mesh
@@ -55,6 +88,7 @@ class ShardedSymmetric:
     b: int
     pairs_per_dev: int
     diagonal: Array     # (N,) sharded on the vector axis
+    lo: Optional[Array] = None   # split tier: bf16 lo tiles (values = hi)
 
     @property
     def n(self) -> int:
@@ -70,21 +104,10 @@ class ShardedSymmetric:
                 f"operator dimension {n} must divide over {ndev} devices; "
                 f"pad the matrix (SymmetricBlocked.from_dense pads to the "
                 f"block multiple — pick b so that n is also a mesh multiple)")
-        values = np.asarray(sym.values, dtype=np.float64)
-        ii = np.asarray(sym.ii)
-        jj = np.asarray(sym.jj)
-        n_pairs = values.shape[0]
-        max_p = (n_pairs + ndev - 1) // ndev
-        v = np.zeros((ndev, max_p, sym.b, sym.b))
-        gi = np.zeros((ndev, max_p), dtype=np.int32)
-        gj = np.zeros((ndev, max_p), dtype=np.int32)
-        for d in range(ndev):
-            idx = np.arange(d, n_pairs, ndev)  # round-robin: balanced count
-            k = len(idx)
-            v[d, :k] = values[idx]
-            gi[d, :k] = ii[idx]
-            gj[d, :k] = jj[idx]
-            # pad tiles are zeros aimed at block (0, 0) — contribute nothing
+        v, gi, gj, max_p = _interleave_pairs(
+            np.asarray(sym.values, dtype=np.float64),
+            np.asarray(sym.ii), np.asarray(sym.jj), ndev, sym.b,
+        )
 
         def put(arr, spec):
             return jax.device_put(jnp.asarray(arr), NamedSharding(mesh, spec))
@@ -95,10 +118,9 @@ class ShardedSymmetric:
             diag[: len(np.asarray(sym.diagonal))] = np.asarray(
                 sym.diagonal, dtype=np.float64)
         return cls(
-            values=put(jnp.asarray(v.reshape(ndev * max_p, sym.b, sym.b), dtype=dtype),
-                       P(axis, None, None)),
-            ii=put(gi.reshape(-1), P(axis)),
-            jj=put(gj.reshape(-1), P(axis)),
+            values=put(jnp.asarray(v, dtype=dtype), P(axis, None, None)),
+            ii=put(gi, P(axis)),
+            jj=put(gj, P(axis)),
             mesh=mesh,
             axis=axis,
             shape=sym.shape,
@@ -108,6 +130,43 @@ class ShardedSymmetric:
                                      if dtype == jnp.bfloat16 else dtype), P(axis)),
         )
 
+    @classmethod
+    def from_split(cls, sym: SymmetricBlockedSplit, mesh: Mesh,
+                   axis: str = DATA_AXIS) -> "ShardedSymmetric":
+        """Shard the precise (split double-bf16) tier: hi and lo tiles carry
+        the same pair layout."""
+        ndev = mesh.devices.size
+        n = sym.shape[0]
+        if n % ndev != 0:
+            raise ValueError(
+                f"operator dimension {n} must divide over {ndev} devices")
+        ii = np.asarray(sym.ii)
+        jj = np.asarray(sym.jj)
+        hi, gi, gj, max_p = _interleave_pairs(
+            np.asarray(sym.hi, dtype=np.float64), ii, jj, ndev, sym.b)
+        lo, _, _, _ = _interleave_pairs(
+            np.asarray(sym.lo, dtype=np.float64), ii, jj, ndev, sym.b)
+
+        def put(arr, spec):
+            return jax.device_put(jnp.asarray(arr), NamedSharding(mesh, spec))
+
+        diag = np.zeros(n)
+        if sym.diagonal is not None:
+            diag[: len(np.asarray(sym.diagonal))] = np.asarray(
+                sym.diagonal, dtype=np.float64)
+        return cls(
+            values=put(jnp.asarray(hi, dtype=jnp.bfloat16), P(axis, None, None)),
+            ii=put(gi, P(axis)),
+            jj=put(gj, P(axis)),
+            mesh=mesh,
+            axis=axis,
+            shape=sym.shape,
+            b=sym.b,
+            pairs_per_dev=max_p,
+            diagonal=put(jnp.asarray(diag, dtype=jnp.float32), P(axis)),
+            lo=put(jnp.asarray(lo, dtype=jnp.bfloat16), P(axis, None, None)),
+        )
+
     def matvec_fn(self, use_pallas: bool | None = None):
         """Return (matvec, operand): ``matvec(x, operand)`` with x of shape
         (m, N) sharded (None, axis); output identically sharded."""
@@ -115,6 +174,7 @@ class ShardedSymmetric:
         n = self.n
         nb = n // b
         max_p = self.pairs_per_dev
+        split = self.lo is not None
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
 
@@ -131,33 +191,61 @@ class ShardedSymmetric:
             yj = jax.ops.segment_sum(cj * strict[:, None, None], jj, num_segments=nb)
             return (yi + yj).transpose(1, 0, 2).reshape(m, n)
 
+        def contract_xla_split(x, hi, lo, ii, jj):
+            # three-term double-bf16 contraction (x_h A_h + x_h A_l + x_l A_h)
+            xh, xl = _bf16_split(x.astype(jnp.float32))
+            y = contract_xla(xh.astype(jnp.float32), hi.astype(jnp.float32), ii, jj)
+            y = y + contract_xla(xh.astype(jnp.float32), lo.astype(jnp.float32), ii, jj)
+            y = y + contract_xla(xl.astype(jnp.float32), hi.astype(jnp.float32), ii, jj)
+            return y.astype(x.dtype)
+
+        in_specs = [P(None, axis), P(axis, None, None), P(axis), P(axis)]
+        if split:
+            in_specs.insert(2, P(axis, None, None))
+
         @jax.shard_map(
             mesh=mesh,
-            in_specs=(P(None, axis), P(axis, None, None), P(axis), P(axis)),
+            in_specs=tuple(in_specs),
             out_specs=P(None, axis),
             # pallas_call outputs carry no varying-mesh-axes metadata; the
             # explicit psum_scatter already states the cross-device semantics
             check_vma=False,
         )
-        def sharded_action(x_local, values, ii, jj):
+        def sharded_action(x_local, *op):
             m = x_local.shape[0]
             # halo: the packed layout needs every column block (a tile's i or
             # j can be anywhere) — gather the thin row-block over ICI
             x = jax.lax.all_gather(x_local, axis, axis=1, tiled=True)
-            if use_pallas:
-                y = _symm_matmat_pallas_impl(
-                    ii, jj, x, values, m=m, n=n, b=b, n_pairs=max_p,
-                    interpret=False,
-                )
+            if split:
+                values, lo, ii, jj = op
+                if use_pallas:
+                    y = _symm_matmat_split_impl(
+                        ii, jj, x, values, lo, m=m, n=n, b=b, n_pairs=max_p,
+                        interpret=False,
+                    )
+                else:
+                    y = contract_xla_split(x, values, lo, ii, jj)
             else:
-                y = contract_xla(x, values, ii, jj)
+                values, ii, jj = op
+                if use_pallas:
+                    y = _symm_matmat_pallas_impl(
+                        ii, jj, x, values, m=m, n=n, b=b, n_pairs=max_p,
+                        interpret=False,
+                    )
+                else:
+                    y = contract_xla(x, values, ii, jj)
             # partial (m, N) results reduce over the mesh back to the
             # canonical vector-axis sharding (ICI reduce-scatter, the
             # packed analogue of gemm.h's MPI_Allreduce)
             return jax.lax.psum_scatter(y, axis, scatter_dimension=1, tiled=True)
 
+        if split:
+            def matvec(x, operand):
+                return sharded_action(x, *operand)
+
+            return matvec, (self.values, self.lo, self.ii, self.jj)
+
         def matvec(x, operand):
-            values, ii, jj = operand
-            return sharded_action(x, values, ii, jj)
+            return sharded_action(x, *operand)
 
         return matvec, (self.values, self.ii, self.jj)
