@@ -185,6 +185,30 @@ def main():
     final_blk, iters_blk = solve_blk(st_blk, op_fast, solver_blk.diag, tol_fast, 60)
     _, res_fast = f64_quality(final_blk.x, NROOTS_BLOCK)
 
+    # ---- FAST tier, 32-root block: peak arithmetic-intensity config ----
+    # (same HBM traffic per iteration as r16 — the packed matvec is
+    # DMA-bound — at twice the mathematical work per pass)
+    r32, m32 = 32, 128
+    if backend == "tpu":
+        solver_32 = FusedDavidson(
+            matvec_fast, diag, N, r32, m_max=m32, dtype=dtype,
+            convergence_threshold=3e-4, max_iter=60, operand=op_fast, rr=rr_fast,
+        )
+        solve_32 = make_davidson_solve(matvec_fast, r32, m32, rr=rr_fast)
+        st_32 = solver_32.init_state(guess(r32))
+        per_iter_32, _, _ = sustained(solve_32, st_32, op_fast, solver_32.diag)
+        flops_iter_32 = (
+            2 * r32 * N * N + 2 * m32 * m32 * N
+            + 2 * 2 * r32 * N * m32 + 2 * 2 * 2 * r32 * m32 * N
+        )
+        gflops_32 = flops_iter_32 / per_iter_32 / 1e9
+        st_32 = solver_32.init_state(guess(r32))
+        final_32, iters_32 = solve_32(st_32, op_fast, solver_32.diag, 3e-4, 60)
+        _, res_32 = f64_quality(final_32.x, r32)
+    else:
+        gflops_32 = per_iter_32 = 0.0
+        iters_32, res_32 = 0, 0.0
+
     # ---- PRECISE tier, 16-root block: secondary sustained rate ----
     solve_pb = make_davidson_solve(matvec_prec, NROOTS_BLOCK, M_MAX_BLOCK)
     solver_pb = FusedDavidson(
@@ -258,6 +282,10 @@ def main():
         "unit": "GFLOP/s",
         "vs_baseline": round(gflops_blk / REFERENCE_GFLOPS_BLOCK, 3),
         "precise_tier_gflops": round(gflops_prec, 1),
+        "r32_gflops": round(gflops_32, 1),
+        "r32_iter_time_ms": round(per_iter_32 * 1e3, 3),
+        "r32_solve_iterations": int(iters_32),
+        "r32_max_residual_f64": res_32,
         "r4_gflops": round(gflops_r4, 1),
         "r4_vs_r1": round(gflops_r4 / REFERENCE_GFLOPS, 3),
         "block_iter_time_ms": round(per_iter_blk * 1e3, 3),
