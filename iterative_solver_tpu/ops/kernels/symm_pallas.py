@@ -55,7 +55,13 @@ class SymmetricBlocked:
         return self.values.shape[0]
 
     @classmethod
-    def from_dense(cls, matrix: np.ndarray, b: int = 512, dtype=None) -> "SymmetricBlocked":
+    def from_dense(cls, matrix: np.ndarray, b: int = 512, dtype=None,
+                   tol: Optional[float] = None) -> "SymmetricBlocked":
+        """Pack the lower triangle in (b, b) tiles. With ``tol`` set, tiles
+        whose largest magnitude is <= tol are dropped entirely — the packed
+        layout then doubles as a sparse-symmetric format (block-sparse FCI
+        hamiltonians are symmetric; storing only nonzero lower tiles halves
+        the value traffic of the BSR action on top of the triangle halving)."""
         matrix = np.asarray(matrix, dtype=np.float64)
         n = matrix.shape[0]
         assert matrix.shape == (n, n), "operator must be square"
@@ -69,9 +75,16 @@ class SymmetricBlocked:
         vals, iis, jjs = [], [], []
         for i in range(nb):
             for j in range(i + 1):
-                vals.append(padded[i * b:(i + 1) * b, j * b:(j + 1) * b])
+                tile = padded[i * b:(i + 1) * b, j * b:(j + 1) * b]
+                if tol is not None and np.abs(tile).max() <= tol:
+                    continue
+                vals.append(tile)
                 iis.append(i)
                 jjs.append(j)
+        if not vals:  # all-zero operator: keep one zero tile for static shapes
+            vals.append(padded[:b, :b])
+            iis.append(0)
+            jjs.append(0)
         if dtype is None:
             dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
         return cls(

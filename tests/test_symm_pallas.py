@@ -258,3 +258,24 @@ def test_window3_momentum_beats_window():
         )
         iters[rr] = it
     assert iters["window3"] < iters["window"]
+
+
+def test_sparse_symmetric_tile_dropping():
+    """tol-based tile dropping turns the packed layout into a sparse-
+    symmetric format: fewer stored tiles, same action (storage halves vs
+    BSR for block-sparse symmetric operators; throughput is gather-bound
+    at small scale, so this is a memory feature, not a speed one)."""
+    from iterative_solver_tpu.models.synthetic_fci import synthetic_fci_bsr
+
+    bsr, dense = synthetic_fci_bsr(512, block=64, density=0.3, seed=3)
+    full = SymmetricBlocked.from_dense(dense, b=64)
+    sparse = SymmetricBlocked.from_dense(dense, b=64, tol=0.0)
+    assert sparse.n_pairs < full.n_pairs
+    # fewer tiles than the BSR stores (lower triangle only)
+    assert sparse.n_pairs < bsr.n_blocks
+    x = np.random.default_rng(4).standard_normal((3, 512))
+    y_full = np.asarray(symm_matmat(jnp.asarray(x), full))
+    y_sparse = np.asarray(symm_matmat(jnp.asarray(x), sparse))
+    np.testing.assert_allclose(y_sparse, y_full, rtol=0, atol=1e-11)
+    yp = np.asarray(symm_matmat_pallas(jnp.asarray(x), sparse, interpret=True))
+    np.testing.assert_allclose(yp, y_full, rtol=0, atol=1e-11)
