@@ -16,9 +16,14 @@ bandwidth lives. Three storage tiers trade accuracy for MXU passes:
 On CPU this demo uses the portable XLA path / interpret-mode kernels; on a
 TPU the same calls hit the Pallas kernels.
 """
+import os
+
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if os.environ.get("ITS_EXAMPLE_TPU") != "1":
+    # demo default: CPU portable/interpret paths. Set ITS_EXAMPLE_TPU=1 on a
+    # TPU host to exercise the Pallas kernels instead.
+    jax.config.update("jax_platforms", "cpu")
 
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))

@@ -282,27 +282,31 @@ def symm_matmat_split_pallas(x: Array, sym: SymmetricBlockedSplit,
     return fn(sym.ii, sym.jj, x, sym.hi, sym.lo)
 
 
-def _symm_matmat_split_impl(ii, jj, x, hi, lo, *, m, n, b, n_pairs, interpret):
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
+def bf16_split(x):
+    """Fold-proof double-bf16 split: x ~= hi + lo with bf16 parts.
 
-    # Split the (resident) row block once, outside the tile loop. The naive
-    # `x - bf16(x)` split is ILLEGAL under XLA's --xla_allow_excess_precision
-    # (set by this TPU runtime): the f32->bf16->f32 round-trip gets folded to
-    # identity and the lo term silently becomes zero. Masking the low mantissa
-    # bits through an integer bitcast is fold-proof: xh keeps the top 7
-    # mantissa bits (exactly bf16-representable), and the f32 subtraction
-    # x - xh is exact.
+    The naive ``x - bf16(x)`` split is ILLEGAL under XLA's
+    --xla_allow_excess_precision (set by this TPU runtime): the
+    f32->bf16->f32 round-trip gets folded to identity and the lo term
+    silently becomes zero. Masking the low mantissa bits through an integer
+    bitcast is fold-proof: hi keeps the top mantissa bits (exactly
+    bf16-representable), and the f32 subtraction x - hi is exact."""
     if x.dtype == jnp.float32:
         bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
         xh_f32 = jax.lax.bitcast_convert_type(
             bits & jnp.uint32(0xFFFF0000), jnp.float32
         )
-        xh = xh_f32.astype(jnp.bfloat16)
-        xl = (x - xh_f32).astype(jnp.bfloat16)
-    else:
-        xh = x.astype(jnp.bfloat16)
-        xl = (x - xh.astype(x.dtype)).astype(jnp.bfloat16)
+        return xh_f32.astype(jnp.bfloat16), (x - xh_f32).astype(jnp.bfloat16)
+    xh = x.astype(jnp.bfloat16)
+    return xh, (x - xh.astype(x.dtype)).astype(jnp.bfloat16)
+
+
+def _symm_matmat_split_impl(ii, jj, x, hi, lo, *, m, n, b, n_pairs, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    # split the (resident) row block once, outside the tile loop
+    xh, xl = bf16_split(x)
 
     def kernel(ii_ref, jj_ref, xh_ref, xl_ref, hi_ref, lo_ref, y_ref, acc):
         t = pl.program_id(0)

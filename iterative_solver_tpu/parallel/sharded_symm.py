@@ -42,6 +42,8 @@ from ..ops.kernels.symm_pallas import (
     SymmetricBlockedSplit,
     _symm_matmat_pallas_impl,
     _symm_matmat_split_impl,
+    _symm_matmat_xla,
+    bf16_split,
 )
 from .mesh import DATA_AXIS
 
@@ -64,15 +66,6 @@ def _interleave_pairs(values, ii, jj, ndev, b):
         gi[d, :k] = ii[idx]
         gj[d, :k] = jj[idx]
     return v.reshape(ndev * max_p, b, b), gi.reshape(-1), gj.reshape(-1), max_p
-
-
-def _bf16_split(x):
-    """Fold-proof double-bf16 split of an f32 block (see symm_pallas.py:
-    the naive x - bf16(x) round-trip is eliminated by XLA under
-    --xla_allow_excess_precision; integer mantissa masking is not)."""
-    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
-    xh_f32 = jax.lax.bitcast_convert_type(bits & jnp.uint32(0xFFFF0000), jnp.float32)
-    return xh_f32.astype(jnp.bfloat16), (x - xh_f32).astype(jnp.bfloat16)
 
 
 @dataclasses.dataclass
@@ -179,21 +172,13 @@ class ShardedSymmetric:
             use_pallas = jax.default_backend() == "tpu"
 
         def contract_xla(x, values, ii, jj):
-            m = x.shape[0]
-            xt = x.reshape(m, nb, b).transpose(1, 0, 2)        # (nb, m, b)
-            a = values.astype(x.dtype)
-            # y_i += x_j A_ij^T for all local pairs
-            ci = jnp.einsum("kmn,kin->kmi", xt[jj], a, precision=_PREC)
-            yi = jax.ops.segment_sum(ci, ii, num_segments=nb)
-            # y_j += x_i A_ij for strict-lower local pairs
-            strict = (ii != jj).astype(x.dtype)
-            cj = jnp.einsum("kmn,kni->kmi", xt[ii], a, precision=_PREC)
-            yj = jax.ops.segment_sum(cj * strict[:, None, None], jj, num_segments=nb)
-            return (yi + yj).transpose(1, 0, 2).reshape(m, n)
+            # the portable packed contraction from the kernel module, on the
+            # device-local pair list (one shared implementation)
+            return _symm_matmat_xla(x, values.astype(x.dtype), (ii, jj), b, nb)
 
         def contract_xla_split(x, hi, lo, ii, jj):
             # three-term double-bf16 contraction (x_h A_h + x_h A_l + x_l A_h)
-            xh, xl = _bf16_split(x.astype(jnp.float32))
+            xh, xl = bf16_split(x.astype(jnp.float32))
             y = contract_xla(xh.astype(jnp.float32), hi.astype(jnp.float32), ii, jj)
             y = y + contract_xla(xh.astype(jnp.float32), lo.astype(jnp.float32), ii, jj)
             y = y + contract_xla(xl.astype(jnp.float32), hi.astype(jnp.float32), ii, jj)
@@ -239,13 +224,9 @@ class ShardedSymmetric:
             # packed analogue of gemm.h's MPI_Allreduce)
             return jax.lax.psum_scatter(y, axis, scatter_dimension=1, tiled=True)
 
-        if split:
-            def matvec(x, operand):
-                return sharded_action(x, *operand)
-
-            return matvec, (self.values, self.lo, self.ii, self.jj)
-
         def matvec(x, operand):
             return sharded_action(x, *operand)
 
-        return matvec, (self.values, self.ii, self.jj)
+        operand = ((self.values, self.lo, self.ii, self.jj) if split
+                   else (self.values, self.ii, self.jj))
+        return matvec, operand

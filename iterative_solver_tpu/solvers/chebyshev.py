@@ -124,7 +124,9 @@ def make_chebyshev_expand(
     Cost: ``degree`` matvecs per iteration on the ``(nroots, N)`` block,
     all inside the fused jitted step. Pass
     ``matvecs_per_direction=degree`` to keep FusedDavidson's statistics
-    honest.
+    honest. Use with ``rr="full"`` only: the filter edge ``a`` is read from
+    ``evals_all`` as the top resolved Ritz value of the whole subspace,
+    which the window RR modes do not provide.
     """
     if degree < 1:
         raise ValueError("Chebyshev degree must be >= 1")
@@ -176,6 +178,10 @@ def make_chebyshev_davidson(
     estimated when not supplied."""
     from .fused_davidson import FusedDavidson
 
+    if kwargs.get("rr", "full") != "full":
+        # the filter's lower edge is the top resolved Ritz value of the FULL
+        # subspace; the window RR only exposes its 2r/3r window values
+        raise ValueError("Chebyshev-Davidson requires rr='full'")
     if lambda_max is None:
         lo, hi = estimate_spectral_bounds(matvec, n, operand=operand,
                                           dtype=kwargs.get("dtype"))

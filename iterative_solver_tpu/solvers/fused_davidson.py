@@ -140,13 +140,26 @@ def _window_rr(v, w, mask, k, c_prev, nroots, m_max, c_mom=None):
     cw = u[:, :nroots] * colmask[:, None]
     c_new = jnp.matmul(wmat, cw, precision=_PREC)  # (m_max, r) orthonormal cols
     # eigenvalues of dropped (big-padded) columns sort last; blank them and
-    # pad to an (m_max,) vector so expand hooks see the same shape/semantics
-    # as the full path (max over active entries = top resolved Ritz value)
+    # pad to an (m_max,) vector so expand hooks see the full path's SHAPE.
+    # Semantics caveat: the max over active entries is the top Ritz value of
+    # the WINDOW (2r/3r values), not of the whole m-dim subspace — hooks
+    # that calibrate on the full-subspace top edge (the Chebyshev filter)
+    # should run with rr="full"
     n_active = jnp.sum(colmask.astype(jnp.int32))
     idx = jax.lax.broadcasted_iota(jnp.int32, (nw, 1), 0)[:, 0]
     clean = jnp.where(idx < n_active, evals_all, -jnp.inf)
     padded = jnp.full((m_max,), -jnp.inf, dtype=dtype).at[:nw].set(clean)
     return evals_all[:nroots], c_new, padded
+
+
+def _validate_rr(rr: str, nroots: int, m_max: int) -> None:
+    width = {"full": 1, "window": 2, "window3": 3}.get(rr)
+    if width is None:
+        raise ValueError(f"unknown rr mode {rr!r}: use 'full', 'window' or 'window3'")
+    if width * nroots > m_max:
+        raise ValueError(
+            f"rr={rr!r} needs m_max >= {width}*nroots ({width * nroots}), "
+            f"got {m_max}")
 
 
 def _step_body(
@@ -169,6 +182,7 @@ def _step_body(
     (2r, 2r) locally-optimal window instead; "window3" adds the LOBPCG
     momentum block — a (3r, 3r) window with near-full-Davidson convergence
     (requires m_max >= 3*nroots; see _window_rr)."""
+    _validate_rr(rr, nroots, m_max)
 
     def step(state: DavidsonState, operand, diag: Array) -> DavidsonState:
         v, w, mask, k = state.v, state.w, state.mask, state.k
@@ -441,18 +455,12 @@ class FusedDavidson:
     ):
         if dtype is None:
             dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
-        window_width = {"full": 1, "window": 2, "window3": 3}.get(rr)
-        if window_width is None:
-            raise ValueError(f"unknown rr mode {rr!r}: use 'full', 'window' or 'window3'")
         eff_m_max = m_max if m_max is not None else max(4 * nroots, min(n, 24))
-        if window_width * nroots > eff_m_max:
-            raise ValueError(
-                f"rr={rr!r} needs m_max >= {window_width}*nroots "
-                f"({window_width * nroots}), got {eff_m_max}")
+        _validate_rr(rr, nroots, eff_m_max)
         self.matvec = matvec
         self.n = n
         self.nroots = nroots
-        self.m_max = m_max if m_max is not None else max(4 * nroots, min(n, 24))
+        self.m_max = eff_m_max
         self.dtype = dtype
         self.sharding = sharding
         self.tol = convergence_threshold
