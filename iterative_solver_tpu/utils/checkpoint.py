@@ -153,3 +153,50 @@ def load_checkpoint(path: str, sharding=None, dtype=None):
     if "alphas" in meta["extras"] and hasattr(solver, "_alphas"):
         solver._alphas = np.asarray(meta["extras"]["alphas"])
     return solver
+
+
+# ---------------------------------------------------------------------------
+# fused-solver state (solvers/fused_davidson.DavidsonState)
+
+
+def save_fused_state(state, path: str, **meta) -> None:
+    """Persist a fused Davidson state (the production single-dispatch path).
+
+    The state is a flat NamedTuple of device arrays; optional fields (the
+    window-RR coefficient carriers) may be None. Extra keyword metadata
+    (tolerances, iteration counts, ...) round-trips through the json header."""
+    data = {}
+    present = []
+    for name, value in zip(state._fields, state):
+        if value is None:
+            continue
+        present.append(name)
+        data[name] = np.asarray(value)
+    header = {"fields": present, "meta": {k: v for k, v in meta.items()}}
+    np.savez_compressed(path, meta=json.dumps(header), **data)
+
+
+def load_fused_state(path: str, sharding=None, dtype=None):
+    """Rebuild a DavidsonState (+ the saved metadata dict) from disk.
+
+    Integer fields stay int32; float fields follow ``dtype`` (default: the
+    stored precision). ``sharding`` re-shards the (m, N) stacks."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..solvers.fused_davidson import DavidsonState
+
+    with np.load(path, allow_pickle=False) as z:
+        header = json.loads(str(z["meta"]))
+        arrays = {k: z[k] for k in header["fields"]}
+
+    def restore(name, arr):
+        if np.issubdtype(arr.dtype, np.integer):
+            return jnp.asarray(arr)
+        out = jnp.asarray(arr, dtype=dtype) if dtype is not None else jnp.asarray(arr)
+        if sharding is not None and name in ("v", "w"):
+            out = jax.device_put(out, sharding)
+        return out
+
+    fields = {name: restore(name, arr) for name, arr in arrays.items()}
+    return DavidsonState(**fields), header["meta"]

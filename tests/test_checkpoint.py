@@ -87,3 +87,89 @@ def test_checkpoint_linear_equations(tmp_path):
     conv, *_ = resumed.solve(np.zeros((1, n)), problem=its.models.MatrixProblem(mat),
                              generate_initial_guess=True)
     assert conv
+
+
+class TestFusedCheckpoint:
+    """Preemption recovery for the fused production path: interrupt a solve
+    mid-run, persist the DavidsonState, reload, continue — the resumed run
+    must land on the same eigenpairs as an uninterrupted one."""
+
+    def _problem(self, n=160, nroots=3, seed=11):
+        rng = np.random.default_rng(seed)
+        a = rng.standard_normal((n, n)) * (0.1 / np.sqrt(n))
+        mat = a + a.T + np.diag(np.linspace(0.0, 15.0, n))
+        return mat
+
+    @pytest.mark.parametrize("rr", ["full", "window3"])
+    def test_roundtrip_resume(self, tmp_path, rr):
+        import jax
+        import jax.numpy as jnp
+
+        from iterative_solver_tpu.solvers.fused_davidson import FusedDavidson
+        from iterative_solver_tpu.utils.checkpoint import (
+            load_fused_state,
+            save_fused_state,
+        )
+
+        mat = self._problem()
+        n, nroots = mat.shape[0], 3
+        matj = jnp.asarray(mat)
+
+        def matvec(x, op):
+            return jnp.matmul(x, op.T, precision=jax.lax.Precision.HIGHEST)
+
+        def make(max_iter):
+            return FusedDavidson(
+                matvec, np.diag(mat), n, nroots, m_max=4 * nroots,
+                convergence_threshold=1e-10, max_iter=max_iter,
+                operand=matj, rr=rr,
+            )
+
+        v0 = np.zeros((nroots, n))
+        for row, i in enumerate(np.argsort(np.diag(mat))[:nroots]):
+            v0[row, i] = 1.0
+
+        # run 5 iterations, checkpoint, reload into a fresh solver, finish
+        solver = make(max_iter=5)
+        state = solver.init_state(v0)
+        for _ in range(5):
+            state = solver.step(state, solver.operand, solver.diag)
+        path = str(tmp_path / "fused.npz")
+        save_fused_state(state, path, iterations=5, tol=1e-10)
+        del state, solver
+
+        restored, meta = load_fused_state(path)
+        assert meta["iterations"] == 5
+        solver2 = make(max_iter=200)
+        for it in range(200):
+            if int(restored.k) + nroots > solver2.m_max:
+                restored = solver2.restart(restored, solver2.operand)
+            restored = solver2.step(restored, solver2.operand, solver2.diag)
+            if np.max(np.asarray(restored.errors)) < 1e-10:
+                break
+        ref = np.linalg.eigvalsh(mat)[:nroots]
+        np.testing.assert_allclose(
+            np.sort(np.asarray(restored.evals)), ref, atol=1e-9
+        )
+
+    def test_missing_optional_fields(self, tmp_path):
+        """States saved without the window carriers load with c/cm = None."""
+        import jax.numpy as jnp
+
+        from iterative_solver_tpu.solvers.fused_davidson import DavidsonState
+        from iterative_solver_tpu.utils.checkpoint import (
+            load_fused_state,
+            save_fused_state,
+        )
+
+        n, r, m = 16, 2, 6
+        state = DavidsonState(
+            v=jnp.zeros((m, n)), w=jnp.zeros((m, n)), mask=jnp.zeros((m,)),
+            k=jnp.asarray(2, jnp.int32), evals=jnp.zeros((r,)),
+            x=jnp.zeros((r, n)), r=jnp.zeros((r, n)), errors=jnp.ones((r,)),
+        )
+        path = str(tmp_path / "nofc.npz")
+        save_fused_state(state, path)
+        restored, meta = load_fused_state(path)
+        assert restored.c is None and restored.cm is None
+        assert int(restored.k) == 2 and meta == {}
