@@ -250,7 +250,6 @@ def main():
     from iterative_solver_tpu.ops.kernels.spmv_pallas import _bsr_matmat_xla
 
     bsr, _ = synthetic_fci_bsr(8192, block=128, density=0.3, seed=1, dtype=dtype)
-    xs = jnp.asarray(np.random.default_rng(2).standard_normal((NROOTS, bsr.shape[0])), dtype=dtype)
     n_rb = bsr.shape[0] // bsr.bm
 
     # dynamic trip count: one compiled program for both timing points
@@ -261,20 +260,30 @@ def main():
 
         return jax.lax.fori_loop(0, k, body, x)
 
-    # marginal (two trip counts) removes the ~28 ms tunnel dispatch overhead;
-    # trip counts large enough that the marginal dwarfs RTT jitter
-    np.asarray(spmm_loop(xs, bsr.values, bsr.col_idx, bsr.row_idx, 4)[0, :2])  # compile
-    walls = {}
-    for k in (64, 1024):
-        best = float("inf")
-        for _ in range(5):
-            t0 = time.perf_counter()
-            out = spmm_loop(xs, bsr.values, bsr.col_idx, bsr.row_idx, k)
-            np.asarray(out[0, :2])
-            best = min(best, time.perf_counter() - t0)
-        walls[k] = best
-    spmv_wall = (walls[1024] - walls[64]) / 960
-    nnz_per_s = bsr.nnz * NROOTS / spmv_wall
+    def spmv_rate(rows):
+        """nnz/s of the block action on a (rows, N) block. The action is
+        value-traffic/overhead bound, so wall time is flat in rows — the
+        production solvers apply it to NROOTS_BLOCK-row blocks."""
+        xs = jnp.asarray(
+            np.random.default_rng(2).standard_normal((rows, bsr.shape[0])), dtype=dtype
+        )
+        # marginal (two trip counts) removes the ~28 ms tunnel dispatch
+        # overhead; trip counts large enough to dwarf RTT jitter
+        np.asarray(spmm_loop(xs, bsr.values, bsr.col_idx, bsr.row_idx, 4)[0, :2])
+        walls = {}
+        for k in (64, 1024):
+            best = float("inf")
+            for _ in range(5):
+                t0 = time.perf_counter()
+                out = spmm_loop(xs, bsr.values, bsr.col_idx, bsr.row_idx, k)
+                np.asarray(out[0, :2])
+                best = min(best, time.perf_counter() - t0)
+            walls[k] = best
+        wall = (walls[1024] - walls[64]) / 960
+        return bsr.nnz * rows / wall
+
+    nnz_per_s = spmv_rate(NROOTS_BLOCK)
+    nnz_per_s_r4 = spmv_rate(NROOTS)
 
     result = {
         "metric": f"fused_davidson_n{N}_r{NROOTS_BLOCK}_sustained",
@@ -301,6 +310,8 @@ def main():
         "max_residual_f64": res_f64,
         "eigenvalue_error_vs_dense_f64": ev_err,
         "spmv_gnnz_per_s": round(nnz_per_s / 1e9, 2),
+        "spmv_rows": NROOTS_BLOCK,
+        "spmv_r4_gnnz_per_s": round(nnz_per_s_r4 / 1e9, 2),
         "spmv_nnz": bsr.nnz,
         "backend": backend,
     }
