@@ -137,7 +137,8 @@ def main():
         walls = {}
         for k in (lo, hi):
             best = float("inf")
-            for _ in range(3):  # best-of-3: the remote tunnel adds noisy latency
+            for _ in range(5):  # best-of-5: tunnel + chip contention add
+                                # run-to-run noise of up to ~30%
                 t0 = time.perf_counter()
                 out, _ = solve_fn(st, operand, dg, -1.0, k)
                 np.asarray(out.errors)
