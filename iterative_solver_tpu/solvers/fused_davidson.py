@@ -484,9 +484,90 @@ class FusedDavidson:
         self.restart = make_restart(matvec, nroots, self.m_max)
         self.iterations = 0
         self.matvecs = 0
+        self.n_orig = n   # from_dense_symmetric pads n to the tile multiple
+
+    @classmethod
+    def from_dense_symmetric(cls, matrix, nroots: int = 1, tier: Optional[str] = None,
+                             b: int = 512, **kwargs) -> "FusedDavidson":
+        """Build the solver around the packed-triangle symmetric action.
+
+        ``tier`` selects the operator storage (see ops/kernels/symm_pallas.py):
+
+        - ``"fast"``    bf16 tiles, single-pass MXU dots — quarter the dense
+                        traffic, ~2^-8 operator accuracy. The residual floor
+                        scales with the operator norm/structure (2e-4 on the
+                        benchmark spectrum) — check convergence_threshold
+                        against it or prefer "precise";
+        - ``"precise"`` split double-bf16 — f32 bytes, ~2^-16 operator, and
+                        the per-tile f32 accumulation floors residuals ~50x
+                        below a dense XLA matvec;
+        - ``"exact"``   native-precision tiles with HIGHEST dots.
+
+        Default: "precise" on TPU, "exact" elsewhere. On non-TPU backends all
+        tiers run through the portable XLA packed path at native precision
+        ("fast" simply stores bf16 tiles). The matrix is padded to the tile
+        multiple internally; returned Ritz vectors carry the padded width —
+        slice with ``solver.unpad(x)``.
+        """
+        import dataclasses
+
+        from ..ops.kernels.symm_pallas import (
+            SymmetricBlocked,
+            SymmetricBlockedSplit,
+            symm_matmat,
+            symm_matmat_pallas,
+            symm_matmat_split_pallas,
+        )
+
+        matrix = np.asarray(matrix, dtype=np.float64)
+        n = matrix.shape[0]
+        on_tpu = jax.default_backend() == "tpu"
+        if tier is None:
+            tier = "precise" if on_tpu else "exact"
+        if tier not in ("fast", "precise", "exact"):
+            raise ValueError(f"unknown tier {tier!r}: use 'fast', 'precise' or 'exact'")
+
+        if tier == "precise" and on_tpu:
+            sym = SymmetricBlockedSplit.from_dense(matrix, b=b)
+            operand = (sym.hi, sym.lo, sym.ii, sym.jj)
+
+            def matvec(x, op):
+                s = dataclasses.replace(sym, hi=op[0], lo=op[1], ii=op[2], jj=op[3])
+                return symm_matmat_split_pallas(x, s)
+
+        else:
+            tile_dtype = jnp.bfloat16 if (tier == "fast" and on_tpu) else None
+            sym = SymmetricBlocked.from_dense(matrix, b=b, dtype=tile_dtype)
+            operand = (sym.values, sym.ii, sym.jj)
+
+            def matvec(x, op):
+                s = dataclasses.replace(sym, values=op[0], ii=op[1], jj=op[2])
+                if on_tpu:
+                    return symm_matmat_pallas(x, s)
+                return symm_matmat(x, s)
+
+        n_pad = sym.shape[0]
+        # padded diagonal entries sit far above the spectrum so diagonal-based
+        # guesses and P-space selection never pick the dead coordinates
+        diag = np.full(n_pad, np.abs(matrix).sum(axis=1).max() + 1.0)
+        diag[:n] = np.diagonal(matrix)
+        solver = cls(matvec, diag, n_pad, nroots, operand=operand, **kwargs)
+        solver.n_orig = n
+        return solver
+
+    def unpad(self, x) -> np.ndarray:
+        """Strip the tile padding from a returned (rows, n_pad) block."""
+        return np.asarray(x)[..., : self.n_orig]
 
     def init_state(self, v0) -> DavidsonState:
-        v0 = jnp.asarray(np.asarray(v0), dtype=self.dtype)
+        v0 = np.asarray(v0)
+        if v0.shape[-1] < self.n:
+            # from_dense_symmetric pads the operator to the tile multiple;
+            # transparently pad caller guesses with zeros
+            v0 = np.concatenate(
+                [v0, np.zeros(v0.shape[:-1] + (self.n - v0.shape[-1],))], axis=-1
+            )
+        v0 = jnp.asarray(v0, dtype=self.dtype)
         if self.sharding is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 

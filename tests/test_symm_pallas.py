@@ -279,3 +279,59 @@ def test_sparse_symmetric_tile_dropping():
     np.testing.assert_allclose(y_sparse, y_full, rtol=0, atol=1e-11)
     yp = np.asarray(symm_matmat_pallas(jnp.asarray(x), sparse, interpret=True))
     np.testing.assert_allclose(yp, y_full, rtol=0, atol=1e-11)
+
+
+class TestFromDenseSymmetric:
+    """FusedDavidson.from_dense_symmetric — the ergonomic packed-operator
+    entry, including transparent padding to the tile multiple."""
+
+    def _mat(self, n, seed=20):
+        rng = np.random.default_rng(seed)
+        a = rng.standard_normal((n, n)) * (0.1 / np.sqrt(n))
+        return a + a.T + np.diag(np.linspace(0.0, 12.0, n))
+
+    @pytest.mark.parametrize("tier", ["exact", "fast", "precise"])
+    def test_tiers_converge(self, tier):
+        from iterative_solver_tpu.solvers.fused_davidson import FusedDavidson
+
+        n, nroots = 96, 3
+        mat = self._mat(n)
+        solver = FusedDavidson.from_dense_symmetric(
+            mat, nroots, tier=tier, b=32,
+            convergence_threshold=1e-9, max_iter=300,
+        )
+        v0 = np.zeros((nroots, n))
+        for row, i in enumerate(np.argsort(np.diag(mat))[:nroots]):
+            v0[row, i] = 1.0
+        evals, x, errors, iters = solver.run_on_device(v0)
+        assert np.max(errors) < 1e-9
+        ref = np.linalg.eigvalsh(mat)[:nroots]
+        np.testing.assert_allclose(np.sort(np.asarray(evals)), ref, atol=1e-8)
+        assert solver.unpad(x).shape == (nroots, n)
+
+    def test_padded_dimension(self):
+        from iterative_solver_tpu.solvers.fused_davidson import FusedDavidson
+
+        n, nroots = 100, 2  # pads to 128 with b=32
+        mat = self._mat(n, seed=21)
+        solver = FusedDavidson.from_dense_symmetric(
+            mat, nroots, b=32, convergence_threshold=1e-9, max_iter=300,
+        )
+        assert solver.n == 128 and solver.n_orig == 100
+        v0 = np.zeros((nroots, n))
+        for row, i in enumerate(np.argsort(np.diag(mat))[:nroots]):
+            v0[row, i] = 1.0
+        evals, x, errors, iters = solver.run_on_device(v0)
+        assert np.max(errors) < 1e-9
+        ref = np.linalg.eigvalsh(mat)[:nroots]
+        np.testing.assert_allclose(np.sort(np.asarray(evals)), ref, atol=1e-8)
+        xs = solver.unpad(x)
+        assert xs.shape == (nroots, n)
+        # padded coordinates never contaminate the solution
+        assert np.abs(np.asarray(x)[:, n:]).max() < 1e-12
+
+    def test_rejects_unknown_tier(self):
+        from iterative_solver_tpu.solvers.fused_davidson import FusedDavidson
+
+        with pytest.raises(ValueError):
+            FusedDavidson.from_dense_symmetric(self._mat(32), 1, tier="banana")
