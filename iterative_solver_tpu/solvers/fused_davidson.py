@@ -348,6 +348,7 @@ def make_davidson_solve(
     null_thresh: float = 1e-10,
     expand: Optional[Callable] = None,
     rr: str = "full",
+    history: int = 0,
 ):
     """The whole solve in ONE dispatch: a lax.while_loop that steps until
     convergence or ``max_iter``, restarting on-device whenever the basis
@@ -357,27 +358,48 @@ def make_davidson_solve(
 
     ``tol`` and ``max_iter`` are runtime arguments of the returned function
     (traced scalars), so one compilation serves every convergence setting;
-    passing them here instead binds them for backward compatibility."""
+    passing them here instead binds them for backward compatibility.
+
+    ``history > 0`` records the max residual norm of each iteration into a
+    fixed-capacity ``(history,)`` device buffer (entries beyond the actual
+    iteration count stay NaN) and returns ``(final, iters, errors_history)``
+    — convergence curves out of the single-dispatch black box at the cost
+    of one scalar store per iteration (the observability the reference gets
+    from per-iteration report() printing, IterativeSolverTemplate.h:273-287,
+    without breaking the fused loop)."""
     step = _step_body(matvec, nroots, m_max, null_thresh, expand, rr)
     restart = _restart_body(matvec, nroots, m_max)
 
     def solve(state: DavidsonState, operand, diag: Array, tol_, max_iter_):
+        hist0 = (
+            jnp.full((history,), jnp.nan, dtype=state.errors.dtype)
+            if history else None
+        )
+
         def cond(carry):
-            s, it = carry
+            s, it = carry[0], carry[1]
             return (it < max_iter_) & (jnp.max(s.errors) > tol_)
 
         def body(carry):
-            s, it = carry
+            s, it = carry[0], carry[1]
             s = jax.lax.cond(
                 s.k + nroots > m_max,
                 lambda ss: restart(ss, operand),
                 lambda ss: ss,
                 s,
             )
-            return step(s, operand, diag), it + 1
+            s = step(s, operand, diag)
+            if history:
+                h = carry[2].at[jnp.minimum(it, history - 1)].set(
+                    jnp.max(s.errors))
+                return s, it + 1, h
+            return s, it + 1
 
-        final, iters = jax.lax.while_loop(cond, body, (state, jnp.asarray(0, jnp.int32)))
-        return final, iters
+        init = (state, jnp.asarray(0, jnp.int32)) + ((hist0,) if history else ())
+        final = jax.lax.while_loop(cond, body, init)
+        if history:
+            return final[0], final[1], final[2]
+        return final[0], final[1]
 
     solve_jit = jax.jit(solve)
     if tol is None and max_iter is None:

@@ -217,3 +217,38 @@ def test_init_state_already_converged_guess():
     evals, x, errors, iters = solver.run_on_device(vecs[:, :2].T)
     assert iters == 0
     np.testing.assert_allclose(evals, w[:2], atol=1e-10)
+
+
+def test_solve_history_recording():
+    """history=k records per-iteration max residuals inside the single
+    dispatch; unused tail stays NaN and the curve is monotone-ish down."""
+    import jax
+    import jax.numpy as jnp
+
+    from iterative_solver_tpu.solvers.fused_davidson import (
+        FusedDavidson,
+        make_davidson_solve,
+    )
+
+    n, nroots = 160, 2
+    rng = np.random.default_rng(31)
+    a = rng.standard_normal((n, n)) * (0.1 / np.sqrt(n))
+    mat = a + a.T + np.diag(np.linspace(0.0, 12.0, n))
+    matj = jnp.asarray(mat)
+
+    def matvec(x, op):
+        return jnp.matmul(x, op.T, precision=jax.lax.Precision.HIGHEST)
+
+    solver = FusedDavidson(matvec, np.diag(mat), n, nroots, m_max=12,
+                           convergence_threshold=1e-9, max_iter=100, operand=matj)
+    solve = make_davidson_solve(matvec, nroots, 12, history=100)
+    st = solver.init_state(np.eye(nroots, n))
+    final, iters, hist = solve(st, matj, solver.diag, 1e-9, 100)
+    iters = int(iters)
+    hist = np.asarray(hist)
+    assert np.isfinite(hist[:iters]).all()
+    assert np.isnan(hist[iters:]).all()
+    # recorded curve ends at the converged residual
+    np.testing.assert_allclose(hist[iters - 1], np.max(np.asarray(final.errors)),
+                               rtol=1e-6)
+    assert hist[iters - 1] <= 1e-9
