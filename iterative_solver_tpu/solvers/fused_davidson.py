@@ -456,6 +456,39 @@ def make_davidson_solve_chunked(
     return jax.jit(solve)
 
 
+def make_batched_davidson_solve(
+    matvec,
+    nroots: int,
+    m_max: int,
+    null_thresh: float = 1e-10,
+    expand: Optional[Callable] = None,
+    rr: str = "full",
+):
+    """Many independent eigenproblems in ONE dispatch: the whole-solve
+    while_loop vmapped over a leading operand batch axis.
+
+    A geometry/parameter scan solving B small systems pays the dispatch
+    constant and per-op overhead ONCE instead of B times, and the batched
+    matvecs keep the MXU fed where a single small-N solve cannot — a
+    capability with no reference analogue (one MPI world solves one system
+    at a time). Returns ``(batched_init, batched_solve)``:
+
+        states = batched_init(v0_batch, operand_batch)       # (B, r, N), (B, ...)
+        final, iters = batched_solve(states, operand_batch, diag_batch, tol, max_iter)
+
+    Each batch element reports its own iteration count; under vmap the
+    combined loop runs until the slowest element converges (converged
+    elements hold their state). The matvec must be vmap-compatible (the
+    XLA paths are; the Pallas packed kernels are not — pass the dense or
+    `symm_matmat` action for batched work)."""
+    solve = make_davidson_solve(matvec, nroots, m_max, null_thresh=null_thresh,
+                                expand=expand, rr=rr)
+    init = make_davidson_init(matvec, nroots, m_max)
+    batched_init = jax.jit(jax.vmap(init, in_axes=(0, 0)))
+    batched_solve = jax.jit(jax.vmap(solve, in_axes=(0, 0, 0, None, None)))
+    return batched_init, batched_solve
+
+
 class FusedDavidson:
     """Driver around the jitted step: host only checks errors between steps."""
 

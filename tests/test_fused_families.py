@@ -116,3 +116,39 @@ class TestFusedLBFGS:
         conv, xp, _ = parity.solve(np.zeros((1, n)), problem=problem)
         assert conv
         np.testing.assert_allclose(xf, np.asarray(xp)[0], atol=1e-8)
+
+
+def test_fused_linear_with_packed_symmetric_action():
+    """The packed-triangle symmetric operator composes with the fused
+    linear-equations solver (A X = B with A symmetric — the (H-E)x=b shape
+    of response equations)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from iterative_solver_tpu.ops.kernels.symm_pallas import (
+        SymmetricBlocked,
+        symm_matmat,
+    )
+    from iterative_solver_tpu.solvers.fused_linear import FusedLinearEquations
+
+    n, b, nrhs = 96, 32, 2
+    rng = np.random.default_rng(17)
+    a = rng.standard_normal((n, n)) * 0.1
+    mat = a + a.T + np.diag(np.arange(4.0, n + 4.0))
+    sym = SymmetricBlocked.from_dense(mat, b=b)
+
+    def matvec(x, op):
+        s = dataclasses.replace(sym, values=op[0], ii=op[1], jj=op[2])
+        return symm_matmat(x, s)
+
+    solver = FusedLinearEquations(
+        matvec, np.diag(mat), n, nrhs, m_max=24,
+        convergence_threshold=1e-10, max_iter=100,
+        operand=(sym.values, sym.ii, sym.jj),
+    )
+    rhs = rng.standard_normal((nrhs, n))
+    x, errors, iters = solver.solve(rhs)
+    assert np.max(np.asarray(errors)) < 1e-10
+    ref = np.linalg.solve(mat, rhs.T).T
+    np.testing.assert_allclose(np.asarray(x), ref, atol=1e-7)
