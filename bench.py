@@ -239,6 +239,8 @@ def main():
         convergence_threshold=tol_prec, max_iter=60, operand=op_prec,
     )
     st_pq = solver_pq.init_state(guess(NROOTS))
+    out, _ = solve_pq(st_pq, op_prec, solver_pq.diag, -1.0, 1)
+    np.asarray(out.errors)  # compile warmup: solve_wall_s measures the solve
     t0 = time.perf_counter()
     final, iters = solve_pq(st_pq, op_prec, solver_pq.diag, tol_prec, 60)
     np.asarray(final.errors)
