@@ -9,6 +9,7 @@ on one chip)."""
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
 
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
@@ -40,12 +41,13 @@ for p in range(npoints):
         v0[p, row, i] = 1.0
 
 states = binit(jnp.asarray(v0), jnp.asarray(mats))
-final, iters = bsolve(states, jnp.asarray(mats), jnp.asarray(diags), 1e-9, 500)
+final, iters = bsolve(states, jnp.asarray(mats), jnp.asarray(diags), 1e-9, 800)
 
 for p in range(npoints):
     ref = np.linalg.eigvalsh(mats[p])[:nroots]
     err = np.abs(np.sort(np.asarray(final.evals[p])) - ref).max()
-    assert err < 1e-7, (p, err)
+    assert np.asarray(final.errors[p]).max() < 1e-9, (p, "not converged")
+    assert err < 1e-8, (p, err)
     print(f"lambda={lams[p]:.2f}: iters={int(iters[p]):3d} "
           f"E0..E{nroots-1} = {np.sort(np.asarray(final.evals[p]))}")
 print("scan complete: every point converged in one dispatch")
