@@ -34,7 +34,8 @@ from .solvers.linear_eigensystem import LinearEigensystemDavidson, LinearEigensy
 from .solvers.linear_equations import LinearEquationsDavidson
 from .solvers.nonlinear_diis import NonLinearEquationsDIIS
 from .solvers.optimize import OptimizeBFGS, OptimizeSD
-from .solvers.fused_davidson import FusedDavidson
+from .solvers.fused_davidson import FusedDavidson, make_batched_davidson_solve
+from .solvers.implicit_diff import make_differentiable_eigenvalues
 from .solvers.fused_linear import FusedLinearEquations
 from .solvers.fused_lbfgs import FusedLBFGS
 
