@@ -52,6 +52,8 @@ __all__ = [
     "OptimizeBFGS",
     "OptimizeSD",
     "FusedDavidson",
+    "make_batched_davidson_solve",
+    "make_differentiable_eigenvalues",
     "FusedLinearEquations",
     "FusedLBFGS",
     "Interpolate",

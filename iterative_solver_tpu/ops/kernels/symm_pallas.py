@@ -264,6 +264,19 @@ class SymmetricBlockedSplit:
         )
 
 
+def symm_matmat_split(x: Array, sym: "SymmetricBlockedSplit") -> Array:
+    """Backend-portable XLA path of the split double-bf16 action: three
+    single-pass contractions (x_h A_h + x_h A_l + x_l A_h) through
+    _symm_matmat_xla with the fold-proof bitcast x-split."""
+    nb = sym.shape[0] // sym.b
+    xh, xl = bf16_split(x.astype(jnp.float32))
+    f32 = jnp.float32
+    y = _symm_matmat_xla(xh.astype(f32), sym.hi.astype(f32), (sym.ii, sym.jj), sym.b, nb)
+    y = y + _symm_matmat_xla(xh.astype(f32), sym.lo.astype(f32), (sym.ii, sym.jj), sym.b, nb)
+    y = y + _symm_matmat_xla(xl.astype(f32), sym.hi.astype(f32), (sym.ii, sym.jj), sym.b, nb)
+    return y.astype(x.dtype)
+
+
 @functools.lru_cache(maxsize=64)
 def _pallas_symm_split_fn(m, n, b, n_pairs, interpret):
     return jax.jit(

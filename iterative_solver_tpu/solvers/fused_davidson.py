@@ -362,7 +362,10 @@ def make_davidson_solve(
 
     ``history > 0`` records the max residual norm of each iteration into a
     fixed-capacity ``(history,)`` device buffer (entries beyond the actual
-    iteration count stay NaN) and returns ``(final, iters, errors_history)``
+    iteration count stay NaN; if the solve runs LONGER than ``history``,
+    the final slot keeps being overwritten with the latest residual — size
+    history >= max_iter to capture the whole curve) and returns
+    ``(final, iters, errors_history)``
     — convergence curves out of the single-dispatch black box at the cost
     of one scalar store per iteration (the observability the reference gets
     from per-iteration report() printing, IterativeSolverTemplate.h:273-287,
@@ -481,8 +484,14 @@ def make_batched_davidson_solve(
     elements hold their state). The matvec must be vmap-compatible (the
     XLA paths are; the Pallas packed kernels are not — pass the dense or
     `symm_matmat` action for batched work)."""
-    solve = make_davidson_solve(matvec, nroots, m_max, null_thresh=null_thresh,
-                                expand=expand, rr=rr)
+    # the chunked solve hoists the restart cond to sweep boundaries: under
+    # vmap a batched lax.cond lowers to select-over-both-branches, so the
+    # per-iteration restart branch of the plain solve would execute (and be
+    # discarded) every iteration for every element; per-sweep it amortises
+    # over the basis-fill length. Iteration counts quantise to the sweep.
+    solve = make_davidson_solve_chunked(matvec, nroots, m_max,
+                                        null_thresh=null_thresh,
+                                        expand=expand, rr=rr)
     init = make_davidson_init(matvec, nroots, m_max)
     batched_init = jax.jit(jax.vmap(init, in_axes=(0, 0)))
     batched_solve = jax.jit(jax.vmap(solve, in_axes=(0, 0, 0, None, None)))
@@ -571,6 +580,7 @@ class FusedDavidson:
             SymmetricBlockedSplit,
             symm_matmat,
             symm_matmat_pallas,
+            symm_matmat_split,
             symm_matmat_split_pallas,
         )
 
@@ -582,16 +592,20 @@ class FusedDavidson:
         if tier not in ("fast", "precise", "exact"):
             raise ValueError(f"unknown tier {tier!r}: use 'fast', 'precise' or 'exact'")
 
-        if tier == "precise" and on_tpu:
+        if tier == "precise":
             sym = SymmetricBlockedSplit.from_dense(matrix, b=b)
             operand = (sym.hi, sym.lo, sym.ii, sym.jj)
 
             def matvec(x, op):
                 s = dataclasses.replace(sym, hi=op[0], lo=op[1], ii=op[2], jj=op[3])
-                return symm_matmat_split_pallas(x, s)
+                if on_tpu:
+                    return symm_matmat_split_pallas(x, s)
+                return symm_matmat_split(x, s).astype(x.dtype)
 
         else:
-            tile_dtype = jnp.bfloat16 if (tier == "fast" and on_tpu) else None
+            # "fast" stores bf16 tiles on EVERY backend so CPU tests see the
+            # same operator accuracy the TPU path has
+            tile_dtype = jnp.bfloat16 if tier == "fast" else None
             sym = SymmetricBlocked.from_dense(matrix, b=b, dtype=tile_dtype)
             operand = (sym.values, sym.ii, sym.jj)
 
@@ -599,7 +613,7 @@ class FusedDavidson:
                 s = dataclasses.replace(sym, values=op[0], ii=op[1], jj=op[2])
                 if on_tpu:
                     return symm_matmat_pallas(x, s)
-                return symm_matmat(x, s)
+                return symm_matmat(x, s).astype(x.dtype)
 
         n_pad = sym.shape[0]
         # padded diagonal entries sit far above the spectrum so diagonal-based
@@ -616,9 +630,10 @@ class FusedDavidson:
 
     def init_state(self, v0) -> DavidsonState:
         v0 = np.asarray(v0)
-        if v0.shape[-1] < self.n:
-            # from_dense_symmetric pads the operator to the tile multiple;
-            # transparently pad caller guesses with zeros
+        if self.n_orig != self.n and v0.shape[-1] == self.n_orig:
+            # from_dense_symmetric padded the operator to the tile multiple;
+            # transparently pad matching caller guesses with zeros (any other
+            # width mismatch should fail loudly downstream)
             v0 = np.concatenate(
                 [v0, np.zeros(v0.shape[:-1] + (self.n - v0.shape[-1],))], axis=-1
             )

@@ -14,6 +14,13 @@ property gradients where lambda feeds an outer objective under jax.grad.
 Eigenvector adjoints (which need (A - lambda)^+ solves) are out of scope
 here; pair the eigenvalue adjoint with an explicit FusedLinearEquations
 response solve when needed.
+
+DEGENERACY CAVEAT: for (near-)degenerate eigenvalues the individual
+eigenvectors — and therefore the per-root gradients — are only defined up
+to a rotation of the degenerate subspace; the solver lands in an arbitrary
+basis and the per-root gradient follows it. Only symmetric functions of a
+complete degenerate cluster (its sum/trace) have basis-independent
+gradients. Check the eigenvalue gaps before trusting per-root derivatives.
 """
 
 from __future__ import annotations
@@ -46,7 +53,8 @@ def make_differentiable_eigenvalues(
     the quantity whose operand-gradient Hellmann-Feynman gives. The solve
     itself is non-differentiable internals (lax.while_loop); only the
     stationarity of the converged pair is used, so the adjoint is accurate
-    to O(residual^2)."""
+    to O(residual^2). Per-root gradients are basis-dependent across
+    degenerate clusters (see module docstring)."""
     solve = make_davidson_solve(matvec, nroots, m_max, rr=rr)
     init = make_davidson_init(matvec, nroots, m_max)
 

@@ -11,6 +11,8 @@ preemption (the TPU-era failure-recovery story).
 from __future__ import annotations
 
 import json
+import os
+
 import numpy as np
 
 
@@ -173,7 +175,15 @@ def save_fused_state(state, path: str, **meta) -> None:
         present.append(name)
         data[name] = np.asarray(value)
     header = {"fields": present, "meta": {k: v for k, v in meta.items()}}
-    np.savez_compressed(path, meta=json.dumps(header), **data)
+
+    def _jsonable(v):  # numpy scalars/arrays arrive straight off device
+        if isinstance(v, np.ndarray):
+            return v.tolist()
+        if isinstance(v, np.generic):
+            return v.item()
+        raise TypeError(f"unserialisable checkpoint metadata: {type(v)}")
+
+    np.savez_compressed(path, meta=json.dumps(header, default=_jsonable), **data)
 
 
 def load_fused_state(path: str, sharding=None, dtype=None):
@@ -186,6 +196,9 @@ def load_fused_state(path: str, sharding=None, dtype=None):
 
     from ..solvers.fused_davidson import DavidsonState
 
+    if not path.endswith(".npz") and not os.path.exists(path):
+        # np.savez_compressed appends the suffix when missing; mirror that
+        path = path + ".npz"
     with np.load(path, allow_pickle=False) as z:
         header = json.loads(str(z["meta"]))
         arrays = {k: z[k] for k in header["fields"]}

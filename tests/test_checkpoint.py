@@ -173,3 +173,29 @@ class TestFusedCheckpoint:
         restored, meta = load_fused_state(path)
         assert restored.c is None and restored.cm is None
         assert int(restored.k) == 2 and meta == {}
+
+
+def test_fused_checkpoint_path_suffix_and_numpy_meta(tmp_path):
+    """Review-pinned edge cases: path without .npz round-trips, and numpy
+    scalar/array metadata is serialised instead of crashing the save."""
+    import jax.numpy as jnp
+
+    from iterative_solver_tpu.solvers.fused_davidson import DavidsonState
+    from iterative_solver_tpu.utils.checkpoint import (
+        load_fused_state,
+        save_fused_state,
+    )
+
+    n, r, m = 8, 1, 4
+    state = DavidsonState(
+        v=jnp.zeros((m, n)), w=jnp.zeros((m, n)), mask=jnp.zeros((m,)),
+        k=jnp.asarray(1, jnp.int32), evals=jnp.zeros((r,)),
+        x=jnp.zeros((r, n)), r=jnp.zeros((r, n)), errors=jnp.ones((r,)),
+    )
+    path = str(tmp_path / "run1")  # no suffix — np.savez appends .npz
+    save_fused_state(state, path, iterations=np.int64(7),
+                     errors=np.asarray([1.0, 2.0]))
+    restored, meta = load_fused_state(path)
+    assert int(restored.k) == 1
+    assert meta["iterations"] == 7
+    assert meta["errors"] == [1.0, 2.0]

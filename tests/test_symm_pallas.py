@@ -290,23 +290,29 @@ class TestFromDenseSymmetric:
         a = rng.standard_normal((n, n)) * (0.1 / np.sqrt(n))
         return a + a.T + np.diag(np.linspace(0.0, 12.0, n))
 
-    @pytest.mark.parametrize("tier", ["exact", "fast", "precise"])
-    def test_tiers_converge(self, tier):
+    # per-tier (residual tol, eigenvalue band): fast stores bf16 tiles on
+    # every backend, so its floor is the bf16 operator error even on CPU
+    @pytest.mark.parametrize("tier,tol,ev_band", [
+        ("exact", 1e-9, 1e-8),
+        ("precise", 1e-4, 1e-4),
+        ("fast", 5e-2, 5e-2),
+    ])
+    def test_tiers_converge(self, tier, tol, ev_band):
         from iterative_solver_tpu.solvers.fused_davidson import FusedDavidson
 
         n, nroots = 96, 3
         mat = self._mat(n)
         solver = FusedDavidson.from_dense_symmetric(
             mat, nroots, tier=tier, b=32,
-            convergence_threshold=1e-9, max_iter=300,
+            convergence_threshold=tol, max_iter=300,
         )
         v0 = np.zeros((nroots, n))
         for row, i in enumerate(np.argsort(np.diag(mat))[:nroots]):
             v0[row, i] = 1.0
         evals, x, errors, iters = solver.run_on_device(v0)
-        assert np.max(errors) < 1e-9
+        assert np.max(errors) < tol
         ref = np.linalg.eigvalsh(mat)[:nroots]
-        np.testing.assert_allclose(np.sort(np.asarray(evals)), ref, atol=1e-8)
+        np.testing.assert_allclose(np.sort(np.asarray(evals)), ref, atol=ev_band)
         assert solver.unpad(x).shape == (nroots, n)
 
     def test_padded_dimension(self):
