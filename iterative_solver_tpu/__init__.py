@@ -35,7 +35,10 @@ from .solvers.linear_equations import LinearEquationsDavidson
 from .solvers.nonlinear_diis import NonLinearEquationsDIIS
 from .solvers.optimize import OptimizeBFGS, OptimizeSD
 from .solvers.fused_davidson import FusedDavidson, make_batched_davidson_solve
-from .solvers.implicit_diff import make_differentiable_eigenvalues
+from .solvers.implicit_diff import (
+    make_differentiable_eigenpairs,
+    make_differentiable_eigenvalues,
+)
 from .solvers.fused_linear import FusedLinearEquations
 from .solvers.fused_lbfgs import FusedLBFGS
 
@@ -54,6 +57,7 @@ __all__ = [
     "FusedDavidson",
     "make_batched_davidson_solve",
     "make_differentiable_eigenvalues",
+    "make_differentiable_eigenpairs",
     "FusedLinearEquations",
     "FusedLBFGS",
     "Interpolate",

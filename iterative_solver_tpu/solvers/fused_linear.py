@@ -55,7 +55,11 @@ def _step_body(matvec: Callable[..., Array], nrhs: int, m_max: int, null_thresh:
         r = ax - b
         errors = jnp.sqrt(jnp.abs(jnp.einsum("in,in->i", r, r, precision=_PREC))) / b_norm
 
-        t = r / (diag[None, :] + 1e-15)
+        # diag may be (N,) shared or (nrhs, N) row-wise (shifted systems:
+        # the eigenvector-response adjoint preconditions row i with
+        # diag - lambda_i)
+        d = diag if diag.ndim == 2 else diag[None, :]
+        t = r / (d + 1e-15)
         for _ in range(2):
             proj = jnp.matmul(t, v.T, precision=_PREC) * mask[None, :]
             t = t - jnp.matmul(proj, v, precision=_PREC)
