@@ -209,20 +209,31 @@ def _step_body(
         errors = jnp.sqrt(jnp.abs(jnp.einsum("in,in->i", r, r, precision=_PREC)))
 
         if expand is None:
-            # Jacobi/Davidson preconditioner (IterativeSolver.h:34-44 semantics)
-            t = r / (diag[None, :] - evals[:, None] + 1e-15)
+            # Jacobi/Davidson preconditioner (IterativeSolver.h:34-44
+            # semantics, with the regulariser made RELATIVE to the spectrum
+            # scale — the reference's absolute 1e-15 swamps the true
+            # denominator for operators scaled near/below 1e-15)
+            scale_est = jnp.max(jnp.abs(diag)) + jnp.max(jnp.abs(evals))
+            t = r / (diag[None, :] - evals[:, None]
+                     + 1e-15 * scale_est + 1e-300)
         else:
             t = expand(x, r, evals, evals_all, mask, diag, operand)
 
+        # null detection must be scale-invariant: compare post-GS norms to
+        # the PRE-GS norms (a dependent direction is annihilated relative to
+        # its own magnitude, whatever the operator scaling)
+        n0_2 = jnp.einsum("in,in->i", t, t, precision=_PREC)
         # orthogonalise against the basis: two classical GS passes, each one
         # matmul pair (the fused analogue of propose_rspace's MGS sweep)
         for _ in range(2):
             proj = jnp.matmul(t, v.T, precision=_PREC) * mask[None, :]
             t = t - jnp.matmul(proj, v, precision=_PREC)
-        # whiten among themselves via Cholesky of the small Gram matrix
+        n2 = jnp.einsum("in,in->i", t, t, precision=_PREC)
+        keep = n2 > null_thresh**2 * jnp.maximum(n0_2, 1e-300)
+        # normalise surviving rows so the whitening Gram has a unit diagonal
+        # (keeps the Cholesky jitter meaningful at any operator scale)
+        t = t * jnp.where(keep, 1.0 / jnp.sqrt(jnp.where(keep, n2, 1.0)), 0.0)[:, None]
         g = jnp.matmul(t, t.T, precision=_PREC)
-        norms2 = jnp.diagonal(g)
-        keep = norms2 > null_thresh**2
         g = jnp.where(keep[:, None] & keep[None, :], g, 0.0)
         g = g + jnp.where(keep, 1e-30, 1.0) * jnp.eye(nroots, dtype=g.dtype)
         l = jnp.linalg.cholesky(g)

@@ -59,13 +59,18 @@ def _step_body(matvec: Callable[..., Array], nrhs: int, m_max: int, null_thresh:
         # the eigenvector-response adjoint preconditions row i with
         # diag - lambda_i)
         d = diag if diag.ndim == 2 else diag[None, :]
-        t = r / (d + 1e-15)
+        # relative regulariser: the absolute 1e-15 swamps operators scaled
+        # near/below it (cf. fused_davidson)
+        t = r / (d + 1e-15 * jnp.max(jnp.abs(d)) + 1e-300)
+        n0_2 = jnp.einsum("in,in->i", t, t, precision=_PREC)
         for _ in range(2):
             proj = jnp.matmul(t, v.T, precision=_PREC) * mask[None, :]
             t = t - jnp.matmul(proj, v, precision=_PREC)
+        n2 = jnp.einsum("in,in->i", t, t, precision=_PREC)
+        # scale-invariant null test + row normalisation for the whitening
+        keep = n2 > null_thresh**2 * jnp.maximum(n0_2, 1e-300)
+        t = t * jnp.where(keep, 1.0 / jnp.sqrt(jnp.where(keep, n2, 1.0)), 0.0)[:, None]
         g = jnp.matmul(t, t.T, precision=_PREC)
-        norms2 = jnp.diagonal(g)
-        keep = norms2 > null_thresh**2
         g = jnp.where(keep[:, None] & keep[None, :], g, 0.0)
         g = g + jnp.where(keep, 1e-30, 1.0) * jnp.eye(nrhs, dtype=g.dtype)
         l = jnp.linalg.cholesky(g)

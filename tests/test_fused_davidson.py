@@ -291,3 +291,35 @@ def test_batched_solve():
         np.testing.assert_allclose(
             np.sort(np.asarray(final.evals[b])), ref, atol=1e-8, err_msg=f"batch {b}"
         )
+
+
+@pytest.mark.parametrize("scale", [1e-18, 1e18])
+def test_scale_invariance(scale):
+    """Extreme operator scalings converge identically: the null-direction
+    test compares post- vs pre-GS norms and the preconditioner regulariser
+    is relative to the spectrum, so no absolute constant swamps a badly
+    scaled problem (1e-18 previously stalled for 300 iterations and
+    returned 150%-wrong eigenvalues)."""
+    import jax
+    import jax.numpy as jnp
+
+    from iterative_solver_tpu.solvers.fused_davidson import FusedDavidson
+
+    n, nroots = 128, 2
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((n, n)) * (0.1 / np.sqrt(n))
+    mat = (a + a.T + np.diag(np.linspace(0.0, 10.0, n))) * scale
+    ref = np.linalg.eigvalsh(mat)[:nroots]
+
+    def matvec(x, op):
+        return jnp.matmul(x, op.T, precision=jax.lax.Precision.HIGHEST)
+
+    solver = FusedDavidson(matvec, np.diag(mat), n, nroots, m_max=12,
+                           convergence_threshold=1e-9 * scale, max_iter=100,
+                           operand=jnp.asarray(mat))
+    v0 = np.zeros((nroots, n))
+    v0[0, 0] = v0[1, 1] = 1.0
+    evals, x, errors, iters = solver.run_on_device(v0)
+    assert iters < 50, iters
+    rel = np.abs(np.sort(np.asarray(evals)) - ref).max() / np.abs(ref).max()
+    assert rel < 1e-12, rel
