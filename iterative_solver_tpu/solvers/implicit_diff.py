@@ -15,6 +15,11 @@ Eigenvector adjoints (which need (A - lambda)^+ solves) are out of scope
 here; pair the eigenvalue adjoint with an explicit FusedLinearEquations
 response solve when needed.
 
+The matvec must be differentiable w.r.t. the operand: the XLA operator
+paths (dense matmuls, symm_matmat, _symm_matmat_xla, BSR einsum) are; the
+Pallas kernels define no autodiff rule — route differentiable workflows
+through the XLA paths.
+
 DEGENERACY CAVEAT: for (near-)degenerate eigenvalues the individual
 eigenvectors — and therefore the per-root gradients — are only defined up
 to a rotation of the degenerate subspace; the solver lands in an arbitrary

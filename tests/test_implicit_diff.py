@@ -153,3 +153,40 @@ def test_eigenpair_gradient_eigenvalue_part_consistent():
     g1 = jax.grad(lambda t: jnp.sum(eigfn(v0, base + t * pert, diag)))(0.1)
     g2 = jax.grad(lambda t: jnp.sum(pairfn(v0, base + t * pert, diag)[0]))(0.1)
     np.testing.assert_allclose(float(g1), float(g2), rtol=1e-9)
+
+
+def test_gradient_through_packed_xla_action():
+    """The packed symmetric XLA path (symm_matmat) differentiates: gradients
+    flow to the tile values. (The Pallas kernels define no autodiff rule —
+    use the XLA path for differentiable workflows.)"""
+    import dataclasses
+
+    from iterative_solver_tpu.ops.kernels.symm_pallas import (
+        SymmetricBlocked,
+        symm_matmat,
+    )
+    from iterative_solver_tpu.solvers.implicit_diff import (
+        make_differentiable_eigenvalues,
+    )
+
+    n, b, nroots = 64, 16, 2
+    rng = np.random.default_rng(61)
+    a = rng.standard_normal((n, n)) * (0.1 / np.sqrt(n))
+    mat = a + a.T + np.diag(np.linspace(1.0, 8.0, n))
+    sym = SymmetricBlocked.from_dense(mat, b=b)
+
+    def matvec(x, op):
+        s = dataclasses.replace(sym, values=op)
+        return symm_matmat(x, s)
+
+    eigfn = make_differentiable_eigenvalues(matvec, nroots, 8 * nroots,
+                                            tol=1e-11, max_iter=400)
+    diag = jnp.diagonal(jnp.asarray(mat))
+    v0 = jnp.zeros((nroots, n)).at[jnp.arange(nroots), jnp.arange(nroots)].set(1.0)
+
+    def e0(scale):
+        return eigfn(v0, sym.values * scale, diag * scale)[0]
+
+    g = jax.grad(e0)(1.0)
+    # lambda(s) = s lambda(1) => dlambda/ds = lambda(1)
+    np.testing.assert_allclose(float(g), float(e0(1.0)), rtol=1e-8)
