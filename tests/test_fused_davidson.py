@@ -323,3 +323,36 @@ def test_scale_invariance(scale):
     assert iters < 50, iters
     rel = np.abs(np.sort(np.asarray(evals)) - ref).max() / np.abs(ref).max()
     assert rel < 1e-12, rel
+
+
+@pytest.mark.parametrize("rr,max_iters", [("full", 25), ("window", 55), ("window3", 42)])
+def test_iteration_count_locks(rr, max_iters):
+    """Drift locks for the fused path (the golden-trace analogue of the
+    parity solvers): on a fixed deterministic problem each RR mode must
+    converge within its recorded iteration budget — a regression in the
+    masked bookkeeping, GS, whitening or window carriers shows up as an
+    iteration-count jump long before it breaks accuracy."""
+    import jax
+    import jax.numpy as jnp
+
+    from iterative_solver_tpu.solvers.fused_davidson import FusedDavidson
+
+    n, nroots = 200, 3
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal((n, n)) * (0.1 / np.sqrt(n))
+    mat = a + a.T + np.diag(np.linspace(0.0, 12.0, n))
+
+    def matvec(x, op):
+        return jnp.matmul(x, op.T, precision=jax.lax.Precision.HIGHEST)
+
+    solver = FusedDavidson(matvec, np.diag(mat), n, nroots, m_max=4 * nroots,
+                           convergence_threshold=1e-9, max_iter=300,
+                           operand=jnp.asarray(mat), rr=rr)
+    v0 = np.zeros((nroots, n))
+    for row, i in enumerate(np.argsort(np.diag(mat))[:nroots]):
+        v0[row, i] = 1.0
+    evals, x, errors, iters = solver.run_on_device(v0)
+    assert np.max(errors) < 1e-9
+    ref = np.linalg.eigvalsh(mat)[:nroots]
+    np.testing.assert_allclose(np.sort(np.asarray(evals)), ref, atol=1e-8)
+    assert iters <= max_iters, f"iteration-count drift: {iters} > {max_iters}"
