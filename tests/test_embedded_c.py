@@ -54,3 +54,16 @@ def test_c_program_through_embedded_library(tmp_path):
     run_p = subprocess.run([exe_p], env=env, capture_output=True, text=True, timeout=240)
     assert run_p.returncode == 0, run_p.stdout + run_p.stderr
     assert "P-space C ABI OK" in run_p.stdout
+
+    # linear equations, multi-RHS (IterativeSolverLinearEquationsInitialize)
+    src_l = os.path.join(REPO, "examples", "c", "linear_equations_c.c")
+    exe_l = str(tmp_path / "test_lineq_c")
+    compile_l = subprocess.run(
+        ["gcc", "-O2", src_l, "-I", include_dir, "-L", so_dir,
+         "-literative_solver_tpu_c", "-o", exe_l],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert compile_l.returncode == 0, compile_l.stderr
+    run_l = subprocess.run([exe_l], env=env, capture_output=True, text=True, timeout=240)
+    assert run_l.returncode == 0, run_l.stdout + run_l.stderr
+    assert "OK" in run_l.stdout

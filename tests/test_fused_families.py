@@ -152,3 +152,31 @@ def test_fused_linear_with_packed_symmetric_action():
     assert np.max(np.asarray(errors)) < 1e-10
     ref = np.linalg.solve(mat, rhs.T).T
     np.testing.assert_allclose(np.asarray(x), ref, atol=1e-7)
+
+
+@pytest.mark.parametrize("scale", [1e-15, 1e15])
+def test_fused_linear_scale_invariance(scale):
+    """The fused linear solver's thresholds are scale-invariant too."""
+    import jax
+    import jax.numpy as jnp
+
+    from iterative_solver_tpu.solvers.fused_linear import FusedLinearEquations
+
+    n, nrhs = 96, 2
+    rng = np.random.default_rng(19)
+    a = rng.standard_normal((n, n)) * 0.1
+    mat = (a + a.T + np.diag(np.arange(4.0, n + 4.0))) * scale
+    rhs = rng.standard_normal((nrhs, n)) * scale
+
+    def matvec(x, op):
+        return jnp.matmul(x, op.T, precision=jax.lax.Precision.HIGHEST)
+
+    solver = FusedLinearEquations(
+        matvec, np.diag(mat), n, nrhs, m_max=24,
+        convergence_threshold=1e-10, max_iter=100, operand=jnp.asarray(mat),
+    )
+    x, errors, iters = solver.solve(rhs)
+    assert np.max(np.asarray(errors)) < 1e-10   # errors are |Ax-b|/|b|: scale-free
+    assert iters < 50
+    ref = np.linalg.solve(mat, rhs.T).T
+    np.testing.assert_allclose(np.asarray(x), ref, rtol=1e-7)
