@@ -67,3 +67,16 @@ def test_c_program_through_embedded_library(tmp_path):
     run_l = subprocess.run([exe_l], env=env, capture_output=True, text=True, timeout=240)
     assert run_l.returncode == 0, run_l.stdout + run_l.stderr
     assert "OK" in run_l.stdout
+
+    # L-BFGS through the AddValue nonlinear leg of the ABI
+    src_o = os.path.join(REPO, "examples", "c", "optimize_c.c")
+    exe_o = str(tmp_path / "test_opt_c")
+    compile_o = subprocess.run(
+        ["gcc", "-O2", src_o, "-I", include_dir, "-L", so_dir,
+         "-literative_solver_tpu_c", "-o", exe_o],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert compile_o.returncode == 0, compile_o.stderr
+    run_o = subprocess.run([exe_o], env=env, capture_output=True, text=True, timeout=240)
+    assert run_o.returncode == 0, run_o.stdout + run_o.stderr
+    assert "Optimize C ABI OK" in run_o.stdout
