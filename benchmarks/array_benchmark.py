@@ -12,9 +12,13 @@ Usage: python benchmarks/array_benchmark.py [--lengths 1000 100000]
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def time_op(fn, repeats_target_s: float = 0.1, max_repeats: int = 1000):
