@@ -356,3 +356,32 @@ def test_iteration_count_locks(rr, max_iters):
     ref = np.linalg.eigvalsh(mat)[:nroots]
     np.testing.assert_allclose(np.sort(np.asarray(evals)), ref, atol=1e-8)
     assert iters <= max_iters, f"iteration-count drift: {iters} > {max_iters}"
+
+
+@pytest.mark.parametrize("rr", ["window", "window3"])
+def test_run_fast_with_window_modes(rr):
+    """The sweep driver (run_fast) carries the window coefficient blocks
+    through its fori_loop and converges with both window modes."""
+    import jax
+    import jax.numpy as jnp
+
+    from iterative_solver_tpu.solvers.fused_davidson import FusedDavidson
+
+    n, nroots = 160, 2
+    rng = np.random.default_rng(71)
+    a = rng.standard_normal((n, n)) * (0.1 / np.sqrt(n))
+    mat = a + a.T + np.diag(np.linspace(0.0, 12.0, n))
+
+    def matvec(x, op):
+        return jnp.matmul(x, op.T, precision=jax.lax.Precision.HIGHEST)
+
+    solver = FusedDavidson(matvec, np.diag(mat), n, nroots, m_max=4 * nroots,
+                           convergence_threshold=1e-9, max_iter=400,
+                           operand=jnp.asarray(mat), rr=rr)
+    v0 = np.zeros((nroots, n))
+    for row, i in enumerate(np.argsort(np.diag(mat))[:nroots]):
+        v0[row, i] = 1.0
+    evals, x, errors, iters = solver.run_fast(v0)
+    assert np.max(errors) < 1e-9
+    ref = np.linalg.eigvalsh(mat)[:nroots]
+    np.testing.assert_allclose(np.sort(np.asarray(evals)), ref, atol=1e-8)
