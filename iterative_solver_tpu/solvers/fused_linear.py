@@ -161,6 +161,64 @@ class FusedLinearEquations:
         self.operand = operand
         self._solve = make_linear_solve(matvec, nrhs, self.m_max, self.tol, self.max_iter)
 
+    @classmethod
+    def from_dense_symmetric(cls, matrix, nrhs: int, tier: str = None,
+                             b: int = 512, **kwargs) -> "FusedLinearEquations":
+        """Build the solver around the packed-triangle symmetric action
+        (symmetric A X = B — the response-equation shape). Same tier
+        semantics as FusedDavidson.from_dense_symmetric; the operator
+        dimension must already be a multiple of the tile size (linear
+        systems have no harmless padding: a padded row makes A singular)."""
+        import dataclasses
+
+        import numpy as _np
+
+        from ..ops.kernels.symm_pallas import (
+            SymmetricBlocked,
+            SymmetricBlockedSplit,
+            symm_matmat,
+            symm_matmat_pallas,
+            symm_matmat_split,
+            symm_matmat_split_pallas,
+        )
+
+        matrix = _np.asarray(matrix, dtype=_np.float64)
+        n = matrix.shape[0]
+        on_tpu = jax.default_backend() == "tpu"
+        if tier is None:
+            tier = "precise" if on_tpu else "exact"
+        if tier not in ("fast", "precise", "exact"):
+            raise ValueError(f"unknown tier {tier!r}: use 'fast', 'precise' or 'exact'")
+        b = min(b, n)
+        if n % b != 0:
+            raise ValueError(
+                f"operator dimension {n} must be a multiple of the tile size {b} "
+                f"(zero padding would make the linear system singular)")
+
+        if tier == "precise":
+            sym = SymmetricBlockedSplit.from_dense(matrix, b=b)
+            operand = (sym.hi, sym.lo, sym.ii, sym.jj)
+
+            def matvec(x, op):
+                s = dataclasses.replace(sym, hi=op[0], lo=op[1], ii=op[2], jj=op[3])
+                if on_tpu:
+                    return symm_matmat_split_pallas(x, s)
+                return symm_matmat_split(x, s).astype(x.dtype)
+
+        else:
+            tile_dtype = jnp.bfloat16 if tier == "fast" else None
+            sym = SymmetricBlocked.from_dense(matrix, b=b, dtype=tile_dtype)
+            operand = (sym.values, sym.ii, sym.jj)
+
+            def matvec(x, op):
+                s = dataclasses.replace(sym, values=op[0], ii=op[1], jj=op[2])
+                if on_tpu:
+                    return symm_matmat_pallas(x, s)
+                return symm_matmat(x, s).astype(x.dtype)
+
+        return cls(matvec, _np.diagonal(matrix).copy(), n, nrhs,
+                   operand=operand, **kwargs)
+
     def solve(self, b, x0=None):
         """Returns (x, errors, iterations). b is (nrhs, N)."""
         b = jnp.asarray(np.asarray(b), dtype=self.dtype)

@@ -180,3 +180,30 @@ def test_fused_linear_scale_invariance(scale):
     assert iters < 50
     ref = np.linalg.solve(mat, rhs.T).T
     np.testing.assert_allclose(np.asarray(x), ref, rtol=1e-7)
+
+
+@pytest.mark.parametrize("tier,tol", [("exact", 1e-10), ("precise", 1e-5)])
+def test_fused_linear_from_dense_symmetric(tier, tol):
+    from iterative_solver_tpu.solvers.fused_linear import FusedLinearEquations
+
+    n, nrhs = 96, 2
+    rng = np.random.default_rng(23)
+    a = rng.standard_normal((n, n)) * 0.1
+    mat = a + a.T + np.diag(np.arange(4.0, n + 4.0))
+    solver = FusedLinearEquations.from_dense_symmetric(
+        mat, nrhs, tier=tier, b=32,
+        convergence_threshold=tol, max_iter=200,
+    )
+    rhs = rng.standard_normal((nrhs, n))
+    x, errors, iters = solver.solve(rhs)
+    assert np.max(np.asarray(errors)) < tol
+    ref = np.linalg.solve(mat, rhs.T).T
+    np.testing.assert_allclose(np.asarray(x), ref, atol=100 * tol)
+
+
+def test_fused_linear_from_dense_rejects_indivisible():
+    from iterative_solver_tpu.solvers.fused_linear import FusedLinearEquations
+
+    mat = np.eye(100)
+    with pytest.raises(ValueError):
+        FusedLinearEquations.from_dense_symmetric(mat, 1, b=32)
