@@ -5,6 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+import iterative_solver_tpu as its
 from iterative_solver_tpu import config
 from iterative_solver_tpu.array import vector_ops as vops
 from iterative_solver_tpu.ops import dense
@@ -154,3 +155,47 @@ class TestReviewRegressions:
             assert c_api._top().solver.apply_p is None
         finally:
             c_api.IterativeSolverFinalize()
+
+
+def test_normalise_solution_flag():
+    """solution() rescales reconstructed parameters (and residuals by the
+    same factor) to unit norm when normalise_solution is set
+    (IterativeSolverTemplate construct_solution semantics)."""
+    n, nroot = 24, 2
+    rng = np.random.default_rng(81)
+    a = rng.standard_normal((n, n)) * 0.05
+    mat = a + a.T + np.diag(np.linspace(1.0, 8.0, n))
+    problem = its.models.MatrixProblem(mat)
+    solver = its.create_linear_eigensystem(n, nroot, "Davidson")
+    solver.set_hermiticity(True)
+    solver.verbosity = its.Verbosity.NONE
+    solver.normalise_solution = True
+    conv, *_ = solver.solve(np.zeros((nroot, n)), problem=problem,
+                            generate_initial_guess=True)
+    assert conv
+    params, resid = solver.solution([0, 1])
+    norms = np.linalg.norm(np.asarray(params), axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-10)
+
+
+def test_convergence_threshold_value():
+    """Eigenvalue-change (value-error) convergence: with a loose residual
+    threshold but a tight value threshold, roots only leave the working set
+    when their eigenvalue stops moving (LinearEigensystemDavidson value
+    errors, :106-113)."""
+    n, nroot = 32, 1
+    rng = np.random.default_rng(82)
+    a = rng.standard_normal((n, n)) * 0.05
+    mat = a + a.T + np.diag(np.linspace(1.0, 9.0, n))
+    problem = its.models.MatrixProblem(mat)
+    solver = its.create_linear_eigensystem(n, nroot, "Davidson")
+    solver.set_hermiticity(True)
+    solver.verbosity = its.Verbosity.NONE
+    solver.convergence_threshold = 1e-2       # loose residual
+    solver.convergence_threshold_value = 1e-12  # tight eigenvalue change
+    conv, *_ = solver.solve(np.zeros((nroot, n)), problem=problem,
+                            generate_initial_guess=True)
+    assert conv
+    # the converged eigenvalue is far better than the loose residual band
+    ref = np.linalg.eigvalsh(mat)[0]
+    assert abs(solver.eigenvalues()[0] - ref) < 1e-9
