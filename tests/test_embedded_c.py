@@ -80,3 +80,16 @@ def test_c_program_through_embedded_library(tmp_path):
     run_o = subprocess.run([exe_o], env=env, capture_output=True, text=True, timeout=240)
     assert run_o.returncode == 0, run_o.stdout + run_o.stderr
     assert "Optimize C ABI OK" in run_o.stdout
+
+    # DIIS through the nonlinear-equations leg
+    src_d = os.path.join(REPO, "examples", "c", "diis_c.c")
+    exe_d = str(tmp_path / "test_diis_c")
+    compile_d = subprocess.run(
+        ["gcc", "-O2", src_d, "-I", include_dir, "-L", so_dir,
+         "-literative_solver_tpu_c", "-o", exe_d],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert compile_d.returncode == 0, compile_d.stderr
+    run_d = subprocess.run([exe_d], env=env, capture_output=True, text=True, timeout=240)
+    assert run_d.returncode == 0, run_d.stdout + run_d.stderr
+    assert "DIIS C ABI OK" in run_d.stdout
