@@ -382,3 +382,54 @@ def _symm_matmat_split_impl(ii, jj, x, hi, lo, *, m, n, b, n_pairs, interpret):
             transcendentals=0,
         ),
     )(ii, jj, xh, xl, hi, lo)
+
+
+def make_differentiable_symm_action(sym: SymmetricBlocked, use_pallas=None,
+                                    interpret: bool = False):
+    """Return ``action(x, values) -> y`` with a custom VJP, making the packed
+    kernels usable in differentiable workflows (Pallas calls define no
+    autodiff rule; this supplies one analytically).
+
+    - x-cotangent: the operator is symmetric, so the adjoint action IS the
+      forward packed action applied to the output cotangent — the same
+      kernel runs in the backward pass at the same half-traffic cost.
+    - values-cotangent (per tile t=(i,j)):
+        vbar[t] = ybar_i^T x_j  +  [i != j] x_i^T ybar_j
+      computed with batched einsums over the pair list.
+
+    ``values`` is the differentiable argument; the pair topology (ii, jj)
+    is closed over. Pass the tile stack through a traced argument (as the
+    solvers do) so large operators never bake into the HLO."""
+    b = sym.b
+    nb = sym.shape[0] // b
+    ii, jj = sym.ii, sym.jj
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+
+    def _forward(x, values):
+        s = dataclasses.replace(sym, values=values)
+        if use_pallas:
+            return symm_matmat_pallas(x, s, interpret=interpret)
+        return symm_matmat(x, s)
+
+    @jax.custom_vjp
+    def action(x, values):
+        return _forward(x, values)
+
+    def fwd(x, values):
+        return _forward(x, values), (x, values)
+
+    def bwd(res, ybar):
+        x, values = res
+        xbar = _forward(ybar, values).astype(x.dtype)
+        m = x.shape[0]
+        xt = x.reshape(m, nb, b).transpose(1, 0, 2)
+        yt = ybar.reshape(m, nb, b).transpose(1, 0, 2)
+        vbar = jnp.einsum("kmp,kmq->kpq", yt[ii], xt[jj], precision=_PREC)
+        strict = (ii != jj).astype(vbar.dtype)
+        vbar = vbar + strict[:, None, None] * jnp.einsum(
+            "kmp,kmq->kpq", xt[ii], yt[jj], precision=_PREC)
+        return xbar, vbar.astype(values.dtype)
+
+    action.defvjp(fwd, bwd)
+    return action

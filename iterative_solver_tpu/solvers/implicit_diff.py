@@ -16,9 +16,11 @@ here; pair the eigenvalue adjoint with an explicit FusedLinearEquations
 response solve when needed.
 
 The matvec must be differentiable w.r.t. the operand: the XLA operator
-paths (dense matmuls, symm_matmat, _symm_matmat_xla, BSR einsum) are; the
-Pallas kernels define no autodiff rule — route differentiable workflows
-through the XLA paths.
+paths (dense matmuls, symm_matmat, _symm_matmat_xla, BSR einsum) are, and
+the packed symmetric kernels gain an analytic custom VJP through
+``symm_pallas.make_differentiable_symm_action`` (the adjoint of a
+symmetric action is the same packed kernel; tile cotangents are batched
+outer products). Other raw Pallas calls define no autodiff rule.
 
 DEGENERACY CAVEAT: for (near-)degenerate eigenvalues the individual
 eigenvectors — and therefore the per-root gradients — are only defined up
