@@ -108,6 +108,14 @@ def main():
 
         tol_fast, tol_prec = 2e-4, 1e-5
         rr_fast = "window"
+        # match FusedDavidson's TPU auto policy (chain_pallas fused
+        # precondition+GS+Gram; measured +~1.5% on the headline config).
+        # Gated per-config: the grid-free kernel compile-OOMs VMEM on
+        # oversized stacks (r32/m128 measured 22.6 MB vs the 16 MB arena).
+        from iterative_solver_tpu.ops.kernels.chain_pallas import fits_vmem
+        fuse_fast = fits_vmem(NROOTS_BLOCK, M_MAX_BLOCK, N)
+        fuse_r4 = fits_vmem(NROOTS, M_MAX, N)
+        fuse_32 = fits_vmem(32, 128, N)
     else:
         matj = jnp.asarray(matrix, dtype=dtype)
 
@@ -118,6 +126,7 @@ def main():
         op_fast = op_prec = matj
         tol_fast = tol_prec = 2e-4 if dtype == jnp.float32 else 1e-8
         rr_fast = "full"
+        fuse_fast = fuse_r4 = fuse_32 = False
 
     def guess(nroots):
         v0 = np.zeros((nroots, N))
@@ -177,7 +186,8 @@ def main():
         matvec_fast, diag, N, NROOTS_BLOCK, m_max=M_MAX_BLOCK, dtype=dtype,
         convergence_threshold=tol_fast, max_iter=60, operand=op_fast, rr=rr_fast,
     )
-    solve_blk = make_davidson_solve(matvec_fast, NROOTS_BLOCK, M_MAX_BLOCK, rr=rr_fast)
+    solve_blk = make_davidson_solve(matvec_fast, NROOTS_BLOCK, M_MAX_BLOCK, rr=rr_fast,
+                                    fuse_chain=fuse_fast)
     st_blk = solver_blk.init_state(guess(NROOTS_BLOCK))
     per_iter_blk, wall_blk, _ = sustained(solve_blk, st_blk, op_fast, solver_blk.diag)
     gflops_blk = flops_iter_blk / per_iter_blk / 1e9
@@ -195,7 +205,8 @@ def main():
             matvec_fast, diag, N, r32, m_max=m32, dtype=dtype,
             convergence_threshold=3e-4, max_iter=60, operand=op_fast, rr=rr_fast,
         )
-        solve_32 = make_davidson_solve(matvec_fast, r32, m32, rr=rr_fast)
+        solve_32 = make_davidson_solve(matvec_fast, r32, m32, rr=rr_fast,
+                                       fuse_chain=fuse_32)
         st_32 = solver_32.init_state(guess(r32))
         per_iter_32, _, _ = sustained(solve_32, st_32, op_fast, solver_32.diag)
         flops_iter_32 = (
@@ -221,7 +232,8 @@ def main():
     gflops_prec = flops_iter_blk / per_iter_prec / 1e9
 
     # ---- FAST tier, 4-root sustained + dispatch constant ----
-    solve_r4 = make_davidson_solve(matvec_fast, NROOTS, M_MAX, rr=rr_fast)
+    solve_r4 = make_davidson_solve(matvec_fast, NROOTS, M_MAX, rr=rr_fast,
+                                   fuse_chain=fuse_r4)
     solver_r4 = FusedDavidson(
         matvec_fast, diag, N, NROOTS, m_max=M_MAX, dtype=dtype,
         convergence_threshold=tol_fast, max_iter=60, operand=op_fast, rr=rr_fast,

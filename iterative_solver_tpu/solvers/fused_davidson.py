@@ -169,6 +169,7 @@ def _step_body(
     null_thresh: float = 1e-10,
     expand: Optional[Callable] = None,
     rr: str = "full",
+    fuse_chain: bool = False,
 ):
     """Raw (unjitted) single-iteration body shared by step and sweep.
 
@@ -181,7 +182,14 @@ def _step_body(
     semantics); "window" carries the Ritz coefficient block and solves a
     (2r, 2r) locally-optimal window instead; "window3" adds the LOBPCG
     momentum block — a (3r, 3r) window with near-full-Davidson convergence
-    (requires m_max >= 3*nroots; see _window_rr)."""
+    (requires m_max >= 3*nroots; see _window_rr).
+
+    ``fuse_chain`` runs the precondition + Gram-Schmidt + norms + Gram part
+    of the step as ONE Pallas kernel (ops/kernels/chain_pallas.py) instead
+    of ~10 individually-dispatched XLA ops — same math, fewer trips through
+    the ~5 us per-op floor. Single-device only (do not combine with a
+    mesh-sharded basis) and the stacks must fit VMEM (fits_vmem guard);
+    FusedDavidson auto-enables it when safe."""
     _validate_rr(rr, nroots, m_max)
 
     def step(state: DavidsonState, operand, diag: Array) -> DavidsonState:
@@ -208,37 +216,60 @@ def _step_body(
         r = ax - evals[:, None] * x
         errors = jnp.sqrt(jnp.abs(jnp.einsum("in,in->i", r, r, precision=_PREC)))
 
-        if expand is None:
-            # Jacobi/Davidson preconditioner (IterativeSolver.h:34-44
-            # semantics, with the regulariser made RELATIVE to the spectrum
-            # scale — the reference's absolute 1e-15 swamps the true
-            # denominator for operators scaled near/below 1e-15)
-            scale_est = jnp.max(jnp.abs(diag)) + jnp.max(jnp.abs(evals))
-            t = r / (diag[None, :] - evals[:, None]
-                     + 1e-15 * scale_est + 1e-300)
-        else:
-            t = expand(x, r, evals, evals_all, mask, diag, operand)
+        if fuse_chain:
+            from ..ops.kernels.chain_pallas import fused_expand_chain
 
-        # null detection must be scale-invariant: compare post-GS norms to
-        # the PRE-GS norms (a dependent direction is annihilated relative to
-        # its own magnitude, whatever the operator scaling)
-        n0_2 = jnp.einsum("in,in->i", t, t, precision=_PREC)
-        # orthogonalise against the basis: two classical GS passes, each one
-        # matmul pair (the fused analogue of propose_rspace's MGS sweep)
-        for _ in range(2):
-            proj = jnp.matmul(t, v.T, precision=_PREC) * mask[None, :]
-            t = t - jnp.matmul(proj, v, precision=_PREC)
-        n2 = jnp.einsum("in,in->i", t, t, precision=_PREC)
-        keep = n2 > null_thresh**2 * jnp.maximum(n0_2, 1e-300)
-        # normalise surviving rows so the whitening Gram has a unit diagonal
-        # (keeps the Cholesky jitter meaningful at any operator scale)
-        t = t * jnp.where(keep, 1.0 / jnp.sqrt(jnp.where(keep, n2, 1.0)), 0.0)[:, None]
-        g = jnp.matmul(t, t.T, precision=_PREC)
-        g = jnp.where(keep[:, None] & keep[None, :], g, 0.0)
-        g = g + jnp.where(keep, 1e-30, 1.0) * jnp.eye(nroots, dtype=g.dtype)
-        l = jnp.linalg.cholesky(g)
-        t = jax.scipy.linalg.solve_triangular(l, t, lower=True)
-        t = t * keep[:, None]
+            if expand is None:
+                # Jacobi preconditioning runs INSIDE the kernel
+                t, n0_2, n2, g = fused_expand_chain(r, v, mask, diag, evals)
+            else:
+                t = expand(x, r, evals, evals_all, mask, diag, operand)
+                t, n0_2, n2, g = fused_expand_chain(t, v, mask)
+            keep = n2 > null_thresh**2 * jnp.maximum(n0_2, 1e-300)
+            s = jnp.where(keep, 1.0 / jnp.sqrt(jnp.where(keep, n2, 1.0)), 0.0)
+            # the kernel's Gram is over UNnormalised rows; rescale to the
+            # unit-diagonal Gram the jitter calibration expects
+            g = s[:, None] * g * s[None, :]
+            g = jnp.where(keep[:, None] & keep[None, :], g, 0.0)
+            g = g + jnp.where(keep, 1e-30, 1.0) * jnp.eye(nroots, dtype=g.dtype)
+            l = jnp.linalg.cholesky(g)
+            # whitening as ONE (r, r) @ (r, N) matmul: L^{-1} diag(s) kept
+            # at O(r^2), dead rows zeroed through `keep`
+            ws = jax.scipy.linalg.solve_triangular(
+                l, jnp.diag(s), lower=True) * keep[:, None]
+            t = jnp.matmul(ws, t, precision=_PREC)
+        else:
+            if expand is None:
+                # Jacobi/Davidson preconditioner (IterativeSolver.h:34-44
+                # semantics, with the regulariser made RELATIVE to the
+                # spectrum scale — the reference's absolute 1e-15 swamps the
+                # true denominator for operators scaled near/below 1e-15)
+                scale_est = jnp.max(jnp.abs(diag)) + jnp.max(jnp.abs(evals))
+                t = r / (diag[None, :] - evals[:, None]
+                         + 1e-15 * scale_est + 1e-300)
+            else:
+                t = expand(x, r, evals, evals_all, mask, diag, operand)
+
+            # null detection must be scale-invariant: compare post-GS norms
+            # to the PRE-GS norms (a dependent direction is annihilated
+            # relative to its own magnitude, whatever the operator scaling)
+            n0_2 = jnp.einsum("in,in->i", t, t, precision=_PREC)
+            # orthogonalise against the basis: two classical GS passes, each
+            # one matmul pair (the fused analogue of propose_rspace's MGS)
+            for _ in range(2):
+                proj = jnp.matmul(t, v.T, precision=_PREC) * mask[None, :]
+                t = t - jnp.matmul(proj, v, precision=_PREC)
+            n2 = jnp.einsum("in,in->i", t, t, precision=_PREC)
+            keep = n2 > null_thresh**2 * jnp.maximum(n0_2, 1e-300)
+            # normalise surviving rows so the whitening Gram has a unit
+            # diagonal (keeps the Cholesky jitter meaningful at any scale)
+            t = t * jnp.where(keep, 1.0 / jnp.sqrt(jnp.where(keep, n2, 1.0)), 0.0)[:, None]
+            g = jnp.matmul(t, t.T, precision=_PREC)
+            g = jnp.where(keep[:, None] & keep[None, :], g, 0.0)
+            g = g + jnp.where(keep, 1e-30, 1.0) * jnp.eye(nroots, dtype=g.dtype)
+            l = jnp.linalg.cholesky(g)
+            t = jax.scipy.linalg.solve_triangular(l, t, lower=True)
+            t = t * keep[:, None]
 
         # append at slot k
         v_new = jax.lax.dynamic_update_slice(v, t.astype(v.dtype), (k, jnp.zeros((), k.dtype)))
@@ -258,22 +289,26 @@ def _step_body(
 
 
 def make_davidson_step(matvec, nroots: int, m_max: int, null_thresh: float = 1e-10,
-                       expand: Optional[Callable] = None, rr: str = "full"):
+                       expand: Optional[Callable] = None, rr: str = "full",
+                       fuse_chain: bool = False):
     """Jitted single iteration: state, operand, diag -> state. The operator
     data and diagonals are traced ARGUMENTS, not closed-over constants, so
     multi-GB operators never get baked into the HLO (essential for
     remote-compile paths and donation)."""
-    return jax.jit(_step_body(matvec, nroots, m_max, null_thresh, expand, rr),
+    return jax.jit(_step_body(matvec, nroots, m_max, null_thresh, expand, rr,
+                              fuse_chain),
                    donate_argnums=(0,))
 
 
 def make_davidson_sweep(matvec, nroots: int, m_max: int, steps: int, null_thresh: float = 1e-10,
-                        expand: Optional[Callable] = None, rr: str = "full"):
+                        expand: Optional[Callable] = None, rr: str = "full",
+                        fuse_chain: bool = False):
     """Jitted multi-iteration sweep: ``steps`` Davidson iterations in ONE
     dispatch (lax.fori_loop), amortising host/tunnel launch latency — the
     analogue of the reference's batched BufferManager passes, but for control
     overhead instead of IO."""
-    body = _step_body(matvec, nroots, m_max, null_thresh, expand, rr)
+    body = _step_body(matvec, nroots, m_max, null_thresh, expand, rr,
+                      fuse_chain)
 
     def sweep(state: DavidsonState, operand, diag: Array) -> DavidsonState:
         return jax.lax.fori_loop(0, steps, lambda i, s: body(s, operand, diag), state)
@@ -360,6 +395,7 @@ def make_davidson_solve(
     expand: Optional[Callable] = None,
     rr: str = "full",
     history: int = 0,
+    fuse_chain: bool = False,
 ):
     """The whole solve in ONE dispatch: a lax.while_loop that steps until
     convergence or ``max_iter``, restarting on-device whenever the basis
@@ -381,7 +417,8 @@ def make_davidson_solve(
     of one scalar store per iteration (the observability the reference gets
     from per-iteration report() printing, IterativeSolverTemplate.h:273-287,
     without breaking the fused loop)."""
-    step = _step_body(matvec, nroots, m_max, null_thresh, expand, rr)
+    step = _step_body(matvec, nroots, m_max, null_thresh, expand, rr,
+                      fuse_chain)
     restart = _restart_body(matvec, nroots, m_max)
 
     def solve(state: DavidsonState, operand, diag: Array, tol_, max_iter_):
@@ -432,6 +469,7 @@ def make_davidson_solve_chunked(
     null_thresh: float = 1e-10,
     expand: Optional[Callable] = None,
     rr: str = "full",
+    fuse_chain: bool = False,
 ):
     """Whole solve in one dispatch with the convergence check hoisted to
     restart boundaries: the outer lax.while_loop runs one basis-fill sweep
@@ -444,7 +482,8 @@ def make_davidson_solve_chunked(
     which matters once the cond's scalar reduction requires a cross-chip
     sync on a sharded mesh. Iteration counts are quantised up to the sweep
     length."""
-    step = _step_body(matvec, nroots, m_max, null_thresh, expand, rr)
+    step = _step_body(matvec, nroots, m_max, null_thresh, expand, rr,
+                      fuse_chain)
     restart = _restart_body(matvec, nroots, m_max)
     fill_steps = max(1, (m_max - nroots) // nroots)
 
@@ -528,6 +567,7 @@ class FusedDavidson:
         expand: Optional[Callable] = None,
         matvecs_per_direction: int = 1,
         rr: str = "full",
+        fuse_chain: Optional[bool] = None,
     ):
         if dtype is None:
             dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
@@ -556,7 +596,21 @@ class FusedDavidson:
         # the operator ``degree`` extra times per block)
         self.matvecs_per_direction = matvecs_per_direction
         self.rr = rr
-        self.step = make_davidson_step(matvec, nroots, self.m_max, expand=expand, rr=rr)
+        if fuse_chain is None:
+            # auto: the fused chain kernel is single-device Pallas (a
+            # mesh-sharded basis must keep the XLA chain so GSPMD inserts
+            # the psums) and grid-free (stacks must fit VMEM)
+            from ..ops.kernels.chain_pallas import fits_vmem
+
+            fuse_chain = (
+                jax.default_backend() == "tpu"
+                and sharding is None
+                and dtype == jnp.float32
+                and fits_vmem(nroots, eff_m_max, n)
+            )
+        self.fuse_chain = fuse_chain
+        self.step = make_davidson_step(matvec, nroots, self.m_max, expand=expand, rr=rr,
+                                       fuse_chain=fuse_chain)
         self.restart = make_restart(matvec, nroots, self.m_max)
         self.iterations = 0
         self.matvecs = 0
@@ -697,14 +751,14 @@ class FusedDavidson:
             if chunked:
                 chunk_fn = make_davidson_solve_chunked(
                     self.matvec, self.nroots, self.m_max, expand=self.expand,
-                    rr=self.rr,
+                    rr=self.rr, fuse_chain=self.fuse_chain,
                 )
                 tol_, max_iter_ = self.tol, self.max_iter
                 self._solve_cache = lambda st, op, dg: chunk_fn(st, op, dg, tol_, max_iter_)
             else:
                 self._solve_cache = make_davidson_solve(
                     self.matvec, self.nroots, self.m_max, self.tol, self.max_iter,
-                    expand=self.expand, rr=self.rr,
+                    expand=self.expand, rr=self.rr, fuse_chain=self.fuse_chain,
                 )
             self._solve_cache_key = key
         solve = self._solve_cache
@@ -728,7 +782,7 @@ class FusedDavidson:
         if getattr(self, "_sweep_cache", None) is None:
             self._sweep_cache = make_davidson_sweep(
                 self.matvec, self.nroots, self.m_max, steps, expand=self.expand,
-                rr=self.rr,
+                rr=self.rr, fuse_chain=self.fuse_chain,
             )
         sweep = self._sweep_cache
         state = self.init_state(v0)

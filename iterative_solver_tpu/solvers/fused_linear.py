@@ -35,7 +35,8 @@ class LinearState(NamedTuple):
     errors: Array   # (nrhs,) |A x - b| / |b|
 
 
-def _step_body(matvec: Callable[..., Array], nrhs: int, m_max: int, null_thresh: float = 1e-10):
+def _step_body(matvec: Callable[..., Array], nrhs: int, m_max: int, null_thresh: float = 1e-10,
+               fuse_chain: bool = False):
     def step(state: LinearState, operand, diag: Array, b: Array, b_norm: Array) -> LinearState:
         v, w, mask, k = state.v, state.w, state.mask, state.k
         h = jnp.matmul(v, w.T, precision=_PREC)
@@ -62,20 +63,37 @@ def _step_body(matvec: Callable[..., Array], nrhs: int, m_max: int, null_thresh:
         # relative regulariser: the absolute 1e-15 swamps operators scaled
         # near/below it (cf. fused_davidson)
         t = r / (d + 1e-15 * jnp.max(jnp.abs(d)) + 1e-300)
-        n0_2 = jnp.einsum("in,in->i", t, t, precision=_PREC)
-        for _ in range(2):
-            proj = jnp.matmul(t, v.T, precision=_PREC) * mask[None, :]
-            t = t - jnp.matmul(proj, v, precision=_PREC)
-        n2 = jnp.einsum("in,in->i", t, t, precision=_PREC)
-        # scale-invariant null test + row normalisation for the whitening
-        keep = n2 > null_thresh**2 * jnp.maximum(n0_2, 1e-300)
-        t = t * jnp.where(keep, 1.0 / jnp.sqrt(jnp.where(keep, n2, 1.0)), 0.0)[:, None]
-        g = jnp.matmul(t, t.T, precision=_PREC)
-        g = jnp.where(keep[:, None] & keep[None, :], g, 0.0)
-        g = g + jnp.where(keep, 1e-30, 1.0) * jnp.eye(nrhs, dtype=g.dtype)
-        l = jnp.linalg.cholesky(g)
-        t = jax.scipy.linalg.solve_triangular(l, t, lower=True)
-        t = t * keep[:, None]
+        if fuse_chain:
+            # GS + norms + Gram as ONE Pallas kernel (raw mode: this family's
+            # preconditioner shape differs from the Davidson one, so it stays
+            # in XLA above); see chain_pallas.py for the dispatch-floor story
+            from ..ops.kernels.chain_pallas import fused_expand_chain
+
+            t, n0_2, n2, g = fused_expand_chain(t, v, mask)
+            keep = n2 > null_thresh**2 * jnp.maximum(n0_2, 1e-300)
+            sc = jnp.where(keep, 1.0 / jnp.sqrt(jnp.where(keep, n2, 1.0)), 0.0)
+            g = sc[:, None] * g * sc[None, :]
+            g = jnp.where(keep[:, None] & keep[None, :], g, 0.0)
+            g = g + jnp.where(keep, 1e-30, 1.0) * jnp.eye(nrhs, dtype=g.dtype)
+            l = jnp.linalg.cholesky(g)
+            ws = jax.scipy.linalg.solve_triangular(
+                l, jnp.diag(sc), lower=True) * keep[:, None]
+            t = jnp.matmul(ws, t, precision=_PREC)
+        else:
+            n0_2 = jnp.einsum("in,in->i", t, t, precision=_PREC)
+            for _ in range(2):
+                proj = jnp.matmul(t, v.T, precision=_PREC) * mask[None, :]
+                t = t - jnp.matmul(proj, v, precision=_PREC)
+            n2 = jnp.einsum("in,in->i", t, t, precision=_PREC)
+            # scale-invariant null test + row normalisation for whitening
+            keep = n2 > null_thresh**2 * jnp.maximum(n0_2, 1e-300)
+            t = t * jnp.where(keep, 1.0 / jnp.sqrt(jnp.where(keep, n2, 1.0)), 0.0)[:, None]
+            g = jnp.matmul(t, t.T, precision=_PREC)
+            g = jnp.where(keep[:, None] & keep[None, :], g, 0.0)
+            g = g + jnp.where(keep, 1e-30, 1.0) * jnp.eye(nrhs, dtype=g.dtype)
+            l = jnp.linalg.cholesky(g)
+            t = jax.scipy.linalg.solve_triangular(l, t, lower=True)
+            t = t * keep[:, None]
 
         v_new = jax.lax.dynamic_update_slice(v, t.astype(v.dtype), (k, jnp.zeros((), k.dtype)))
         w_new = jax.lax.dynamic_update_slice(w, matvec(t, operand).astype(w.dtype), (k, jnp.zeros((), k.dtype)))
@@ -102,9 +120,10 @@ def _restart_body(matvec, nrhs: int, m_max: int):
     return restart
 
 
-def make_linear_solve(matvec, nrhs: int, m_max: int, tol: float, max_iter: int):
+def make_linear_solve(matvec, nrhs: int, m_max: int, tol: float, max_iter: int,
+                      fuse_chain: bool = False):
     """Whole A X = B solve in one dispatch (cf. make_davidson_solve)."""
-    step = _step_body(matvec, nrhs, m_max)
+    step = _step_body(matvec, nrhs, m_max, fuse_chain=fuse_chain)
     restart = _restart_body(matvec, nrhs, m_max)
 
     def solve(state: LinearState, operand, diag: Array, b: Array, b_norm: Array):
@@ -142,6 +161,7 @@ class FusedLinearEquations:
         convergence_threshold: float = 1e-8,
         max_iter: int = 200,
         operand=None,
+        fuse_chain: Optional[bool] = None,
     ):
         if dtype is None:
             dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
@@ -159,7 +179,20 @@ class FusedLinearEquations:
         if sharding is not None:
             self.diag = jax.device_put(self.diag, adapt_sharding(sharding, 1))
         self.operand = operand
-        self._solve = make_linear_solve(matvec, nrhs, self.m_max, self.tol, self.max_iter)
+        if fuse_chain is None:
+            # same auto policy as FusedDavidson: single-device TPU f32 states
+            # whose stacks fit the grid-free kernel's VMEM budget
+            from ..ops.kernels.chain_pallas import fits_vmem
+
+            fuse_chain = (
+                jax.default_backend() == "tpu"
+                and sharding is None
+                and dtype == jnp.float32
+                and fits_vmem(nrhs, self.m_max, n)
+            )
+        self.fuse_chain = fuse_chain
+        self._solve = make_linear_solve(matvec, nrhs, self.m_max, self.tol, self.max_iter,
+                                        fuse_chain=fuse_chain)
 
     @classmethod
     def from_dense_symmetric(cls, matrix, nrhs: int, tier: str = None,
