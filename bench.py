@@ -93,7 +93,11 @@ def main():
             symm_matmat_split_pallas,
         )
 
-        sym_fast = SymmetricBlocked.from_dense(matrix, b=512, dtype=jnp.bfloat16)
+        # tile sizes are measured optima (see from_dense_symmetric): the
+        # single bf16 stack streams at the DMA roof with b=1024 (90 us vs
+        # 103 at b=512 for the 8192^2 action); the split tier's TWO stacks
+        # double the buffered VMEM and prefer b=512
+        sym_fast = SymmetricBlocked.from_dense(matrix, b=1024, dtype=jnp.bfloat16)
         sym_prec = SymmetricBlockedSplit.from_dense(matrix, b=512)
         op_fast = (sym_fast.values, sym_fast.ii, sym_fast.jj)
         op_prec = (sym_prec.hi, sym_prec.lo, sym_prec.ii, sym_prec.jj)

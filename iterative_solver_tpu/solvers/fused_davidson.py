@@ -618,7 +618,7 @@ class FusedDavidson:
 
     @classmethod
     def from_dense_symmetric(cls, matrix, nroots: int = 1, tier: Optional[str] = None,
-                             b: int = 512, **kwargs) -> "FusedDavidson":
+                             b: Optional[int] = None, **kwargs) -> "FusedDavidson":
         """Build the solver around the packed-triangle symmetric action.
 
         ``tier`` selects the operator storage (see ops/kernels/symm_pallas.py):
@@ -657,6 +657,13 @@ class FusedDavidson:
             tier = "precise" if on_tpu else "exact"
         if tier not in ("fast", "precise", "exact"):
             raise ValueError(f"unknown tier {tier!r}: use 'fast', 'precise' or 'exact'")
+        if b is None:
+            # measured at n=8192/r=16 on one v5e: bf16 tiles stream at the
+            # DMA roof with b=1024 (90 us vs 103 at b=512 — fewer grid steps
+            # beat the extra padded-diagonal bytes); the split tier streams
+            # TWO tile stacks (double the buffered VMEM) and is fastest at
+            # b=512 (401 vs 411 us/iter)
+            b = 1024 if tier == "fast" else 512
 
         if tier == "precise":
             sym = SymmetricBlockedSplit.from_dense(matrix, b=b)

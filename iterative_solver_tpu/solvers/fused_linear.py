@@ -196,7 +196,7 @@ class FusedLinearEquations:
 
     @classmethod
     def from_dense_symmetric(cls, matrix, nrhs: int, tier: str = None,
-                             b: int = 512, **kwargs) -> "FusedLinearEquations":
+                             b: Optional[int] = None, **kwargs) -> "FusedLinearEquations":
         """Build the solver around the packed-triangle symmetric action
         (symmetric A X = B — the response-equation shape). Same tier
         semantics as FusedDavidson.from_dense_symmetric; the operator
@@ -222,6 +222,15 @@ class FusedLinearEquations:
             tier = "precise" if on_tpu else "exact"
         if tier not in ("fast", "precise", "exact"):
             raise ValueError(f"unknown tier {tier!r}: use 'fast', 'precise' or 'exact'")
+        if b is None:
+            # same measured tile-size policy as FusedDavidson: bf16 single
+            # stack streams at the DMA roof with b=1024, the split tier's
+            # two stacks prefer b=512. Linear systems cannot pad (a padded
+            # row makes A singular), so the auto choice degrades to the
+            # largest preferred size that divides n.
+            b = 1024 if tier == "fast" else 512
+            while b > 512 and n % min(b, n) != 0:
+                b //= 2
         b = min(b, n)
         if n % b != 0:
             raise ValueError(
