@@ -153,5 +153,64 @@ module iterative_solver
 
     subroutine IterativeSolverPrintStatistics() bind(C, name='IterativeSolverPrintStatistics')
     end subroutine
+
+    !> P-space registration (IterativeSolverC.h AddP + apply_on_p trampoline,
+    !> IterativeSolverCMPI.cpp:140-160): nP sparse vectors in CSR-like form
+    !> (offsets/indices/coefficients), their model hamiltonian pp (nP, nP),
+    !> and a BIND(C) callback adding the P-projection action — obtain the
+    !> c_funptr with c_funloc(your_subroutine).
+    function IterativeSolverAddP(buffer_size, nP, offsets, indices, coefficients, &
+        pp, parameters, action, sync, func) result(nwork) &
+        bind(C, name='IterativeSolverAddP')
+      use iso_c_binding
+      integer(c_size_t), value :: buffer_size, nP
+      integer(c_size_t) :: offsets(*), indices(*)
+      real(c_double) :: coefficients(*), pp(*)
+      real(c_double) :: parameters(*), action(*)
+      integer(c_int), value :: sync
+      type(c_funptr), value :: func
+      integer(c_size_t) :: nwork
+    end function
+
+    function IterativeSolverHasValues() result(v) bind(C, name='IterativeSolverHasValues')
+      use iso_c_binding
+      integer(c_int) :: v
+    end function
+
+    function IterativeSolverHasEigenvalues() result(v) &
+        bind(C, name='IterativeSolverHasEigenvalues')
+      use iso_c_binding
+      integer(c_int) :: v
+    end function
+
+    function IterativeSolverVerbosity() result(v) bind(C, name='IterativeSolverVerbosity')
+      use iso_c_binding
+      integer(c_int) :: v
+    end function
+
+    function IterativeSolver_mpicomm_global() result(v) &
+        bind(C, name='IterativeSolver_mpicomm_global')
+      use iso_c_binding
+      integer(c_int64_t) :: v
+    end function
+
+    function IterativeSolver_mpicomm_self() result(v) &
+        bind(C, name='IterativeSolver_mpicomm_self')
+      use iso_c_binding
+      integer(c_int64_t) :: v
+    end function
+  end interface
+
+  !> Signature for the IterativeSolverAddP callback: pcoeff is
+  !> (update_size, nP) row-major, act receives += contributions, ranges
+  !> holds [lo, hi) per vector (full range in this single-process build).
+  abstract interface
+    subroutine iterative_solver_apply_on_p(pcoeff, act, update_size, ranges) bind(C)
+      use iso_c_binding
+      real(c_double), intent(in) :: pcoeff(*)
+      real(c_double), intent(inout) :: act(*)
+      integer(c_size_t), value :: update_size
+      integer(c_size_t), intent(in) :: ranges(*)
+    end subroutine
   end interface
 end module iterative_solver
