@@ -112,14 +112,6 @@ def main():
 
         tol_fast, tol_prec = 2e-4, 1e-5
         rr_fast = "window"
-        # match FusedDavidson's TPU auto policy (chain_pallas fused
-        # precondition+GS+Gram; measured +~1.5% on the headline config).
-        # Gated per-config: the grid-free kernel compile-OOMs VMEM on
-        # oversized stacks (r32/m128 measured 22.6 MB vs the 16 MB arena).
-        from iterative_solver_tpu.ops.kernels.chain_pallas import fits_vmem
-        fuse_fast = fits_vmem(NROOTS_BLOCK, M_MAX_BLOCK, N)
-        fuse_r4 = fits_vmem(NROOTS, M_MAX, N)
-        fuse_32 = fits_vmem(32, 128, N)
     else:
         matj = jnp.asarray(matrix, dtype=dtype)
 
@@ -130,7 +122,6 @@ def main():
         op_fast = op_prec = matj
         tol_fast = tol_prec = 2e-4 if dtype == jnp.float32 else 1e-8
         rr_fast = "full"
-        fuse_fast = fuse_r4 = fuse_32 = False
 
     def guess(nroots):
         v0 = np.zeros((nroots, N))
@@ -190,8 +181,11 @@ def main():
         matvec_fast, diag, N, NROOTS_BLOCK, m_max=M_MAX_BLOCK, dtype=dtype,
         convergence_threshold=tol_fast, max_iter=60, operand=op_fast, rr=rr_fast,
     )
+    # fuse_chain follows the solver's own auto policy (fused
+    # precondition+GS+Gram chain where safe: TPU, fits VMEM — the r32/m128
+    # stack compile-OOMed the 16 MB arena, so the guard rejects it)
     solve_blk = make_davidson_solve(matvec_fast, NROOTS_BLOCK, M_MAX_BLOCK, rr=rr_fast,
-                                    fuse_chain=fuse_fast)
+                                    fuse_chain=solver_blk.fuse_chain)
     st_blk = solver_blk.init_state(guess(NROOTS_BLOCK))
     per_iter_blk, wall_blk, _ = sustained(solve_blk, st_blk, op_fast, solver_blk.diag)
     gflops_blk = flops_iter_blk / per_iter_blk / 1e9
@@ -210,7 +204,7 @@ def main():
             convergence_threshold=3e-4, max_iter=60, operand=op_fast, rr=rr_fast,
         )
         solve_32 = make_davidson_solve(matvec_fast, r32, m32, rr=rr_fast,
-                                       fuse_chain=fuse_32)
+                                       fuse_chain=solver_32.fuse_chain)
         st_32 = solver_32.init_state(guess(r32))
         per_iter_32, _, _ = sustained(solve_32, st_32, op_fast, solver_32.diag)
         flops_iter_32 = (
@@ -236,12 +230,12 @@ def main():
     gflops_prec = flops_iter_blk / per_iter_prec / 1e9
 
     # ---- FAST tier, 4-root sustained + dispatch constant ----
-    solve_r4 = make_davidson_solve(matvec_fast, NROOTS, M_MAX, rr=rr_fast,
-                                   fuse_chain=fuse_r4)
     solver_r4 = FusedDavidson(
         matvec_fast, diag, N, NROOTS, m_max=M_MAX, dtype=dtype,
         convergence_threshold=tol_fast, max_iter=60, operand=op_fast, rr=rr_fast,
     )
+    solve_r4 = make_davidson_solve(matvec_fast, NROOTS, M_MAX, rr=rr_fast,
+                                   fuse_chain=solver_r4.fuse_chain)
     st_r4 = solver_r4.init_state(guess(NROOTS))
     per_iter_r4, wall_r4, dispatch_const = sustained(
         solve_r4, st_r4, op_fast, solver_r4.diag

@@ -120,6 +120,48 @@ def _chain_impl(r, v, mask, diag, evals, *, nroots, m_max, n, jacobi,
       evals.reshape(nroots, 1))
 
 
+def whiten_after_chain(t: Array, n0_2: Array, n2: Array, nroots: int,
+                       null_thresh: float, g: Array = None):
+    """Null-drop + Cholesky whitening shared by the fused solver families.
+
+    Given a post-Gram-Schmidt block ``t`` with its pre/post-GS squared row
+    norms, drop rows annihilated relative to their own magnitude
+    (scale-invariant null test, cf. propose_rspace's norm_thresh semantics)
+    and whiten the survivors so the appended basis rows are orthonormal.
+    Two algebraically identical application forms, kept separate so each
+    call site's numerics (and the iteration-count drift locks pinning them)
+    stay bit-for-bit:
+
+    - ``g`` given (the fused chain kernel's UNnormalised Gram): rescale it
+      to unit diagonal and apply L^{-1} diag(s) as ONE (r, r) @ (r, N)
+      matmul;
+    - ``g`` None: normalise rows, form the Gram, and run the triangular
+      solve on the (r, N) block directly (the original XLA chain tail).
+
+    Returns ``(t, keep)`` — the whitened block and the surviving-row mask
+    (the step's slot-mask update needs it).
+    """
+    keep = n2 > null_thresh**2 * jnp.maximum(n0_2, 1e-300)
+    s = jnp.where(keep, 1.0 / jnp.sqrt(jnp.where(keep, n2, 1.0)), 0.0)
+    fused = g is not None
+    if fused:
+        g = s[:, None] * g * s[None, :]
+    else:
+        t = t * s[:, None]
+        g = jnp.matmul(t, t.T, precision=_PREC)
+    g = jnp.where(keep[:, None] & keep[None, :], g, 0.0)
+    # dead rows get a unit diagonal so the Cholesky stays defined; live rows
+    # a 1e-30 jitter calibrated to the unit diagonal above
+    g = g + jnp.where(keep, 1e-30, 1.0) * jnp.eye(nroots, dtype=g.dtype)
+    l = jnp.linalg.cholesky(g)
+    if fused:
+        ws = jax.scipy.linalg.solve_triangular(
+            l, jnp.diag(s), lower=True) * keep[:, None]
+        return jnp.matmul(ws, t, precision=_PREC), keep
+    t = jax.scipy.linalg.solve_triangular(l, t, lower=True)
+    return t * keep[:, None], keep
+
+
 def fused_expand_chain(r: Array, v: Array, mask: Array,
                        diag: Array = None, evals: Array = None,
                        gs_passes: int = 2, interpret: bool = None):

@@ -216,28 +216,18 @@ def _step_body(
         r = ax - evals[:, None] * x
         errors = jnp.sqrt(jnp.abs(jnp.einsum("in,in->i", r, r, precision=_PREC)))
 
-        if fuse_chain:
-            from ..ops.kernels.chain_pallas import fused_expand_chain
+        from ..ops.kernels.chain_pallas import fused_expand_chain, whiten_after_chain
 
+        if fuse_chain:
             if expand is None:
                 # Jacobi preconditioning runs INSIDE the kernel
                 t, n0_2, n2, g = fused_expand_chain(r, v, mask, diag, evals)
             else:
                 t = expand(x, r, evals, evals_all, mask, diag, operand)
-                t, n0_2, n2, g = fused_expand_chain(t, v, mask)
-            keep = n2 > null_thresh**2 * jnp.maximum(n0_2, 1e-300)
-            s = jnp.where(keep, 1.0 / jnp.sqrt(jnp.where(keep, n2, 1.0)), 0.0)
-            # the kernel's Gram is over UNnormalised rows; rescale to the
-            # unit-diagonal Gram the jitter calibration expects
-            g = s[:, None] * g * s[None, :]
-            g = jnp.where(keep[:, None] & keep[None, :], g, 0.0)
-            g = g + jnp.where(keep, 1e-30, 1.0) * jnp.eye(nroots, dtype=g.dtype)
-            l = jnp.linalg.cholesky(g)
-            # whitening as ONE (r, r) @ (r, N) matmul: L^{-1} diag(s) kept
-            # at O(r^2), dead rows zeroed through `keep`
-            ws = jax.scipy.linalg.solve_triangular(
-                l, jnp.diag(s), lower=True) * keep[:, None]
-            t = jnp.matmul(ws, t, precision=_PREC)
+                t, n0_2, n2, g = fused_expand_chain(t.astype(v.dtype), v, mask)
+            # the kernel's Gram is over UNnormalised rows; whitening applied
+            # as ONE (r, r) @ (r, N) matmul (L^{-1} diag(s) kept at O(r^2))
+            t, keep = whiten_after_chain(t, n0_2, n2, nroots, null_thresh, g=g)
         else:
             if expand is None:
                 # Jacobi/Davidson preconditioner (IterativeSolver.h:34-44
@@ -260,16 +250,7 @@ def _step_body(
                 proj = jnp.matmul(t, v.T, precision=_PREC) * mask[None, :]
                 t = t - jnp.matmul(proj, v, precision=_PREC)
             n2 = jnp.einsum("in,in->i", t, t, precision=_PREC)
-            keep = n2 > null_thresh**2 * jnp.maximum(n0_2, 1e-300)
-            # normalise surviving rows so the whitening Gram has a unit
-            # diagonal (keeps the Cholesky jitter meaningful at any scale)
-            t = t * jnp.where(keep, 1.0 / jnp.sqrt(jnp.where(keep, n2, 1.0)), 0.0)[:, None]
-            g = jnp.matmul(t, t.T, precision=_PREC)
-            g = jnp.where(keep[:, None] & keep[None, :], g, 0.0)
-            g = g + jnp.where(keep, 1e-30, 1.0) * jnp.eye(nroots, dtype=g.dtype)
-            l = jnp.linalg.cholesky(g)
-            t = jax.scipy.linalg.solve_triangular(l, t, lower=True)
-            t = t * keep[:, None]
+            t, keep = whiten_after_chain(t, n0_2, n2, nroots, null_thresh)
 
         # append at slot k
         v_new = jax.lax.dynamic_update_slice(v, t.astype(v.dtype), (k, jnp.zeros((), k.dtype)))
@@ -662,8 +643,14 @@ class FusedDavidson:
             # DMA roof with b=1024 (90 us vs 103 at b=512 — fewer grid steps
             # beat the extra padded-diagonal bytes); the split tier streams
             # TWO tile stacks (double the buffered VMEM) and is fastest at
-            # b=512 (401 vs 411 us/iter)
-            b = 1024 if tier == "fast" else 512
+            # b=512 (401 vs 411 us/iter). Take the larger tile only when it
+            # costs no extra zero padding over b=512 — for n far from a
+            # 1024 multiple the padding (up to 512 dead rows of HBM traffic
+            # and Ritz-vector width every iteration) outweighs the ~13 us
+            # grid-step saving.
+            b = 512
+            if tier == "fast" and -(-n // 1024) * 1024 == -(-n // 512) * 512:
+                b = 1024
 
         if tier == "precise":
             sym = SymmetricBlockedSplit.from_dense(matrix, b=b)

@@ -63,37 +63,21 @@ def _step_body(matvec: Callable[..., Array], nrhs: int, m_max: int, null_thresh:
         # relative regulariser: the absolute 1e-15 swamps operators scaled
         # near/below it (cf. fused_davidson)
         t = r / (d + 1e-15 * jnp.max(jnp.abs(d)) + 1e-300)
+        from ..ops.kernels.chain_pallas import fused_expand_chain, whiten_after_chain
+
         if fuse_chain:
             # GS + norms + Gram as ONE Pallas kernel (raw mode: this family's
             # preconditioner shape differs from the Davidson one, so it stays
             # in XLA above); see chain_pallas.py for the dispatch-floor story
-            from ..ops.kernels.chain_pallas import fused_expand_chain
-
             t, n0_2, n2, g = fused_expand_chain(t, v, mask)
-            keep = n2 > null_thresh**2 * jnp.maximum(n0_2, 1e-300)
-            sc = jnp.where(keep, 1.0 / jnp.sqrt(jnp.where(keep, n2, 1.0)), 0.0)
-            g = sc[:, None] * g * sc[None, :]
-            g = jnp.where(keep[:, None] & keep[None, :], g, 0.0)
-            g = g + jnp.where(keep, 1e-30, 1.0) * jnp.eye(nrhs, dtype=g.dtype)
-            l = jnp.linalg.cholesky(g)
-            ws = jax.scipy.linalg.solve_triangular(
-                l, jnp.diag(sc), lower=True) * keep[:, None]
-            t = jnp.matmul(ws, t, precision=_PREC)
+            t, keep = whiten_after_chain(t, n0_2, n2, nrhs, null_thresh, g=g)
         else:
             n0_2 = jnp.einsum("in,in->i", t, t, precision=_PREC)
             for _ in range(2):
                 proj = jnp.matmul(t, v.T, precision=_PREC) * mask[None, :]
                 t = t - jnp.matmul(proj, v, precision=_PREC)
             n2 = jnp.einsum("in,in->i", t, t, precision=_PREC)
-            # scale-invariant null test + row normalisation for whitening
-            keep = n2 > null_thresh**2 * jnp.maximum(n0_2, 1e-300)
-            t = t * jnp.where(keep, 1.0 / jnp.sqrt(jnp.where(keep, n2, 1.0)), 0.0)[:, None]
-            g = jnp.matmul(t, t.T, precision=_PREC)
-            g = jnp.where(keep[:, None] & keep[None, :], g, 0.0)
-            g = g + jnp.where(keep, 1e-30, 1.0) * jnp.eye(nrhs, dtype=g.dtype)
-            l = jnp.linalg.cholesky(g)
-            t = jax.scipy.linalg.solve_triangular(l, t, lower=True)
-            t = t * keep[:, None]
+            t, keep = whiten_after_chain(t, n0_2, n2, nrhs, null_thresh)
 
         v_new = jax.lax.dynamic_update_slice(v, t.astype(v.dtype), (k, jnp.zeros((), k.dtype)))
         w_new = jax.lax.dynamic_update_slice(w, matvec(t, operand).astype(w.dtype), (k, jnp.zeros((), k.dtype)))
@@ -227,10 +211,14 @@ class FusedLinearEquations:
             # stack streams at the DMA roof with b=1024, the split tier's
             # two stacks prefer b=512. Linear systems cannot pad (a padded
             # row makes A singular), so the auto choice degrades to the
-            # largest preferred size that divides n.
-            b = 1024 if tier == "fast" else 512
-            while b > 512 and n % min(b, n) != 0:
+            # largest power-of-two tile that divides n (down to 128, the
+            # lane width); below that the explicit divisibility error fires.
+            start = 1024 if tier == "fast" else 512
+            b = start
+            while b > 128 and n % min(b, n) != 0:
                 b //= 2
+            if n % min(b, n) != 0:
+                b = start  # no admissible tile: report against the preferred size
         b = min(b, n)
         if n % b != 0:
             raise ValueError(

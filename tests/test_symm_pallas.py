@@ -315,6 +315,36 @@ class TestFromDenseSymmetric:
         np.testing.assert_allclose(np.sort(np.asarray(evals)), ref, atol=ev_band)
         assert solver.unpad(x).shape == (nroots, n)
 
+    def test_auto_tile_size_policy(self):
+        """Auto b: the fast tier takes b=1024 only when it adds no zero
+        padding over b=512 (the padding traffic outweighs the measured
+        ~13 us/call grid saving); other tiers and awkward n stay at 512."""
+        from iterative_solver_tpu.solvers.fused_davidson import FusedDavidson
+
+        # n=1500: 1024-tiles would pad to 2048; auto must keep 512 (pad 1536)
+        solver = FusedDavidson.from_dense_symmetric(self._mat(1500, seed=30), 1)
+        assert solver.n == 1536
+        # n=2048 divides both: the fast tier may take the bigger tile
+        solver = FusedDavidson.from_dense_symmetric(
+            self._mat(2048, seed=31), 1, tier="fast")
+        assert solver.n == 2048
+
+    def test_linear_auto_tile_degrades_to_divisor(self):
+        """FusedLinearEquations auto b: linear systems cannot pad, so the
+        auto choice must fall to the largest power-of-two tile dividing n
+        (b=256 for n=1280) instead of raising."""
+        from iterative_solver_tpu.solvers.fused_linear import FusedLinearEquations
+
+        n, nrhs = 1280, 2
+        mat = self._mat(n, seed=32) + 3.0 * np.eye(n)
+        rng = np.random.default_rng(33)
+        b = rng.standard_normal((nrhs, n))
+        solver = FusedLinearEquations.from_dense_symmetric(
+            mat, nrhs, tier="fast", convergence_threshold=1e-6)
+        x, errors, iters = solver.solve(b)
+        resid = np.max(np.abs(np.asarray(x, np.float64) @ mat.T - b))
+        assert resid < 2e-2 * np.max(np.abs(b))  # bf16 tier floor
+
     def test_padded_dimension(self):
         from iterative_solver_tpu.solvers.fused_davidson import FusedDavidson
 
