@@ -1,0 +1,78 @@
+"""Worker process for the multi-host (multi-process) SPMD test.
+
+Launched by test_multihost.py as N separate Python processes, each owning 4
+virtual CPU devices, joined into one global mesh through
+``jax.distributed.initialize`` (Gloo collectives between processes — the
+functional stand-in for ICI/DCN). This is the runtime shape of the
+reference's ``mpiexec -n N`` deployments (SURVEY.md §2.5): every process
+holds the replicated operator, the vector axis is sharded over the GLOBAL
+device mesh, and every Gram/dot reduction becomes a cross-process psum
+inserted by GSPMD inside the one-dispatch fused solve.
+
+Usage: python multihost_worker.py <process_id> <num_processes> <port>
+Prints ``RESULT <iters> <eig_err> <max_resid>`` on success.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ.pop("JAX_PLATFORMS", None)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+
+def main() -> None:
+    pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}", num_processes=nproc, process_id=pid
+    )
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from iterative_solver_tpu.solvers.fused_davidson import (
+        make_davidson_init,
+        make_davidson_solve,
+    )
+
+    assert len(jax.devices()) == 4 * nproc, "global mesh must span all processes"
+    mesh = Mesh(np.array(jax.devices()), ("x",))
+
+    n, nroots, m_max = 512, 4, 16
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((n, n)) * (0.05 / np.sqrt(n))
+    mat = a + a.T + np.diag(np.linspace(0.0, 10.0, n))
+
+    shard_cols = NamedSharding(mesh, P(None, "x"))
+    mj = jax.device_put(jnp.asarray(mat), shard_cols)
+    diag = jax.device_put(jnp.diagonal(jnp.asarray(mat)), NamedSharding(mesh, P("x")))
+
+    prec = jax.lax.Precision.HIGHEST
+
+    def matvec(x, op):
+        return jnp.matmul(x, op.T, precision=prec)
+
+    v0 = np.zeros((nroots, n))
+    for row, i in enumerate(np.argsort(np.diag(mat))[:nroots]):
+        v0[row, i] = 1.0
+    v0j = jax.device_put(jnp.asarray(v0), shard_cols)
+
+    init = make_davidson_init(matvec, nroots, m_max)
+    solve = make_davidson_solve(matvec, nroots, m_max)
+    final, iters = solve(init(v0j, mj), mj, diag, 1e-10, 200)
+    evals = np.sort(np.asarray(jax.device_get(final.evals)))
+    errors = np.asarray(jax.device_get(final.errors))
+    ref = np.linalg.eigvalsh(mat)[:nroots]
+    err = float(np.max(np.abs(evals - ref)))
+    assert err < 1e-9, err
+    assert float(errors.max()) <= 1e-10
+    print(f"RESULT {int(iters)} {err:.3e} {errors.max():.3e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
