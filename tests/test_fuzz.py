@@ -76,15 +76,20 @@ def test_fuzz_fused_davidson(seed):
     def matvec(x, op):
         return jnp.matmul(x, op.T, precision=jax.lax.Precision.HIGHEST)
 
+    # odd seeds opt into the fused expand-chain kernel (interpret mode on
+    # CPU) so its masking/null bookkeeping sees the same random edges
+    fuse = bool(seed % 2)
     solver = FusedDavidson(
         matvec, np.diag(mat), n, nroots, m_max=m_max,
         convergence_threshold=1e-8, max_iter=600, operand=matj, rr=rr,
+        fuse_chain=fuse,
     )
     v0 = np.zeros((nroots, n))
     for row, i in enumerate(np.argsort(np.diag(mat))[:nroots]):
         v0[row, i] = 1.0
     evals, x, errors, iters = solver.run_on_device(v0)
-    msg = f"seed={seed} n={n} r={nroots} m={m_max} rr={rr} kind={kind} iters={iters}"
+    msg = (f"seed={seed} n={n} r={nroots} m={m_max} rr={rr} kind={kind} "
+           f"fuse={fuse} iters={iters}")
     assert np.max(errors) < 1e-8, msg
     ref = np.linalg.eigvalsh(mat)[:nroots]
     np.testing.assert_allclose(np.sort(np.asarray(evals)), ref, atol=1e-7, err_msg=msg)
