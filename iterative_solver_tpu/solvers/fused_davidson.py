@@ -156,10 +156,14 @@ def _validate_rr(rr: str, nroots: int, m_max: int) -> None:
     width = {"full": 1, "window": 2, "window3": 3}.get(rr)
     if width is None:
         raise ValueError(f"unknown rr mode {rr!r}: use 'full', 'window' or 'window3'")
-    if width * nroots > m_max:
+    # every mode needs room for the carried block PLUS one full append:
+    # with m_max < 2*nroots the post-restart append's dynamic_update_slice
+    # CLAMPS its offset and silently overwrites live basis rows — the solve
+    # then cycles without converging instead of erroring
+    if max(2, width) * nroots > m_max:
         raise ValueError(
-            f"rr={rr!r} needs m_max >= {width}*nroots ({width * nroots}), "
-            f"got {m_max}")
+            f"rr={rr!r} needs m_max >= {max(2, width)}*nroots "
+            f"({max(2, width) * nroots}), got {m_max}")
 
 
 def _step_body(

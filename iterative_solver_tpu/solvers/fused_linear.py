@@ -37,6 +37,12 @@ class LinearState(NamedTuple):
 
 def _step_body(matvec: Callable[..., Array], nrhs: int, m_max: int, null_thresh: float = 1e-10,
                fuse_chain: bool = False):
+    if m_max < 2 * nrhs:
+        # room for the carried block plus one append — below this the
+        # post-restart dynamic_update_slice clamps and silently overwrites
+        # live basis rows (cf. fused_davidson._validate_rr)
+        raise ValueError(f"m_max must be >= 2*nrhs ({2 * nrhs}), got {m_max}")
+
     def step(state: LinearState, operand, diag: Array, b: Array, b_norm: Array) -> LinearState:
         v, w, mask, k = state.v, state.w, state.mask, state.k
         h = jnp.matmul(v, w.T, precision=_PREC)
