@@ -32,6 +32,7 @@ module iterative_solver_problem
   end type matrix_problem_t
 
   public :: problem_solve
+  public :: problem_solve_optimize
 
 contains
 
@@ -164,5 +165,74 @@ contains
     call IterativeSolverFinalize()
     deallocate(diag, shifts, errors)
   end function problem_solve
+
+  !> One-call driver for minimisation: the nonlinear twin of problem_solve
+  !> running residual (value + gradient) / AddValue / precondition /
+  !> End_Iteration through the L-BFGS leg of the C ABI (the loop the
+  !> reference's OptimizeExampleF-problem.F90 drives through Solve).
+  logical function problem_solve_optimize(prob, parameters, actions, thresh, &
+                                          max_iter, verbosity)
+    class(problem_t), intent(in) :: prob
+    double precision, intent(inout), dimension(:) :: parameters
+    double precision, intent(inout), dimension(:) :: actions
+    double precision, intent(in) :: thresh
+    integer, intent(in), optional :: max_iter
+    integer, intent(in), optional :: verbosity
+    integer :: n, iters, iter, verb
+    integer(c_size_t) :: nwork, lo, hi
+    double precision :: f
+    double precision, allocatable :: diag(:), errors(:)
+    double precision :: noshift(1)
+    logical :: have_diag
+
+    n = size(parameters)
+    iters = 100
+    if (present(max_iter)) iters = max_iter
+    verb = 0
+    if (present(verbosity)) verb = verbosity
+
+    call IterativeSolverOptimizeInitialize( &
+         int(n, c_size_t), lo, hi, thresh, 1d50, int(verb, c_int), 1_c_int, &
+         c_null_char, 0_c_int64_t, 'BFGS'//c_null_char, c_null_char)
+    allocate(diag(n), errors(1))
+    have_diag = prob%diagonals(diag)
+    if (have_diag) call IterativeSolverSetDiagonals(diag)
+    noshift = 0d0
+
+    nwork = 1_c_size_t
+    do iter = 1, iters
+      f = prob%residual(parameters, actions)
+      nwork = IterativeSolverAddValue(f, parameters, actions, 1_c_int)
+      do while (IterativeSolverEndIterationNeeded() /= 0)
+        if (nwork > 0) then
+          ! view the single gradient as an (n, 1) block for precondition
+          if (have_diag) then
+            call prob%precondition(reshape_block(actions, n), noshift, diag)
+          else
+            call prob%precondition(reshape_block(actions, n), noshift)
+          end if
+        end if
+        nwork = IterativeSolverEndIteration(1_c_size_t, parameters, actions, 1_c_int)
+      end do
+      call IterativeSolverErrors(errors)
+      call prob%report(iter, verb, errors)
+      if (nwork == 0) exit
+    end do
+    problem_solve_optimize = (nwork == 0)
+    call IterativeSolverFinalize()
+    deallocate(diag, errors)
+
+  contains
+
+    !> The Problem precondition contract takes an (n, nvec) block; give the
+    !> single gradient vector that shape without a copy.
+    function reshape_block(vec, n) result(blk)
+      integer, intent(in) :: n
+      double precision, intent(inout), target :: vec(n)
+      double precision, pointer :: blk(:, :)
+      blk(1:n, 1:1) => vec
+    end function reshape_block
+
+  end function problem_solve_optimize
 
 end module iterative_solver_problem
