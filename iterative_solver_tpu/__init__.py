@@ -35,6 +35,7 @@ from .solvers.linear_equations import LinearEquationsDavidson
 from .solvers.nonlinear_diis import NonLinearEquationsDIIS
 from .solvers.optimize import OptimizeBFGS, OptimizeSD
 from .solvers.fused_davidson import FusedDavidson, make_batched_davidson_solve
+from .solvers.fused_ppcg import FusedPPCG
 from .solvers.implicit_diff import (
     make_differentiable_eigenpairs,
     make_differentiable_eigenvalues,
@@ -62,6 +63,7 @@ __all__ = [
     "FusedLBFGS",
     "Interpolate",
     "Point",
+    "FusedPPCG",
     "create_linear_eigensystem",
     "create_linear_equations",
     "create_nonlinear_equations",

@@ -1,0 +1,321 @@
+"""Fused projected-preconditioned-conjugate-gradient (PPCG) eigensolver.
+
+Vecharynski, Yang & Knyazev's PPCG (arXiv:1407.7506) re-arranged for TPU:
+instead of a per-iteration Rayleigh-Ritz over a growing basis (the Davidson
+families) or over the full 3r-dim [X, W, P] block (LOBPCG / rr="window3"),
+each root relaxes in its OWN 3-dim subspace span{x_i, w_i, p_i} — r
+independent (3, 3) problems, batched on the VPU — with a full r-dim RR only
+every ``rr_every`` iterations to re-couple and re-sort the roots. The
+per-iteration small-eigh cost drops from O((2r)^3) to O(r·27) + the
+occasional eigh(r): at r=64 that replaces a 315 us eigh(128) with
+microseconds of batched 3x3 work.
+
+Why this works where the per-root 2x2 mode failed (CLAUDE.md, settled):
+PPCG keeps NO basis stack — new directions are projected only against the
+CURRENT X block, not an accumulated history, so the correction never loses
+its history-span component; the 3-term recurrence (the P block) carries the
+conjugacy information a stack would otherwise hold, and the periodic full
+RR restores inter-root coupling. Measured convergence (f64, n=1024, r=16,
+tol 1e-9): easy gapped spectrum 14-16 iterations (window 21, full 9); HARD
+weakly-dominant spectrum 77-78 iterations where rr="window" stalls past 400
+and even full Davidson (m_max=64) needs 230.
+
+One matvec per iteration: AP is carried EXACTLY through every linear
+update (projection, normalisation, 3x3 mixing, RR rotation) — the matvec
+applies only to the fresh preconditioned block W.
+
+State is O(6 r N) with static shapes; the whole solve runs in one
+lax.while_loop dispatch like the other fused families.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+_PREC = jax.lax.Precision.HIGHEST
+
+
+class PPCGState(NamedTuple):
+    x: Array        # (r, N) Ritz block, orthonormal rows
+    ax: Array       # (r, N) A·x (carried exactly)
+    p: Array        # (r, N) momentum block (row-normalised or zero)
+    ap: Array       # (r, N) A·p (carried exactly)
+    evals: Array    # (r,) Rayleigh quotients
+    errors: Array   # (r,) residual norms
+    it: Array       # int32 iteration counter (drives the periodic RR)
+
+
+def _rows_dot(a, b):
+    return jnp.einsum("in,in->i", a, b, precision=_PREC)
+
+
+def _batched_rr3(x, ax, w, aw, p, ap, live_w, live_p, nroots):
+    """Per-root (3, 3) Rayleigh-Ritz, batched over roots.
+
+    Rows are unit-normalised (or exactly zero when dead), so the metric g
+    has a unit diagonal on live directions; dead directions are masked out
+    of the whitening and their hw diagonal pushed above the live spectrum so
+    the lowest eigenpair never selects them (same masking idiom as
+    fused_davidson._masked_eigh)."""
+    dtype = x.dtype
+    one = jnp.ones((nroots,), dtype)
+    lw = live_w.astype(dtype)
+    lp = live_p.astype(dtype)
+    xw, xp, wp = _rows_dot(x, w), _rows_dot(x, p), _rows_dot(w, p)
+    # g rows/cols for dead directions are zero; diagonal handled below
+    g = jnp.stack([
+        jnp.stack([one, xw, xp], axis=-1),
+        jnp.stack([xw, lw, wp], axis=-1),
+        jnp.stack([xp, wp, lp], axis=-1),
+    ], axis=-2)                                             # (r, 3, 3)
+    hxx = _rows_dot(x, ax)
+    hxw, hxp = _rows_dot(w, ax), _rows_dot(p, ax)
+    hww, hwp, hpp = _rows_dot(w, aw), _rows_dot(p, aw), _rows_dot(p, ap)
+    h = jnp.stack([
+        jnp.stack([hxx, hxw, hxp], axis=-1),
+        jnp.stack([hxw, hww, hwp], axis=-1),
+        jnp.stack([hxp, hwp, hpp], axis=-1),
+    ], axis=-2)                                             # (r, 3, 3)
+
+    gw, gu = jnp.linalg.eigh(g)                             # batched (r, 3)
+    # dtype-aware whitening floor: rows are unit-normalised so g's entries
+    # carry ~eps dot-noise; admitting a direction with gw ~ noise amplifies
+    # it by 1/sqrt(gw) into the Ritz update (measured: 1e-10 in f32 with a
+    # bf16 operator DIVERGES — residuals grow past the operator norm)
+    eps_keep = 1e-10 if dtype == jnp.float64 else 1e-4
+    keep = gw > eps_keep
+    s = gu * jnp.where(keep, 1.0 / jnp.sqrt(jnp.where(keep, gw, 1.0)), 0.0)[:, None, :]
+    hw = jnp.einsum("rij,rik,rkl->rjl", s, h, s, precision=_PREC)
+    hw = 0.5 * (hw + jnp.swapaxes(hw, -1, -2))
+    big = 4.0 * jnp.max(jnp.abs(hw), axis=(-2, -1), keepdims=True) + 1.0
+    eye3 = jnp.eye(3, dtype=dtype)
+    dead = (~keep).astype(dtype)
+    hw = hw + dead[:, None, :] * dead[:, :, None] * eye3 * big
+    ew, eu = jnp.linalg.eigh(hw)                            # batched
+    c = jnp.einsum("rij,rj->ri", s, eu[:, :, 0], precision=_PREC)  # (r, 3)
+    return c
+
+
+def _step_body(matvec: Callable[..., Array], nroots: int, rr_every: int):
+    def step(state: PPCGState, operand, diag: Array) -> PPCGState:
+        x, ax, p, ap = state.x, state.ax, state.p, state.ap
+
+        rho = _rows_dot(x, ax)          # x rows orthonormal
+        res = ax - rho[:, None] * x
+        errors = jnp.sqrt(jnp.abs(_rows_dot(res, res)))
+
+        # Jacobi-preconditioned correction, projected against X only (the
+        # "projected" in PPCG — no history stack to strip information)
+        scale_est = jnp.max(jnp.abs(diag)) + jnp.max(jnp.abs(rho))
+        w = res / (diag[None, :] - rho[:, None] + 1e-15 * scale_est + 1e-300)
+        w = w - jnp.matmul(jnp.matmul(w, x.T, precision=_PREC), x, precision=_PREC)
+        cp = jnp.matmul(p, x.T, precision=_PREC)
+        p = p - jnp.matmul(cp, x, precision=_PREC)
+        ap = ap - jnp.matmul(cp, ax, precision=_PREC)
+
+        wn2 = _rows_dot(w, w)
+        live_w = wn2 > 1e-300
+        sw = jnp.where(live_w, 1.0 / jnp.sqrt(jnp.where(live_w, wn2, 1.0)), 0.0)
+        w = w * sw[:, None]
+        pn2 = _rows_dot(p, p)
+        # dtype-aware momentum floor: p_new = c1 w + c2 p can nearly cancel,
+        # and normalising a ~sqrt(eps) remnant amplifies the CARRIED ap
+        # error by 1/|p| — unbounded compounding (measured in f32+bf16:
+        # residuals ran to 1e12 past the operator floor). Dropping the
+        # momentum row for one iteration is free; amplification stays <=1e3.
+        eps_p = 1e-24 if p.dtype == jnp.float64 else 1e-6
+        live_p = pn2 > eps_p
+        sp = jnp.where(live_p, 1.0 / jnp.sqrt(jnp.where(live_p, pn2, 1.0)), 0.0)
+        p = p * sp[:, None]
+        ap = ap * sp[:, None]
+        p = p * live_p.astype(p.dtype)[:, None]
+        ap = ap * live_p.astype(p.dtype)[:, None]
+
+        aw = matvec(w, operand)         # THE matvec of the iteration
+
+        c = _batched_rr3(x, ax, w, aw, p, ap, live_w, live_p, nroots)
+        x_new = c[:, 0:1] * x + c[:, 1:2] * w + c[:, 2:3] * p
+        ax_new = c[:, 0:1] * ax + c[:, 1:2] * aw + c[:, 2:3] * ap
+        p_new = c[:, 1:2] * w + c[:, 2:3] * p
+        ap_new = c[:, 1:2] * aw + c[:, 2:3] * ap
+
+        # Cholesky-QR keeps the block exactly orthonormal (rows drift
+        # through the independent per-root updates); AX gets the same
+        # transform so it stays the exact action of X. The jitter must
+        # exceed the Gram's f32 roundoff (a nearly-PSD Gram can read min
+        # eigenvalue ~ -1e-6 in f32 and NaN the Cholesky) and caps the
+        # whitening amplification when per-root updates drive two rows
+        # toward the same eigenvector between full RRs.
+        jitter = 1e-30 if x_new.dtype == jnp.float64 else 1e-5
+        g = jnp.matmul(x_new, x_new.T, precision=_PREC)
+        g = g + jitter * jnp.eye(nroots, dtype=g.dtype)
+        l = jnp.linalg.cholesky(g)
+        x_new = jax.scipy.linalg.solve_triangular(l, x_new, lower=True)
+        ax_new = jax.scipy.linalg.solve_triangular(l, ax_new, lower=True)
+
+        def full_rr(args):
+            x_, ax_, p_, ap_ = args
+            h = jnp.matmul(x_, ax_.T, precision=_PREC)
+            h = 0.5 * (h + h.T)
+            _, cmat = jnp.linalg.eigh(h)
+            rot = cmat.T
+            x_ = jnp.matmul(rot, x_, precision=_PREC)
+            # re-anchor AX with an EXACT action: the carried block picks up
+            # roundoff every combination/chol-QR, and an ill-conditioned
+            # L^{-1} AMPLIFIES the error component without bound — measured
+            # past the bf16 floor, residuals ran 3e-5 -> 314 within 30
+            # iterations. One extra matvec per rr_every bounds the drift to
+            # a window; the momentum block stays carried (resetting it
+            # doubles hard-spectrum iteration counts: 93 -> 198 measured).
+            ax_ = matvec(x_, operand)
+            return (x_, ax_,
+                    jnp.matmul(rot, p_, precision=_PREC),
+                    jnp.matmul(rot, ap_, precision=_PREC))
+
+        it = state.it + 1
+        x_new, ax_new, p_new, ap_new = jax.lax.cond(
+            it % rr_every == 0,
+            full_rr,
+            lambda args: args,
+            (x_new, ax_new, p_new, ap_new),
+        )
+        return PPCGState(x_new, ax_new, p_new, ap_new, rho, errors, it)
+
+    return step
+
+
+def make_ppcg_init(matvec: Callable[..., Array], nroots: int):
+    """Orthonormalise the guess, run its action, zero momentum — one dispatch."""
+
+    def init(v0: Array, operand) -> PPCGState:
+        g = jnp.matmul(v0, v0.T, precision=_PREC)
+        l = jnp.linalg.cholesky(g + 1e-30 * jnp.eye(nroots, dtype=g.dtype))
+        x = jax.scipy.linalg.solve_triangular(l, v0, lower=True)
+        ax = matvec(x, operand)
+        rho = _rows_dot(x, ax)
+        res = ax - rho[:, None] * x
+        errors = jnp.sqrt(jnp.abs(_rows_dot(res, res)))
+        return PPCGState(x, ax, jnp.zeros_like(x), jnp.zeros_like(x),
+                         rho, errors, jnp.asarray(0, jnp.int32))
+
+    return jax.jit(init)
+
+
+def make_ppcg_step(matvec, nroots: int, rr_every: int = 5):
+    return jax.jit(_step_body(matvec, nroots, rr_every), donate_argnums=(0,))
+
+
+def make_ppcg_solve(matvec, nroots: int, rr_every: int = 5):
+    """Whole solve in ONE dispatch: while_loop until max error < tol or
+    max_iter. Mirrors make_davidson_solve's (state, operand, diag, tol,
+    max_iter) -> (state, iterations) contract."""
+    step = _step_body(matvec, nroots, rr_every)
+
+    def solve(state: PPCGState, operand, diag: Array, tol_, max_iter_):
+        def cond(carry):
+            s, it = carry
+            return (it < max_iter_) & (jnp.max(s.errors) > tol_)
+
+        def body(carry):
+            s, it = carry
+            return step(s, operand, diag), it + 1
+
+        final, iters = jax.lax.while_loop(
+            cond, body, (state, jnp.asarray(0, jnp.int32)))
+        return final, iters
+
+    return jax.jit(solve)
+
+
+class FusedPPCG:
+    """Driver: whole PPCG solve in one device dispatch.
+
+    Same constructor shape as FusedDavidson minus the basis-capacity knobs
+    (there is no basis stack); ``rr_every`` sets the full-RR cadence (the
+    measured sweet spot is 3-5: smaller re-couples faster on hard spectra,
+    larger amortises the eigh(r))."""
+
+    def __init__(
+        self,
+        matvec: Callable[..., Array],
+        diagonals,
+        n: int,
+        nroots: int = 1,
+        rr_every: int = 5,
+        dtype=None,
+        sharding=None,
+        convergence_threshold: float = 1e-8,
+        max_iter: int = 1000,
+        operand=None,
+    ):
+        if dtype is None:
+            dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+        if rr_every < 1:
+            raise ValueError("rr_every must be >= 1")
+        self.matvec = matvec
+        self.n = n
+        self.nroots = nroots
+        self.rr_every = rr_every
+        self.dtype = dtype
+        self.tol = convergence_threshold
+        self.max_iter = max_iter
+        self.operand = operand
+        from ..array.vector_ops import adapt_sharding
+
+        self.diag = jnp.asarray(np.asarray(diagonals), dtype=dtype)
+        if sharding is not None:
+            self.diag = jax.device_put(self.diag, adapt_sharding(sharding, 1))
+        self.sharding = sharding
+        self._init = make_ppcg_init(matvec, nroots)
+        self._solve = make_ppcg_solve(matvec, nroots, rr_every)
+        self.n_orig = n
+
+    @classmethod
+    def from_dense_symmetric(cls, matrix, nroots: int = 1,
+                             tier: Optional[str] = None,
+                             b: Optional[int] = None, **kwargs) -> "FusedPPCG":
+        """Packed-triangle symmetric operator entry (same tiers and auto
+        tile policy as FusedDavidson.from_dense_symmetric)."""
+        from .fused_davidson import FusedDavidson
+
+        proto = FusedDavidson.from_dense_symmetric(
+            np.asarray(matrix, dtype=np.float64), nroots=nroots, tier=tier, b=b)
+        solver = cls(proto.matvec, np.asarray(proto.diag), proto.n, nroots,
+                     operand=proto.operand, dtype=proto.dtype, **kwargs)
+        solver.n_orig = proto.n_orig
+        return solver
+
+    def unpad(self, x) -> np.ndarray:
+        return np.asarray(x)[..., : self.n_orig]
+
+    def init_state(self, v0) -> PPCGState:
+        v0 = np.asarray(v0)
+        if self.n_orig != self.n and v0.shape[-1] == self.n_orig:
+            pad = np.zeros((v0.shape[0], self.n - self.n_orig), dtype=v0.dtype)
+            v0 = np.concatenate([v0, pad], axis=-1)
+        v0j = jnp.asarray(v0, dtype=self.dtype)
+        if self.sharding is not None:
+            from ..array.vector_ops import adapt_sharding
+
+            v0j = jax.device_put(v0j, adapt_sharding(self.sharding, 2))
+        return self._init(v0j, self.operand)
+
+    def run_on_device(self, v0):
+        """The whole solve in ONE dispatch. Returns (evals, x, errors, iters)
+        with eigenvalues/rows sorted ascending (the periodic RR sorts; the
+        final state may be mid-window, so sort on exit)."""
+        state = self.init_state(v0)
+        final, iters = self._solve(state, self.operand, self.diag,
+                                   self.tol, self.max_iter)
+        evals = np.asarray(final.evals)
+        order = np.argsort(evals)
+        x = np.asarray(final.x)[order]
+        errors = np.asarray(final.errors)[order]
+        return evals[order], x, errors, int(iters)
+
+    run = run_on_device

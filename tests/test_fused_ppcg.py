@@ -1,0 +1,142 @@
+"""Fused PPCG eigensolver (solvers/fused_ppcg.py).
+
+Pins the properties measured during design (CPU f64): parity with the
+dense reference on easy and hard spectra, the hard-spectrum advantage over
+the window modes (the reason the solver exists), exactness of the carried
+AP block (one matvec per iteration), and the packed-operator entry.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from iterative_solver_tpu.solvers.fused_ppcg import (
+    FusedPPCG,
+    make_ppcg_init,
+    make_ppcg_solve,
+    make_ppcg_step,
+)
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def _matvec(x, op):
+    return jnp.matmul(x, op.T, precision=_PREC)
+
+
+def _easy(n, seed=0):
+    rng = np.random.default_rng(seed)
+    a = rng.standard_normal((n, n)) * (0.05 / np.sqrt(n))
+    nlow = max(4, n // 32)
+    dvals = np.concatenate([np.linspace(-2.0, 3.0, nlow),
+                            np.linspace(6.0, 50.0, n - nlow)])
+    return a + a.T + np.diag(dvals)
+
+
+def _hard(n, seed=0):
+    rng = np.random.default_rng(seed)
+    a = rng.standard_normal((n, n)) * (0.4 / np.sqrt(n))
+    return a + a.T + np.diag(np.linspace(0.0, 6.0, n))
+
+
+def _guess(mat, r):
+    v0 = np.zeros((r, mat.shape[0]))
+    for row, i in enumerate(np.argsort(np.diag(mat))[:r]):
+        v0[row, i] = 1.0
+    return v0
+
+
+@pytest.mark.parametrize("nroots,rr_every", [(1, 5), (4, 3), (8, 5)])
+def test_converges_to_dense_reference(nroots, rr_every):
+    n = 256
+    mat = _easy(n, seed=1)
+    solver = FusedPPCG(_matvec, np.diag(mat), n, nroots, rr_every=rr_every,
+                       convergence_threshold=1e-9, max_iter=300,
+                       operand=jnp.asarray(mat))
+    evals, x, errors, iters = solver.run(_guess(mat, nroots))
+    ref = np.linalg.eigvalsh(mat)[:nroots]
+    np.testing.assert_allclose(evals, ref, atol=1e-9)
+    assert np.max(errors) <= 1e-9
+    # Ritz rows come back orthonormal
+    g = np.asarray(x) @ np.asarray(x).T
+    np.testing.assert_allclose(g, np.eye(nroots), atol=1e-9)
+
+
+def test_hard_spectrum_beats_window():
+    """The design point: on a weakly-diagonally-dominant spectrum PPCG
+    (3-term recurrence + periodic RR) converges in ~80 iterations where
+    rr='window' stalls past 400 and even full Davidson (m_max=4r) needs
+    ~230 (measured during design, n=1024 — locked here at n=512)."""
+    from iterative_solver_tpu.solvers.fused_davidson import (
+        make_davidson_init,
+        make_davidson_solve,
+    )
+
+    n, r = 512, 8
+    mat = _hard(n, seed=2)
+    mj = jnp.asarray(mat)
+    ref = np.linalg.eigvalsh(mat)[:r]
+
+    solver = FusedPPCG(_matvec, np.diag(mat), n, r, rr_every=5,
+                       convergence_threshold=1e-9, max_iter=400, operand=mj)
+    evals, x, errors, it_ppcg = solver.run(_guess(mat, r))
+    np.testing.assert_allclose(evals, ref, atol=1e-8)
+    assert it_ppcg < 200, it_ppcg
+
+    dinit = make_davidson_init(_matvec, r, 4 * r)
+    dsolve = make_davidson_solve(_matvec, r, 4 * r, rr="window")
+    _, it_window = dsolve(dinit(jnp.asarray(_guess(mat, r)), mj), mj,
+                          jnp.diagonal(mj), 1e-9, 400)
+    assert it_ppcg < int(it_window), (it_ppcg, int(it_window))
+
+
+def test_carried_ap_is_exact():
+    """AP is maintained through projections/normalisation/mixing/rotations
+    without a second matvec — after many steps it must still equal A P to
+    roundoff (the one-matvec-per-iteration guarantee)."""
+    n, r = 128, 3
+    mat = _easy(n, seed=3)
+    mj = jnp.asarray(mat)
+    init = make_ppcg_init(_matvec, r)
+    step = make_ppcg_step(_matvec, r, rr_every=4)
+    st = init(jnp.asarray(_guess(mat, r)), mj)
+    for _ in range(10):
+        st = step(st, mj, jnp.diagonal(mj))
+    ap_true = np.asarray(st.p) @ mat.T
+    np.testing.assert_allclose(np.asarray(st.ap), ap_true, atol=1e-10)
+    ax_true = np.asarray(st.x) @ mat.T
+    np.testing.assert_allclose(np.asarray(st.ax), ax_true, atol=1e-10)
+
+
+def test_single_dispatch_solve_contract():
+    """make_ppcg_solve honours the (state, operand, diag, tol, max_iter) ->
+    (state, iters) contract incl. the tol<0 fixed-trip mode bench uses."""
+    n, r = 96, 2
+    mat = _easy(n, seed=4)
+    mj = jnp.asarray(mat)
+    init = make_ppcg_init(_matvec, r)
+    solve = make_ppcg_solve(_matvec, r, rr_every=3)
+    final, iters = solve(init(jnp.asarray(_guess(mat, r)), mj), mj,
+                         jnp.diagonal(mj), -1.0, 25)
+    assert int(iters) == 25
+    assert np.all(np.isfinite(np.asarray(final.x)))
+
+
+def test_from_dense_symmetric_packed_entry():
+    n, r = 160, 3
+    mat = _easy(n, seed=5)
+    solver = FusedPPCG.from_dense_symmetric(mat, nroots=r, b=32,
+                                            convergence_threshold=1e-9,
+                                            max_iter=300)
+    evals, x, errors, iters = solver.run(_guess(mat, r))
+    ref = np.linalg.eigvalsh(mat)[:r]
+    np.testing.assert_allclose(evals, ref, atol=1e-8)
+    assert solver.unpad(x).shape == (r, n)
+
+
+def test_rr_every_validation():
+    mat = _easy(64)
+    with pytest.raises(ValueError):
+        FusedPPCG(_matvec, np.diag(mat), 64, 2, rr_every=0,
+                  operand=jnp.asarray(mat))
