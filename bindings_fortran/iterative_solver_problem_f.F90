@@ -174,7 +174,12 @@ contains
                                           max_iter, verbosity)
     class(problem_t), intent(in) :: prob
     double precision, intent(inout), dimension(:) :: parameters
-    double precision, intent(inout), dimension(:) :: actions
+    ! TARGET + CONTIGUOUS: the gradient is viewed as an (n, 1) block via a
+    ! rank-remapping pointer below; without TARGET the pointer would be
+    ! undefined on return from any helper, and rank remapping requires a
+    ! simply contiguous target (a non-contiguous actual gets copy-in/out at
+    ! THIS boundary, which is safe for intent(inout))
+    double precision, intent(inout), target, contiguous, dimension(:) :: actions
     double precision, intent(in) :: thresh
     integer, intent(in), optional :: max_iter
     integer, intent(in), optional :: verbosity
@@ -183,6 +188,7 @@ contains
     double precision :: f
     double precision, allocatable :: diag(:), errors(:)
     double precision :: noshift(1)
+    double precision, pointer :: grad_block(:, :)
     logical :: have_diag
 
     n = size(parameters)
@@ -206,10 +212,11 @@ contains
       do while (IterativeSolverEndIterationNeeded() /= 0)
         if (nwork > 0) then
           ! view the single gradient as an (n, 1) block for precondition
+          grad_block(1:n, 1:1) => actions
           if (have_diag) then
-            call prob%precondition(reshape_block(actions, n), noshift, diag)
+            call prob%precondition(grad_block, noshift, diag)
           else
-            call prob%precondition(reshape_block(actions, n), noshift)
+            call prob%precondition(grad_block, noshift)
           end if
         end if
         nwork = IterativeSolverEndIteration(1_c_size_t, parameters, actions, 1_c_int)
@@ -221,18 +228,6 @@ contains
     problem_solve_optimize = (nwork == 0)
     call IterativeSolverFinalize()
     deallocate(diag, errors)
-
-  contains
-
-    !> The Problem precondition contract takes an (n, nvec) block; give the
-    !> single gradient vector that shape without a copy.
-    function reshape_block(vec, n) result(blk)
-      integer, intent(in) :: n
-      double precision, intent(inout), target :: vec(n)
-      double precision, pointer :: blk(:, :)
-      blk(1:n, 1:1) => vec
-    end function reshape_block
-
   end function problem_solve_optimize
 
 end module iterative_solver_problem

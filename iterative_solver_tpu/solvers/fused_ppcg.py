@@ -54,6 +54,15 @@ def _rows_dot(a, b):
     return jnp.einsum("in,in->i", a, b, precision=_PREC)
 
 
+def _chol_jitter(dtype) -> float:
+    """Gram jitter that EXCEEDS the dtype's Gram roundoff: a nearly
+    linearly dependent block's Gram reads min-eig ~ -eps by rounding (f64
+    ~ -1e-16, f32 ~ -1e-6 measured) and an under-jittered Cholesky NaNs
+    the whole solve silently. Rows here are unit-scale, so absolute
+    thresholds are calibrated."""
+    return 1e-12 if dtype == jnp.float64 else 1e-5
+
+
 def _batched_rr3(x, ax, w, aw, p, ap, live_w, live_p, nroots):
     """Per-root (3, 3) Rayleigh-Ritz, batched over roots.
 
@@ -131,10 +140,8 @@ def _step_body(matvec: Callable[..., Array], nroots: int, rr_every: int):
         eps_p = 1e-24 if p.dtype == jnp.float64 else 1e-6
         live_p = pn2 > eps_p
         sp = jnp.where(live_p, 1.0 / jnp.sqrt(jnp.where(live_p, pn2, 1.0)), 0.0)
-        p = p * sp[:, None]
-        ap = ap * sp[:, None]
-        p = p * live_p.astype(p.dtype)[:, None]
-        ap = ap * live_p.astype(p.dtype)[:, None]
+        p = p * sp[:, None]      # sp is exactly 0 on dead rows: this both
+        ap = ap * sp[:, None]    # normalises and masks in one multiply
 
         aw = matvec(w, operand)         # THE matvec of the iteration
 
@@ -151,9 +158,8 @@ def _step_body(matvec: Callable[..., Array], nroots: int, rr_every: int):
         # eigenvalue ~ -1e-6 in f32 and NaN the Cholesky) and caps the
         # whitening amplification when per-root updates drive two rows
         # toward the same eigenvector between full RRs.
-        jitter = 1e-30 if x_new.dtype == jnp.float64 else 1e-5
         g = jnp.matmul(x_new, x_new.T, precision=_PREC)
-        g = g + jitter * jnp.eye(nroots, dtype=g.dtype)
+        g = g + _chol_jitter(g.dtype) * jnp.eye(nroots, dtype=g.dtype)
         l = jnp.linalg.cholesky(g)
         x_new = jax.scipy.linalg.solve_triangular(l, x_new, lower=True)
         ax_new = jax.scipy.linalg.solve_triangular(l, ax_new, lower=True)
@@ -194,7 +200,8 @@ def make_ppcg_init(matvec: Callable[..., Array], nroots: int):
 
     def init(v0: Array, operand) -> PPCGState:
         g = jnp.matmul(v0, v0.T, precision=_PREC)
-        l = jnp.linalg.cholesky(g + 1e-30 * jnp.eye(nroots, dtype=g.dtype))
+        l = jnp.linalg.cholesky(
+            g + _chol_jitter(g.dtype) * jnp.eye(nroots, dtype=g.dtype))
         x = jax.scipy.linalg.solve_triangular(l, v0, lower=True)
         ax = matvec(x, operand)
         rho = _rows_dot(x, ax)
@@ -227,6 +234,15 @@ def make_ppcg_solve(matvec, nroots: int, rr_every: int = 5):
 
         final, iters = jax.lax.while_loop(
             cond, body, (state, jnp.asarray(0, jnp.int32)))
+        # the step stores the INCOMING iterate's Rayleigh data (the residual
+        # is computed before the update); refresh so the returned
+        # evals/errors describe the returned x rows — otherwise a max_iter
+        # exit pairs stale (and, after a full-RR re-sort, PERMUTED)
+        # eigenvalues with the final vectors
+        rho = _rows_dot(final.x, final.ax)
+        res = final.ax - rho[:, None] * final.x
+        errors = jnp.sqrt(jnp.abs(_rows_dot(res, res)))
+        final = final._replace(evals=rho, errors=errors)
         return final, iters
 
     return jax.jit(solve)
@@ -238,7 +254,13 @@ class FusedPPCG:
     Same constructor shape as FusedDavidson minus the basis-capacity knobs
     (there is no basis stack); ``rr_every`` sets the full-RR cadence (the
     measured sweet spot is 3-5: smaller re-couples faster on hard spectra,
-    larger amortises the eigh(r))."""
+    larger amortises the eigh(r)).
+
+    Caveat vs the Davidson families: a root whose guess is degenerate (or
+    gets knocked off its target) has no global expanding subspace to
+    rediscover an interior eigenvalue — it converges to SOME eigenpair,
+    possibly skipping one (measured; Davidson's basis stack recovers).
+    Supply linearly independent guesses when the lowest BLOCK matters."""
 
     def __init__(
         self,

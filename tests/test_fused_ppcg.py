@@ -140,3 +140,51 @@ def test_rr_every_validation():
     with pytest.raises(ValueError):
         FusedPPCG(_matvec, np.diag(mat), 64, 2, rr_every=0,
                   operand=jnp.asarray(mat))
+
+
+def test_max_iter_exit_returns_consistent_pairs():
+    """On a max_iter exit the returned evals/errors must describe the
+    returned x rows (the step stores the INCOMING iterate's Rayleigh data;
+    the solve refreshes on exit — without it, a full-RR re-sort leaves the
+    pairing scrambled, measured up to 9.6e-2 mismatch)."""
+    n, r = 200, 4
+    mat = _hard(n, seed=7)
+    mj = jnp.asarray(mat)
+    init = make_ppcg_init(_matvec, r)
+    solve = make_ppcg_solve(_matvec, r, rr_every=5)
+    final, iters = solve(init(jnp.asarray(_guess(mat, r)), mj), mj,
+                         jnp.diagonal(mj), 1e-12, 7)  # stop mid-flight
+    assert int(iters) == 7
+    x = np.asarray(final.x)
+    rho_true = np.einsum("in,in->i", x, x @ mat.T)
+    np.testing.assert_allclose(np.asarray(final.evals), rho_true, atol=1e-10)
+    res_true = np.linalg.norm(x @ mat.T - rho_true[:, None] * x, axis=1)
+    np.testing.assert_allclose(np.asarray(final.errors), res_true, atol=1e-10)
+
+
+def test_degenerate_guess_survives():
+    """A (nearly) linearly dependent guess block must not NaN the solve —
+    the init Cholesky jitter exceeds the f64 Gram roundoff and the dependent
+    row degrades to an arbitrary direction. The solve then converges to
+    SOME eigenpairs (the degraded root has no global subspace to rediscover
+    its intended interior target — Davidson's expanding basis does; pick it
+    when guesses may be degenerate). Pinned contract: finite, converged,
+    genuine eigenpairs, lowest root still found."""
+    n, r = 128, 3
+    mat = _easy(n, seed=8)
+    v0 = _guess(mat, r)
+    v0[1] = v0[0] + 1e-9 * np.random.default_rng(9).standard_normal(n)
+    solver = FusedPPCG(_matvec, np.diag(mat), n, r, rr_every=5,
+                       convergence_threshold=1e-9, max_iter=400,
+                       operand=jnp.asarray(mat))
+    evals, x, errors, iters = solver.run(v0)
+    assert np.all(np.isfinite(evals)) and np.all(np.isfinite(np.asarray(x)))
+    assert np.all(np.isfinite(errors))
+    ref = np.linalg.eigvalsh(mat)
+    # the healthy roots converge to true eigenpairs; the degraded one may
+    # still be wandering (finite, honest nonzero error) at max_iter
+    converged = errors <= 1e-9
+    assert converged.sum() >= r - 1
+    for ev in evals[converged]:
+        assert np.min(np.abs(ref - ev)) < 1e-8
+    assert abs(evals[0] - ref[0]) < 1e-8  # the lowest root survives
