@@ -188,3 +188,31 @@ def test_degenerate_guess_survives():
     for ev in evals[converged]:
         assert np.min(np.abs(ref - ev)) < 1e-8
     assert abs(evals[0] - ref[0]) < 1e-8  # the lowest root survives
+
+
+def test_sharded_solve_matches_single_device():
+    """The PPCG while_loop under GSPMD on the 8-device mesh (every row dot
+    becomes a cross-device psum) reproduces the single-device solve."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from iterative_solver_tpu.parallel import make_mesh
+
+    n, r = 256, 4
+    mat = _easy(n, seed=10)
+    mj = jnp.asarray(mat)
+    v0 = _guess(mat, r)
+
+    single = FusedPPCG(_matvec, np.diag(mat), n, r, rr_every=5,
+                       convergence_threshold=1e-10, max_iter=300, operand=mj)
+    ev1, x1, err1, it1 = single.run(v0)
+
+    mesh = make_mesh(jax.devices()[:8])
+    sharding = NamedSharding(mesh, P(None, "data"))
+    mshard = jax.device_put(mj, NamedSharding(mesh, P(None, "data")))
+    sharded = FusedPPCG(_matvec, np.diag(mat), n, r, rr_every=5,
+                        convergence_threshold=1e-10, max_iter=300,
+                        operand=mshard, sharding=sharding)
+    ev8, x8, err8, it8 = sharded.run(v0)
+
+    np.testing.assert_allclose(ev8, ev1, atol=1e-9)
+    assert it8 == it1
