@@ -36,6 +36,7 @@ from .solvers.nonlinear_diis import NonLinearEquationsDIIS
 from .solvers.optimize import OptimizeBFGS, OptimizeSD
 from .solvers.fused_davidson import FusedDavidson, make_batched_davidson_solve
 from .solvers.fused_ppcg import FusedPPCG
+from .solvers.fused_cg import FusedBlockCG
 from .solvers.implicit_diff import (
     make_differentiable_eigenpairs,
     make_differentiable_eigenvalues,
@@ -64,6 +65,7 @@ __all__ = [
     "Interpolate",
     "Point",
     "FusedPPCG",
+    "FusedBlockCG",
     "create_linear_eigensystem",
     "create_linear_equations",
     "create_nonlinear_equations",

@@ -56,7 +56,20 @@ def _step_body(matvec: Callable[..., Array], nrhs: int, m_max: int, null_thresh:
         beta = jnp.matmul(v, b.T, precision=_PREC) * mask[:, None]  # (m_max, nrhs)
         evals_h, c = jnp.linalg.eigh(h)
         safe = jnp.where(jnp.abs(evals_h) > 1e-30, evals_h, 1.0)
-        coeff = (c @ ((c.T @ beta) / safe[:, None])).T * mask[None, :]  # (nrhs, m_max)
+
+        def hsolve(rhs):
+            return c @ ((c.T @ rhs) / safe[:, None])
+
+        co = hsolve(beta)
+        # two passes of iterative refinement: the TPU f32 eigh is only
+        # ~1e-3..1e-4 accurate (far below LAPACK's f32 ssyev), and the
+        # subspace SOLUTION inherits that error directly — measured: the
+        # whole solver stalls at ~5e-3 relative residual on TPU at every
+        # size while CPU f32 reaches 6e-6. Each refinement squares the
+        # factorisation error at the cost of two (m, m) matmuls.
+        for _ in range(2):
+            co = co + hsolve(beta - jnp.matmul(h, co, precision=_PREC))
+        coeff = co.T * mask[None, :]  # (nrhs, m_max)
         x = jnp.matmul(coeff, v, precision=_PREC)
         ax = jnp.matmul(coeff, w, precision=_PREC)
         r = ax - b

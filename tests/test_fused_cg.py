@@ -1,0 +1,129 @@
+"""Fused block conjugate gradient (solvers/fused_cg.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from iterative_solver_tpu.solvers.fused_cg import FusedBlockCG
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def _matvec(x, op):
+    return jnp.matmul(x, op.T, precision=_PREC)
+
+
+def _spd(n, seed=0, scale=0.1):
+    rng = np.random.default_rng(seed)
+    a = rng.standard_normal((n, n)) * (scale / np.sqrt(n))
+    return a + a.T + np.diag(np.linspace(1.0, 9.0, n))
+
+
+@pytest.mark.parametrize("nrhs", [1, 3])
+def test_matches_direct_solve(nrhs):
+    n = 256
+    mat = _spd(n, seed=1)
+    b = np.random.default_rng(2).standard_normal((nrhs, n))
+    solver = FusedBlockCG(_matvec, np.diag(mat), n, nrhs,
+                          convergence_threshold=1e-12, max_iter=500,
+                          operand=jnp.asarray(mat))
+    x, errors, iters = solver.solve(b)
+    assert np.max(errors) <= 1e-12
+    ref = np.linalg.solve(mat, b.T).T
+    np.testing.assert_allclose(x, ref, atol=1e-9)
+
+
+def test_mixed_convergence_freezes_early_systems():
+    """RHS with very different scales converge at different iterations; the
+    frozen systems' iterates must not move once below tolerance."""
+    n = 192
+    mat = _spd(n, seed=3)
+    rng = np.random.default_rng(4)
+    b = rng.standard_normal((3, n))
+    b[0] *= 1e6  # relative tolerance: converges on its own schedule
+    solver = FusedBlockCG(_matvec, np.diag(mat), n, 3,
+                          convergence_threshold=1e-11, max_iter=500,
+                          operand=jnp.asarray(mat))
+    x, errors, iters = solver.solve(b)
+    assert np.max(errors) <= 1e-11
+    ref = np.linalg.solve(mat, b.T).T
+    # relative accuracy per system despite the 1e6 scale spread
+    for i in range(3):
+        assert np.max(np.abs(x[i] - ref[i])) <= 1e-8 * np.max(np.abs(ref[i]))
+
+
+def test_warm_start_helps():
+    n = 128
+    mat = _spd(n, seed=5)
+    b = np.random.default_rng(6).standard_normal((2, n))
+    ref = np.linalg.solve(mat, b.T).T
+    solver = FusedBlockCG(_matvec, np.diag(mat), n, 2,
+                          convergence_threshold=1e-10, max_iter=500,
+                          operand=jnp.asarray(mat))
+    _, _, cold = solver.solve(b)
+    x0 = ref + 1e-6 * np.random.default_rng(7).standard_normal((2, n))
+    _, _, warm = solver.solve(b, x0=x0)
+    assert warm < cold
+
+
+def test_zero_rhs_is_immediate():
+    n = 64
+    mat = _spd(n, seed=8)
+    solver = FusedBlockCG(_matvec, np.diag(mat), n, 2,
+                          convergence_threshold=1e-10, operand=jnp.asarray(mat))
+    x, errors, iters = solver.solve(np.zeros((2, n)))
+    assert iters == 0
+    np.testing.assert_allclose(x, 0.0)
+
+
+def test_sharded_matches_single_device():
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from iterative_solver_tpu.parallel import make_mesh
+
+    n, nrhs = 256, 2
+    mat = _spd(n, seed=9)
+    b = np.random.default_rng(10).standard_normal((nrhs, n))
+    single = FusedBlockCG(_matvec, np.diag(mat), n, nrhs,
+                          convergence_threshold=1e-11, operand=jnp.asarray(mat))
+    x1, e1, it1 = single.solve(b)
+
+    mesh = make_mesh(jax.devices()[:8])
+    sharding = NamedSharding(mesh, P(None, "data"))
+    mshard = jax.device_put(jnp.asarray(mat), NamedSharding(mesh, P(None, "data")))
+    sharded = FusedBlockCG(_matvec, np.diag(mat), n, nrhs,
+                           convergence_threshold=1e-11, operand=mshard,
+                           sharding=sharding)
+    x8, e8, it8 = sharded.solve(b)
+    np.testing.assert_allclose(x8, x1, atol=1e-9)
+    assert it8 == it1
+
+
+def test_packed_precise_tier_action():
+    """Block CG through the split double-bf16 packed action (interpret on
+    CPU) — the production pairing for large SPD response equations."""
+    import dataclasses
+
+    from iterative_solver_tpu.ops.kernels.symm_pallas import (
+        SymmetricBlockedSplit,
+        symm_matmat_split_pallas,
+    )
+
+    n, nrhs = 128, 2
+    mat = _spd(n, seed=11)
+    sym = SymmetricBlockedSplit.from_dense(mat, b=32)
+    op = (sym.hi, sym.lo, sym.ii, sym.jj)
+
+    def matvec(x, o):
+        s = dataclasses.replace(sym, hi=o[0], lo=o[1], ii=o[2], jj=o[3])
+        return symm_matmat_split_pallas(
+            x.astype(jnp.float32), s, interpret=True).astype(x.dtype)
+
+    b = np.random.default_rng(12).standard_normal((nrhs, n))
+    solver = FusedBlockCG(matvec, np.diag(mat), n, nrhs,
+                          convergence_threshold=5e-5, max_iter=400, operand=op)
+    x, errors, iters = solver.solve(b)
+    assert np.max(errors) <= 5e-5
+    ref = np.linalg.solve(mat, b.T).T
+    np.testing.assert_allclose(x, ref, atol=2e-4 * np.max(np.abs(ref)))
