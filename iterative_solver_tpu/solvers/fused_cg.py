@@ -46,21 +46,31 @@ def _rows_dot(a, b):
     return jnp.einsum("in,in->i", a, b, precision=_PREC)
 
 
-def _step_body(matvec: Callable[..., Array], tol_scale_guard: float = 1e-300):
-    def step(state: CGState, operand, diag: Array, b_norm: Array,
+def _jacobi_inverse(diag: Array) -> Array:
+    """Loop-invariant reciprocal of the regularised Jacobi denominator
+    (computed ONCE per solve — the preconditioner depends only on diag)."""
+    d = diag if diag.ndim == 2 else diag[None, :]
+    return 1.0 / (d + 1e-15 * jnp.max(jnp.abs(d)) + 1e-300)
+
+
+def _step_body(matvec: Callable[..., Array]):
+    def step(state: CGState, operand, dinv: Array, b_norm: Array,
              tol_) -> CGState:
         x, r, z, p, rz = state.x, state.r, state.z, state.p, state.rz
         ap = matvec(p, operand)
         pap = _rows_dot(p, ap)
         # frozen systems (converged or p annihilated) take a zero step; the
-        # guard also protects against a non-SPD operator driving pap <= 0
-        # (the iterate then just stops moving instead of exploding)
-        active = (state.errors > tol_) & (pap > tol_scale_guard)
+        # guard also protects against a non-SPD or ill-conditioned operator
+        # driving pap toward/below 0 (the iterate then stops moving instead
+        # of exploding). RELATIVE to rz: alpha = rz/pap stays bounded by
+        # 1/eps; an absolute denormal threshold would underflow to 0 in f32
+        # and let pap ~ 1e-20 produce an inf step.
+        eps = 1e-12 if pap.dtype == jnp.float64 else 1e-6
+        active = (state.errors > tol_) & (pap > eps * rz)
         alpha = jnp.where(active, rz / jnp.where(active, pap, 1.0), 0.0)
         x = x + alpha[:, None] * p
         r = r - alpha[:, None] * ap
-        d = diag if diag.ndim == 2 else diag[None, :]
-        z = r / (d + 1e-15 * jnp.max(jnp.abs(d)) + 1e-300)
+        z = r * dinv
         rz_new = _rows_dot(r, z)
         beta = jnp.where(active, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
         p = z + beta[:, None] * p
@@ -77,13 +87,15 @@ def make_cg_solve(matvec: Callable[..., Array]):
 
     def solve(state: CGState, operand, diag: Array, b_norm: Array, tol_,
               max_iter_):
+        dinv = _jacobi_inverse(diag)
+
         def cond(carry):
             s, it = carry
             return (it < max_iter_) & (jnp.max(s.errors) > tol_)
 
         def body(carry):
             s, it = carry
-            return step(s, operand, diag, b_norm, tol_), it + 1
+            return step(s, operand, dinv, b_norm, tol_), it + 1
 
         return jax.lax.while_loop(cond, body, (state, jnp.asarray(0, jnp.int32)))
 
@@ -93,8 +105,7 @@ def make_cg_solve(matvec: Callable[..., Array]):
 def make_cg_init(matvec: Callable[..., Array]):
     def init(x0: Array, b: Array, operand, diag: Array, b_norm: Array) -> CGState:
         r = b - matvec(x0, operand)
-        d = diag if diag.ndim == 2 else diag[None, :]
-        z = r / (d + 1e-15 * jnp.max(jnp.abs(d)) + 1e-300)
+        z = r * _jacobi_inverse(diag)
         rz = _rows_dot(r, z)
         errors = jnp.sqrt(jnp.abs(_rows_dot(r, r))) / b_norm
         return CGState(x0, r, z, z, rz, errors)
@@ -135,12 +146,21 @@ class FusedBlockCG:
 
         self.diag = jnp.asarray(np.asarray(diagonals), dtype=dtype)
         if sharding is not None:
-            self.diag = jax.device_put(self.diag, adapt_sharding(sharding, 1))
+            # rank-aware: per-RHS (nrhs, N) diagonals shard by the LAST
+            # axis, not by nrhs (sharding dim 0 of a (2, N) array over an
+            # 8-device mesh is a hard error — and the wrong axis regardless)
+            self.diag = jax.device_put(
+                self.diag, adapt_sharding(sharding, self.diag.ndim))
         self._init = make_cg_init(matvec)
         self._solve = make_cg_solve(matvec)
 
     def solve(self, b, x0=None):
-        """Returns (x, errors, iterations); errors are |A x - b| / |b|."""
+        """Returns (x, errors, iterations); errors are |A x - b| / |b|.
+
+        ``x`` stays a device array (same convention as
+        FusedLinearEquations.solve — chained workflows keep the block on
+        device instead of paying a host round-trip); errors come back as
+        numpy."""
         b = jnp.asarray(np.asarray(b), dtype=self.dtype)
         if x0 is None:
             x0 = jnp.zeros_like(b)
@@ -157,4 +177,4 @@ class FusedBlockCG:
         state = self._init(x0, b, self.operand, self.diag, b_norm)
         final, iters = self._solve(state, self.operand, self.diag, b_norm,
                                    self.tol, self.max_iter)
-        return np.asarray(final.x), np.asarray(final.errors), int(iters)
+        return final.x, np.asarray(final.errors), int(iters)

@@ -180,7 +180,10 @@ class FusedLinearEquations:
 
         self.diag = jnp.asarray(np.asarray(diagonals), dtype=dtype)
         if sharding is not None:
-            self.diag = jax.device_put(self.diag, adapt_sharding(sharding, 1))
+            # rank-aware: the step accepts per-RHS (nrhs, N) diagonals
+            # (shifted systems) — those shard by the LAST axis, not nrhs
+            self.diag = jax.device_put(
+                self.diag, adapt_sharding(sharding, self.diag.ndim))
         self.operand = operand
         if fuse_chain is None:
             # same auto policy as FusedDavidson: single-device TPU f32 states

@@ -35,20 +35,36 @@ def test_matches_direct_solve(nrhs):
 
 
 def test_mixed_convergence_freezes_early_systems():
-    """RHS with very different scales converge at different iterations; the
-    frozen systems' iterates must not move once below tolerance."""
+    """RHS converging at different iterations: a frozen (converged) system's
+    iterate must be BITWISE unchanged by further iterations of the others
+    (the alpha-freeze invariant PARITY.md advertises)."""
+    from iterative_solver_tpu.solvers.fused_cg import make_cg_init, make_cg_solve
+
     n = 192
     mat = _spd(n, seed=3)
+    mj = jnp.asarray(mat)
+    diag = jnp.diagonal(mj)
     rng = np.random.default_rng(4)
     b = rng.standard_normal((3, n))
-    b[0] *= 1e6  # relative tolerance: converges on its own schedule
-    solver = FusedBlockCG(_matvec, np.diag(mat), n, 3,
-                          convergence_threshold=1e-11, max_iter=500,
-                          operand=jnp.asarray(mat))
-    x, errors, iters = solver.solve(b)
-    assert np.max(errors) <= 1e-11
     ref = np.linalg.solve(mat, b.T).T
-    # relative accuracy per system despite the 1e6 scale spread
+    bj = jnp.asarray(b)
+    b_norm = jnp.sqrt(jnp.abs(jnp.einsum("in,in->i", bj, bj)))
+
+    init = make_cg_init(_matvec)
+    solve = make_cg_solve(_matvec)
+    tol = 1e-10
+    # warm-start system 0 at the exact solution: frozen from iteration 0
+    x0 = np.zeros_like(b)
+    x0[0] = ref[0]
+    st0 = init(jnp.asarray(x0), bj, mj, diag, b_norm)
+    assert float(st0.errors[0]) <= tol
+    assert float(jnp.max(st0.errors[1:])) > tol
+    fin, iters = solve(st0, mj, diag, b_norm, tol, 500)
+    assert int(iters) > 0  # the others genuinely iterated
+    # the frozen iterate did not move AT ALL while the others converged
+    np.testing.assert_array_equal(np.asarray(fin.x[0]), x0[0])
+    assert np.max(np.asarray(fin.errors)) <= tol
+    x = np.asarray(fin.x)
     for i in range(3):
         assert np.max(np.abs(x[i] - ref[i])) <= 1e-8 * np.max(np.abs(ref[i]))
 
