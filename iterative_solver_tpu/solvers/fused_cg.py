@@ -102,6 +102,27 @@ def make_cg_solve(matvec: Callable[..., Array]):
     return jax.jit(solve)
 
 
+def make_batched_cg_solve(matvec: Callable[..., Array]):
+    """Many independent SPD systems in ONE dispatch: the whole-solve
+    while_loop vmapped over a leading batch axis of (operand, diag, B).
+
+    Unlike the Davidson families (whose restart lax.cond lowers to
+    select-over-both-branches under vmap, forcing the chunked workaround),
+    the CG step is branch-free — plain vmap of the plain solve works, and
+    the combined loop runs until the slowest element converges while done
+    elements freeze through the per-row active mask. Returns
+    ``(batched_init, batched_solve)`` with a leading batch axis on every
+    array. The matvec must be vmap-compatible (XLA paths are; the Pallas
+    packed kernels are not)."""
+    init = make_cg_init(matvec)
+    solve = make_cg_solve(matvec)
+
+    batched_init = jax.jit(jax.vmap(init, in_axes=(0, 0, 0, 0, 0)))
+    batched_solve = jax.jit(
+        jax.vmap(solve, in_axes=(0, 0, 0, 0, None, None)))
+    return batched_init, batched_solve
+
+
 def make_cg_init(matvec: Callable[..., Array]):
     def init(x0: Array, b: Array, operand, diag: Array, b_norm: Array) -> CGState:
         r = b - matvec(x0, operand)
