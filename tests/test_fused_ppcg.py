@@ -216,3 +216,27 @@ def test_sharded_solve_matches_single_device():
 
     np.testing.assert_allclose(ev8, ev1, atol=1e-9)
     assert it8 == it1
+
+
+def test_soak_past_floor_stays_bounded():
+    """Running far past convergence (tol < 0) must keep errors bounded near
+    the floor — the f32+bf16 failure mode this pins drove residuals to 1e12
+    through carried-quantity amplification before the dtype-aware floors
+    (momentum norm, whitening, chol jitter) were calibrated."""
+    n, r = 192, 4
+    mat = _easy(n, seed=12)
+    mj = jnp.asarray(mat)
+    init = make_ppcg_init(_matvec, r)
+    solve = make_ppcg_solve(_matvec, r, rr_every=5)
+    st = init(jnp.asarray(_guess(mat, r)), mj)
+    final, iters = solve(st, mj, jnp.diagonal(mj), -1.0, 1000)
+    assert int(iters) == 1000
+    assert np.all(np.isfinite(np.asarray(final.x)))
+    assert np.all(np.isfinite(np.asarray(final.errors)))
+    # errors stay at the (f64 here) floor — no runaway growth
+    assert float(np.max(np.asarray(final.errors))) < 1e-7
+    # the block is still orthonormal and still spans the right eigenpairs
+    x = np.asarray(final.x)
+    np.testing.assert_allclose(x @ x.T, np.eye(r), atol=1e-9)
+    ref = np.linalg.eigvalsh(mat)[:r]
+    np.testing.assert_allclose(np.sort(np.asarray(final.evals)), ref, atol=1e-8)
