@@ -357,7 +357,8 @@ def main():
         solver_wh = FusedDavidson(matvec_h, diagh, nh, rh, m_max=4 * rh,
                                   dtype=dtype, convergence_threshold=tol_h,
                                   max_iter=cap_h, operand=oph, rr="window")
-        solve_wh = make_davidson_solve(matvec_h, rh, 4 * rh, rr="window")
+        solve_wh = make_davidson_solve(matvec_h, rh, 4 * rh, rr="window",
+                                       fuse_chain=solver_wh.fuse_chain)
         st_wh = solver_wh.init_state(vh)
         out_wh, _ = solve_wh(st_wh, oph, solver_wh.diag, -1.0, 1)
         np.asarray(out_wh.errors)

@@ -80,6 +80,15 @@ def dots_rows(x: Array, y: Array) -> Array:
     return jnp.einsum("in,in->i", x, y, precision=_PRECISION)
 
 
+def chol_jitter(dtype) -> float:
+    """Gram jitter that EXCEEDS the dtype's Gram roundoff, for unit-scale
+    rows. A nearly linearly dependent block's Gram reads min-eig ~ -eps by
+    rounding (f64 ~ -1e-16, f32 ~ -1e-6 measured on TPU) and an
+    under-jittered Cholesky NaNs silently — and a NaN error vector reads as
+    CONVERGED in every fused while_loop cond (NaN > tol is False)."""
+    return 1e-12 if dtype == jnp.float64 else 1e-5
+
+
 @functools.partial(jax.jit)
 def norms_rows(x: Array) -> Array:
     return jnp.sqrt(jnp.abs(jnp.einsum("in,in->i", x, x, precision=_PRECISION)))

@@ -150,9 +150,15 @@ def whiten_after_chain(t: Array, n0_2: Array, n2: Array, nroots: int,
         t = t * s[:, None]
         g = jnp.matmul(t, t.T, precision=_PREC)
     g = jnp.where(keep[:, None] & keep[None, :], g, 0.0)
-    # dead rows get a unit diagonal so the Cholesky stays defined; live rows
-    # a 1e-30 jitter calibrated to the unit diagonal above
-    g = g + jnp.where(keep, 1e-30, 1.0) * jnp.eye(nroots, dtype=g.dtype)
+    # dead rows get a unit diagonal so the Cholesky stays defined; live
+    # rows a dtype-aware jitter ABOVE the Gram roundoff — with 1e-30, two
+    # mutually near-parallel surviving rows (degenerate roots: each passes
+    # the per-row null test yet g12 ~ 1) give an indefinite f32 Gram, the
+    # Cholesky NaNs, and the while_loop cond reads NaN errors as converged
+    from ...array.vector_ops import chol_jitter
+
+    g = g + jnp.where(keep, chol_jitter(g.dtype), 1.0) * jnp.eye(
+        nroots, dtype=g.dtype)
     l = jnp.linalg.cholesky(g)
     if fused:
         ws = jax.scipy.linalg.solve_triangular(

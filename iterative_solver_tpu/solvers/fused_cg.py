@@ -5,7 +5,7 @@ LinearEquationsDavidson redesign) carries an (m_max, N) basis and solves a
 projected system every iteration — robust for indefinite/ill-scaled
 operators.
 For the symmetric positive definite case the textbook production solver is
-preconditioned CG: THREE (nrhs, N) blocks of state, one matvec and ~8 small
+preconditioned CG: three (nrhs, N) blocks of state (x, r, p), one matvec and ~8 small
 row-wise ops per iteration, no small eigh/Cholesky at all. Each right-hand
 side runs its own scalar CG recurrence (batched over rows on the VPU);
 Jacobi preconditioning reuses the solver family's diagonals contract.
@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..array.vector_ops import dots_rows as _rows_dot
+
 Array = jax.Array
 _PREC = jax.lax.Precision.HIGHEST
 
@@ -36,14 +38,9 @@ _PREC = jax.lax.Precision.HIGHEST
 class CGState(NamedTuple):
     x: Array        # (nrhs, N) iterates
     r: Array        # (nrhs, N) residuals b - A x
-    z: Array        # (nrhs, N) preconditioned residuals
     p: Array        # (nrhs, N) search directions
     rz: Array       # (nrhs,) <r, z> carried for beta
     errors: Array   # (nrhs,) |r| / |b|
-
-
-def _rows_dot(a, b):
-    return jnp.einsum("in,in->i", a, b, precision=_PREC)
 
 
 def _jacobi_inverse(diag: Array) -> Array:
@@ -56,7 +53,7 @@ def _jacobi_inverse(diag: Array) -> Array:
 def _step_body(matvec: Callable[..., Array]):
     def step(state: CGState, operand, dinv: Array, b_norm: Array,
              tol_) -> CGState:
-        x, r, z, p, rz = state.x, state.r, state.z, state.p, state.rz
+        x, r, p, rz = state.x, state.r, state.p, state.rz
         ap = matvec(p, operand)
         pap = _rows_dot(p, ap)
         # frozen systems (converged or p annihilated) take a zero step; the
@@ -75,7 +72,7 @@ def _step_body(matvec: Callable[..., Array]):
         beta = jnp.where(active, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
         p = z + beta[:, None] * p
         errors = jnp.sqrt(jnp.abs(_rows_dot(r, r))) / b_norm
-        return CGState(x, r, z, p, rz_new, errors)
+        return CGState(x, r, p, rz_new, errors)
 
     return step
 
@@ -129,7 +126,7 @@ def make_cg_init(matvec: Callable[..., Array]):
         z = r * _jacobi_inverse(diag)
         rz = _rows_dot(r, z)
         errors = jnp.sqrt(jnp.abs(_rows_dot(r, r))) / b_norm
-        return CGState(x0, r, z, z, rz, errors)
+        return CGState(x0, r, z, rz, errors)
 
     return jax.jit(init)
 

@@ -58,7 +58,12 @@ def _step_body(matvec: Callable[..., Array], nrhs: int, m_max: int, null_thresh:
         safe = jnp.where(jnp.abs(evals_h) > 1e-30, evals_h, 1.0)
 
         def hsolve(rhs):
-            return c @ ((c.T @ rhs) / safe[:, None])
+            # HIGHEST precision: a default bf16 pass costs ~2e-3 relative —
+            # at kappa(h) ~ 1e3 the refinement contraction would exceed 1
+            # and the stall this refinement exists to fix would return
+            return jnp.matmul(
+                c, jnp.matmul(c.T, rhs, precision=_PREC) / safe[:, None],
+                precision=_PREC)
 
         co = hsolve(beta)
         # two passes of iterative refinement: the TPU f32 eigh is only

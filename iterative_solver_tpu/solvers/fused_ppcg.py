@@ -36,6 +36,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..array.vector_ops import chol_jitter as _chol_jitter
+from ..array.vector_ops import dots_rows as _rows_dot
+
 Array = jax.Array
 _PREC = jax.lax.Precision.HIGHEST
 
@@ -48,19 +51,6 @@ class PPCGState(NamedTuple):
     evals: Array    # (r,) Rayleigh quotients
     errors: Array   # (r,) residual norms
     it: Array       # int32 iteration counter (drives the periodic RR)
-
-
-def _rows_dot(a, b):
-    return jnp.einsum("in,in->i", a, b, precision=_PREC)
-
-
-def _chol_jitter(dtype) -> float:
-    """Gram jitter that EXCEEDS the dtype's Gram roundoff: a nearly
-    linearly dependent block's Gram reads min-eig ~ -eps by rounding (f64
-    ~ -1e-16, f32 ~ -1e-6 measured) and an under-jittered Cholesky NaNs
-    the whole solve silently. Rows here are unit-scale, so absolute
-    thresholds are calibrated."""
-    return 1e-12 if dtype == jnp.float64 else 1e-5
 
 
 def _batched_rr3(x, ax, w, aw, p, ap, live_w, live_p, nroots):
@@ -200,8 +190,12 @@ def make_ppcg_init(matvec: Callable[..., Array], nroots: int):
 
     def init(v0: Array, operand) -> PPCGState:
         g = jnp.matmul(v0, v0.T, precision=_PREC)
+        # the jitter is calibrated for UNIT-scale rows; the raw user guess
+        # can be tiny (row norms ~1e-3 would let an absolute f32 jitter
+        # dominate the whole Gram) — scale it to the guess block
+        scale = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(g))), 1e-300)
         l = jnp.linalg.cholesky(
-            g + _chol_jitter(g.dtype) * jnp.eye(nroots, dtype=g.dtype))
+            g + (_chol_jitter(g.dtype) * scale) * jnp.eye(nroots, dtype=g.dtype))
         x = jax.scipy.linalg.solve_triangular(l, v0, lower=True)
         ax = matvec(x, operand)
         rho = _rows_dot(x, ax)
