@@ -172,3 +172,24 @@ def test_fused_linear_equivalent_with_fusion():
     ref = np.linalg.solve(m, b.T).T
     for fuse, x in sols.items():
         np.testing.assert_allclose(x, ref, atol=1e-8, err_msg=f"fuse={fuse}")
+
+
+def test_whiten_parallel_rows_no_nan():
+    """Two mutually parallel surviving rows (degenerate roots: each passes
+    the per-row null test, Gram [[1,1],[1,1]]) must whiten to FINITE output
+    in f32 — with the old 1e-30 jitter the f32 Cholesky NaN'd and the
+    while_loop cond then read the NaN errors as converged."""
+    from iterative_solver_tpu.ops.kernels.chain_pallas import whiten_after_chain
+
+    n = 64
+    rng = np.random.default_rng(0)
+    row = rng.standard_normal(n).astype(np.float32)
+    t = jnp.asarray(np.stack([row, row * (1.0 + 1e-7)]))  # near-parallel
+    n2 = jnp.einsum("in,in->i", t, t)
+    n0 = n2  # pretend GS removed nothing: both rows survive the null test
+    out, keep = whiten_after_chain(t, n0, n2, 2, 1e-10)
+    assert bool(jnp.all(keep))
+    assert np.all(np.isfinite(np.asarray(out)))
+    # the first row is properly normalised; the dependent one is bounded
+    assert abs(float(jnp.linalg.norm(out[0])) - 1.0) < 1e-3
+    assert float(jnp.max(jnp.abs(out))) < 1e4
