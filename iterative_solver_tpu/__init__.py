@@ -43,6 +43,7 @@ from .solvers.implicit_diff import (
 )
 from .solvers.fused_linear import FusedLinearEquations
 from .solvers.fused_lbfgs import FusedLBFGS
+from .solvers.fused_diis import FusedDIIS
 
 __version__ = "0.1.0"
 
@@ -62,6 +63,7 @@ __all__ = [
     "make_differentiable_eigenpairs",
     "FusedLinearEquations",
     "FusedLBFGS",
+    "FusedDIIS",
     "Interpolate",
     "Point",
     "FusedPPCG",

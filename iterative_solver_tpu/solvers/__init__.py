@@ -7,6 +7,7 @@ from .optimize import OptimizeBFGS, OptimizeSD
 from .fused_davidson import FusedDavidson
 from .fused_linear import FusedLinearEquations
 from .fused_lbfgs import FusedLBFGS
+from .fused_diis import FusedDIIS
 from .chebyshev import (
     estimate_spectral_bounds,
     make_chebyshev_davidson,
@@ -27,6 +28,7 @@ __all__ = [
     "FusedDavidson",
     "FusedLinearEquations",
     "FusedLBFGS",
+    "FusedDIIS",
     "estimate_spectral_bounds",
     "make_chebyshev_davidson",
     "make_chebyshev_expand",

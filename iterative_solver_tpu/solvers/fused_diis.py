@@ -1,0 +1,251 @@
+"""Fused on-device DIIS for nonlinear equations g(x) = 0.
+
+The production TPU counterpart of `NonLinearEquationsDIIS`
+(NonLinearEquationsDIIS.h:27-183) for residual functions that are themselves
+jittable: the entire accelerated fixed-point iteration — residual
+evaluation, history update, Pulay extrapolation, preconditioned step — runs
+in ONE lax.while_loop dispatch, like the other fused families.
+
+TPU redesign of the reference's dynamic bookkeeping:
+
+- The reference keeps a growing Q space of (param, residual) pairs and
+  DELETES the least-important vector by the smallest eigenvalue of the
+  residual-overlap matrix H (least_important_vector,
+  NonLinearEquationsDIIS.h:52-80). Here history lives in fixed-capacity
+  (m, N) ring buffers (static shapes, compiles once); age-based overwrite
+  replaces explicit deletion-by-size, and the SVD-threshold deletion becomes
+  eigenvalue clipping inside the extrapolation solve — directions of the
+  overlap matrix below svd_thresh * lambda_max simply do not contribute,
+  which is the same null-space-removal semantics as the reference's bordered
+  SVD solve (solve_DIIS, helper-implementation.h:619-669) without any shape
+  change.
+- The Pulay coefficients solve min ||sum_i c_i r_i|| s.t. sum_i c_i = 1 via
+  c = B+ 1 / (1^T B+ 1) with B+ the eigenvalue-clipped pseudo-inverse of the
+  residual-overlap matrix. On TPU, f32 eigh is only ~1e-3..1e-4 accurate and
+  any SOLVE through it inherits that error directly (see
+  fused_linear.FusedLinearEquations), so the solve applies two iterative-
+  refinement passes within the kept eigenspace — each pass squares the
+  relative error at the cost of one (m, m) matvec.
+- x <- x_interp - precondition(r_interp) exactly as the reference's
+  end_iteration (NonLinearEquationsDIIS.h:103-119); the default
+  preconditioner is the solver family's Jacobi contract r/(d + eps) when
+  diagonals are supplied, identity otherwise.
+
+Everything shards over the vector axis via GSPMD: the only O(N) ops are the
+residual callback, two (m, N) row inserts, an (m, N) @ (N,) overlap row and
+two (m,) @ (m, N) reconstructions — all MXU work with HIGHEST precision.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+_PREC = jax.lax.Precision.HIGHEST
+
+
+class DIISState(NamedTuple):
+    x: Array        # (N,) current parameters
+    r: Array        # (N,) residual g(x) (already evaluated)
+    x_hist: Array   # (m, N) parameter history ring
+    r_hist: Array   # (m, N) residual history ring
+    b: Array        # (m, m) residual overlap <r_i, r_j>; zero rows for empty slots
+    head: Array     # int32 ring index of the next write
+    count: Array    # int32 number of valid history entries
+    err: Array      # scalar ||r||
+
+
+def _clipped_pulay_solve(b: Array, valid: Array, svd_thresh: float,
+                         refine: int = 2) -> Array:
+    """Coefficients of min ||sum c_i r_i||, sum c_i = 1 over the valid slots.
+
+    Solves B u = 1 through an eigenvalue-clipped pseudo-inverse (modes below
+    svd_thresh * lambda_max are removed — the reference's svd_thresh deletion,
+    NonLinearEquationsDIIS.h:91-96) with `refine` iterative-refinement passes
+    (TPU f32 eigh rule), then normalises c = u / (1^T u). Empty ring slots
+    have zero rows in B; their eigenmodes sit at 0 and are clipped away, so
+    their coefficients are exactly 0.
+    """
+    # Two conditioning layers, both load-bearing (measured on the fixtures):
+    #
+    # 1. Residual norms span many orders as the iteration converges, so the
+    #    raw overlap is hopelessly ill-conditioned; work in the CORRELATION
+    #    matrix Bt = D^-1 B D^-1 (unit diagonal, D = diag(||r_i||)) with
+    #    c = D^-1 u. Raw-B clipping stagnates at the plain fixed-point rate
+    #    (34 iters on the trig fixture); normalised converges in 14.
+    # 2. Solve the BORDERED system like the reference (solve_DIIS,
+    #    helper-implementation.h:619-669), not an unconstrained pinv of Bt:
+    #    when residuals become (nearly) parallel — e.g. any linear residual
+    #    makes r_{k+1} exactly parallel to r_k under plain iteration — Bt is
+    #    rank-deficient yet the CONSTRAINED minimiser is exact extrapolation
+    #    with large +/- coefficients; a pinv of Bt alone clips precisely the
+    #    mode that carries it and degrades to a uniform average. The border
+    #    keeps that mode's pairing with the constraint at eigenvalue ~1.
+    #
+    # Scaling: constraint sum(c)=1 becomes what.u = 1/|w| with the border
+    # normalised to a unit vector, so the bordered matrix stays O(1) and the
+    # relative eigenvalue clip is meaningful in f32.
+    m = b.shape[0]
+    vmask = valid.astype(b.dtype)  # typed mask: bare 1.0/0.0 literals would
+    # promote the whole solve to f64 under x64 (while_loop carry mismatch)
+    d = jnp.sqrt(jnp.where(valid, jnp.diagonal(b), 0.0))
+    dinv = jnp.where(d > 0, 1.0 / jnp.where(d > 0, d, 1.0), 0.0)
+    bt = b * dinv[:, None] * dinv[None, :]
+    wnorm = jnp.sqrt(jnp.sum(dinv * dinv))
+    wnorm = jnp.where(wnorm > 0, wnorm, 1.0)
+    what = dinv / wnorm
+    bord = (
+        jnp.zeros((m + 1, m + 1), b.dtype)
+        .at[:m, :m].set(bt)
+        .at[:m, m].set(what)
+        .at[m, :m].set(what)
+    )
+    rhs = jnp.zeros((m + 1,), b.dtype).at[m].set(1.0 / wnorm)
+    w, v = jnp.linalg.eigh(bord)
+    wmax = jnp.maximum(jnp.max(jnp.abs(w)), 1e-300)
+    keep = jnp.abs(w) > svd_thresh * wmax  # indefinite: clip on |eigenvalue|
+    winv = jnp.where(keep, 1.0 / jnp.where(keep, w, 1.0), 0.0)
+
+    def apply_pinv(y):
+        return jnp.matmul(v, winv * jnp.matmul(v.T, y, precision=_PREC),
+                          precision=_PREC)
+
+    u = apply_pinv(rhs)
+    for _ in range(refine):
+        u = u + apply_pinv(rhs - jnp.matmul(bord, u, precision=_PREC))
+    c = dinv * u[:m]
+    # insurance: clipping can leave sum(c) slightly off 1; renormalise, and
+    # if the whole solve collapsed fall back to an average over valid slots
+    # (damped preconditioned fixed point for this one step)
+    s = jnp.sum(c)
+    good = jnp.abs(s) > 0.1
+    nvalid = jnp.maximum(jnp.sum(vmask), 1.0)
+    c = jnp.where(good, c / jnp.where(good, s, 1.0), vmask / nvalid)
+    return c
+
+
+def make_diis_solve(
+    residual_fn: Callable[..., Array],
+    m: int,
+    svd_thresh: Optional[float] = None,
+    precondition: Optional[Callable[[Array, Array], Array]] = None,
+):
+    """Build the single-dispatch solver.
+
+    ``residual_fn(x, operand)`` must be jittable and return the residual
+    g(x). ``precondition(r, dinv)`` (default Jacobi multiply) maps the
+    interpolated residual to the update step. Returns a jitted
+    ``solve(state, operand, dinv, tol, max_iter) -> (state, iterations)``.
+    """
+
+    if precondition is None:
+        def precondition(r, dinv):
+            return r * dinv
+
+    def step(state: DIISState, operand, dinv, svd_thresh_) -> DIISState:
+        head, mcap = state.head, m
+        # insert the current (x, r) pair into the ring
+        x_hist = state.x_hist.at[head].set(state.x)
+        r_hist = state.r_hist.at[head].set(state.r)
+        count = jnp.minimum(state.count + 1, mcap)
+        valid = jnp.arange(mcap) < count
+        # incremental overlap row/col <r_new, r_i> over valid slots
+        row = jnp.where(valid, jnp.matmul(r_hist, state.r, precision=_PREC), 0.0)
+        bmat = state.b.at[head, :].set(row).at[:, head].set(row)
+
+        c = _clipped_pulay_solve(bmat, valid, svd_thresh_)
+        x_interp = jnp.matmul(c, x_hist, precision=_PREC)
+        r_interp = jnp.matmul(c, r_hist, precision=_PREC)
+        x_new = x_interp - precondition(r_interp, dinv)
+        r_new = residual_fn(x_new, operand)
+        err = jnp.sqrt(jnp.abs(jnp.matmul(r_new, r_new, precision=_PREC)))
+        return DIISState(x_new, r_new, x_hist, r_hist, bmat,
+                         jnp.mod(head + 1, mcap), count, err)
+
+    def solve(state: DIISState, operand, dinv, tol_, max_iter_):
+        if svd_thresh is not None:
+            svd_thresh_ = svd_thresh
+        else:
+            svd_thresh_ = 1e-12 if state.x.dtype == jnp.float64 else 1e-6
+
+        def cond(carry):
+            s, it = carry
+            return (it < max_iter_) & (s.err > tol_)
+
+        def body(carry):
+            s, it = carry
+            return step(s, operand, dinv, svd_thresh_), it + 1
+
+        return jax.lax.while_loop(cond, body, (state, jnp.asarray(0, jnp.int32)))
+
+    return jax.jit(solve)
+
+
+class FusedDIIS:
+    """One-dispatch DIIS-accelerated nonlinear-equation solver.
+
+    Production twin of `NonLinearEquationsDIIS` for jittable residuals (the
+    parity solver keeps the reference's host-side loop for black-box
+    callbacks). ``residual_fn(x, operand) -> r`` runs inside the while_loop.
+    """
+
+    def __init__(
+        self,
+        residual_fn: Callable[..., Array],
+        n: int,
+        max_size_qspace: int = 10,
+        dtype=None,
+        sharding=None,
+        convergence_threshold: float = 1e-8,
+        max_iter: int = 100,
+        operand=None,
+        diagonals=None,
+        svd_thresh: Optional[float] = None,
+        precondition: Optional[Callable[[Array, Array], Array]] = None,
+    ):
+        if dtype is None:
+            dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+        if max_size_qspace < 2:
+            raise ValueError("max_size_qspace must be >= 2 for DIIS extrapolation")
+        self.n = n
+        self.m = int(max_size_qspace)
+        self.dtype = dtype
+        self.sharding = sharding
+        self.operand = operand
+        self.convergence_threshold = convergence_threshold
+        self.max_iter = max_iter
+        if diagonals is not None:
+            d = jnp.asarray(np.asarray(diagonals), dtype=dtype)
+            # Jacobi denominator, regularised like precondition_default
+            # (IterativeSolver.h:34-44)
+            self._dinv = 1.0 / (d + 1e-15 * jnp.max(jnp.abs(d)) + 1e-300)
+        else:
+            self._dinv = jnp.ones((), dtype=dtype)
+        self._solve = make_diis_solve(residual_fn, self.m, svd_thresh, precondition)
+        self._residual_fn = residual_fn
+
+    def run(self, x0):
+        x0 = jnp.asarray(np.asarray(x0), dtype=self.dtype).reshape(self.n)
+        if self.sharding is not None:
+            from ..array.vector_ops import adapt_sharding
+
+            x0 = jax.device_put(x0, adapt_sharding(self.sharding, 1))
+        r0 = self._residual_fn(x0, self.operand)
+        err0 = jnp.sqrt(jnp.abs(jnp.matmul(r0, r0, precision=_PREC)))
+        zeros = jnp.zeros((self.m, self.n), dtype=self.dtype)
+        if self.sharding is not None:
+            from ..array.vector_ops import adapt_sharding
+
+            zeros = jax.device_put(zeros, adapt_sharding(self.sharding, 2))
+        state = DIISState(
+            x0, r0, zeros, zeros, jnp.zeros((self.m, self.m), self.dtype),
+            jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32), err0,
+        )
+        final, iters = self._solve(state, self.operand, self._dinv,
+                                   self.convergence_threshold, self.max_iter)
+        err = float(np.asarray(final.err))  # host fetch = true sync (CLAUDE.md)
+        return np.asarray(final.x), err, int(iters)
