@@ -149,6 +149,7 @@ class FusedBlockCG:
         convergence_threshold: float = 1e-8,
         max_iter: int = 1000,
         operand=None,
+        check_symmetric: bool = True,
     ):
         if dtype is None:
             dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
@@ -171,6 +172,8 @@ class FusedBlockCG:
                 self.diag, adapt_sharding(sharding, self.diag.ndim))
         self._init = make_cg_init(matvec)
         self._solve = make_cg_solve(matvec)
+        self.check_symmetric = check_symmetric
+        self._symmetry_checked = False
 
     def solve(self, b, x0=None):
         """Returns (x, errors, iterations); errors are |A x - b| / |b|.
@@ -192,7 +195,25 @@ class FusedBlockCG:
             x0 = jax.device_put(x0, sh)
         b_norm = jnp.sqrt(jnp.abs(_rows_dot(b, b)))
         b_norm = jnp.where(b_norm > 0, b_norm, 1.0)
+        if self.check_symmetric and not self._symmetry_checked:
+            from ._symmetry import check_symmetric_operator
+
+            # row-wise shifted SPD systems (per-RHS diagonals) stay
+            # term-by-term symmetric under the block contraction, so the
+            # probe is valid for the response-equation form too
+            check_symmetric_operator(
+                self.matvec, self.operand, b.shape, self.dtype,
+                "FusedBlockCG",
+                "solvers.linear_equations.LinearEquationsDavidson"
+                "(hermitian=False)",
+                sharding=b.sharding if self.sharding is not None else None,
+            )
+            self._symmetry_checked = True
         state = self._init(x0, b, self.operand, self.diag, b_norm)
         final, iters = self._solve(state, self.operand, self.diag, b_norm,
                                    self.tol, self.max_iter)
-        return final.x, np.asarray(final.errors), int(iters)
+        errors = np.asarray(final.errors)
+        from ._finite import check_finite
+
+        check_finite(errors, "FusedBlockCG")
+        return final.x, errors, int(iters)

@@ -553,6 +553,7 @@ class FusedDavidson:
         matvecs_per_direction: int = 1,
         rr: str = "full",
         fuse_chain: Optional[bool] = None,
+        check_symmetric: bool = True,
     ):
         if dtype is None:
             dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
@@ -598,6 +599,8 @@ class FusedDavidson:
                                        fuse_chain=fuse_chain)
         self.restart = make_restart(matvec, nroots, self.m_max)
         self.iterations = 0
+        self.check_symmetric = check_symmetric
+        self._symmetry_checked = False
         self.matvecs = 0
         self.n_orig = n   # from_dense_symmetric pads n to the tile multiple
 
@@ -707,6 +710,17 @@ class FusedDavidson:
 
             spec = self.sharding.spec
             v0 = jax.device_put(v0, NamedSharding(self.sharding.mesh, PartitionSpec(None, spec[-1])))
+        if self.check_symmetric and not self._symmetry_checked:
+            from ._symmetry import check_symmetric_operator
+
+            check_symmetric_operator(
+                self.matvec, self.operand, v0.shape, self.dtype,
+                "FusedDavidson",
+                "solvers.linear_eigensystem.LinearEigensystemDavidson"
+                "(hermitian=False)",
+                sharding=v0.sharding if self.sharding is not None else None,
+            )
+            self._symmetry_checked = True
         if getattr(self, "_init_cache", None) is None:
             self._init_cache = make_davidson_init(self.matvec, self.nroots, self.m_max)
         state = self._init_cache(v0, self.operand)
@@ -729,6 +743,9 @@ class FusedDavidson:
             errors = np.asarray(state.errors)
             if np.all(errors <= self.tol):
                 break
+        from ._finite import check_finite
+
+        check_finite(np.asarray(state.errors), "FusedDavidson")
         return (
             np.asarray(state.evals),
             state.x,
@@ -765,6 +782,9 @@ class FusedDavidson:
         jax.block_until_ready(final.errors)
         self.iterations += int(iters)
         self.matvecs += int(iters) * self.nroots * self.matvecs_per_direction
+        from ._finite import check_finite
+
+        check_finite(np.asarray(final.errors), "FusedDavidson")
         return (
             np.asarray(final.evals),
             final.x,
@@ -793,6 +813,9 @@ class FusedDavidson:
             if np.all(errors <= self.tol) or self.iterations >= self.max_iter:
                 break
             state = self.restart(state, self.operand)
+        from ._finite import check_finite
+
+        check_finite(np.asarray(state.errors), "FusedDavidson")
         return (
             np.asarray(state.evals),
             state.x,

@@ -174,7 +174,9 @@ def make_diis_solve(
 
         def cond(carry):
             s, it = carry
-            return (it < max_iter_) & (s.err > tol_)
+            # continue-while-finite: a NaN residual norm must exit the loop
+            # (and run() raises on it) rather than masquerade as convergence
+            return (it < max_iter_) & (s.err > tol_) & jnp.isfinite(s.err)
 
         def body(carry):
             s, it = carry
@@ -220,9 +222,14 @@ class FusedDIIS:
         self.max_iter = max_iter
         if diagonals is not None:
             d = jnp.asarray(np.asarray(diagonals), dtype=dtype)
-            # Jacobi denominator, regularised like precondition_default
-            # (IterativeSolver.h:34-44)
-            self._dinv = 1.0 / (d + 1e-15 * jnp.max(jnp.abs(d)) + 1e-300)
+            # Sign-preserving magnitude regularisation: the reference's flat
+            # ``d + 1e-15`` (precondition_default, IterativeSolver.h:34-44)
+            # blows up for a diagonal entry near -1e-15*max|d| and leaves
+            # negative entries unregularised; clamping |d| from below keeps
+            # the inverse bounded for indefinite diagonals.
+            scale = jnp.max(jnp.abs(d))
+            sgn = jnp.where(d >= 0, 1.0, -1.0).astype(dtype)
+            self._dinv = sgn / jnp.maximum(jnp.abs(d), 1e-15 * scale + 1e-300)
         else:
             self._dinv = jnp.ones((), dtype=dtype)
         self._solve = make_diis_solve(residual_fn, self.m, svd_thresh, precondition)
@@ -248,4 +255,7 @@ class FusedDIIS:
         final, iters = self._solve(state, self.operand, self._dinv,
                                    self.convergence_threshold, self.max_iter)
         err = float(np.asarray(final.err))  # host fetch = true sync (CLAUDE.md)
+        from ._finite import check_finite
+
+        check_finite(err, "FusedDIIS")
         return np.asarray(final.x), err, int(iters)

@@ -170,4 +170,7 @@ class FusedLBFGS:
         )
         final, iters = self._solve(state, self.operand)
         jax.block_until_ready(final.x)
+        from ._finite import check_finite
+
+        check_finite([float(final.f), float(final.gnorm)], "FusedLBFGS")
         return np.asarray(final.x), float(final.f), float(final.gnorm), int(iters)

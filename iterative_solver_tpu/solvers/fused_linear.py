@@ -170,12 +170,15 @@ class FusedLinearEquations:
         max_iter: int = 200,
         operand=None,
         fuse_chain: Optional[bool] = None,
+        check_symmetric: bool = True,
     ):
         if dtype is None:
             dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
         self.matvec = matvec
         self.n = n
         self.nrhs = nrhs
+        self.check_symmetric = check_symmetric
+        self._symmetry_checked = False
         self.m_max = m_max if m_max is not None else max(4 * nrhs, min(n, 24))
         self.dtype = dtype
         self.sharding = sharding
@@ -284,6 +287,17 @@ class FusedLinearEquations:
         b_norm = jnp.sqrt(jnp.abs(jnp.einsum("in,in->i", b, b, precision=_PREC)))
         if not bool(jnp.all(b_norm > 0)):
             raise RuntimeError("RHS vector cannot be zero")
+        if self.check_symmetric and not getattr(self, "_symmetry_checked", False):
+            from ._symmetry import check_symmetric_operator
+
+            check_symmetric_operator(
+                self.matvec, self.operand, b.shape, self.dtype,
+                "FusedLinearEquations",
+                "solvers.linear_equations.LinearEquationsDavidson"
+                "(hermitian=False)",
+                sharding=b.sharding if self.sharding is not None else None,
+            )
+            self._symmetry_checked = True
         if x0 is None:
             v0 = b / b_norm[:, None]
         else:
@@ -306,5 +320,8 @@ class FusedLinearEquations:
             jnp.full((self.nrhs,), jnp.inf, dtype=self.dtype),
         )
         final, iters = self._solve(state, self.operand, self.diag, b, b_norm)
-        jax.block_until_ready(final.errors)
-        return final.x, np.asarray(final.errors), int(iters)
+        errors = np.asarray(final.errors)
+        from ._finite import check_finite
+
+        check_finite(errors, "FusedLinearEquations")
+        return final.x, errors, int(iters)

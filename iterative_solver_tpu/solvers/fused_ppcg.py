@@ -268,6 +268,7 @@ class FusedPPCG:
         convergence_threshold: float = 1e-8,
         max_iter: int = 1000,
         operand=None,
+        check_symmetric: bool = True,
     ):
         if dtype is None:
             dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
@@ -290,6 +291,8 @@ class FusedPPCG:
         self._init = make_ppcg_init(matvec, nroots)
         self._solve = make_ppcg_solve(matvec, nroots, rr_every)
         self.n_orig = n
+        self.check_symmetric = check_symmetric
+        self._symmetry_checked = False
 
     @classmethod
     def from_dense_symmetric(cls, matrix, nroots: int = 1,
@@ -319,6 +322,17 @@ class FusedPPCG:
             from ..array.vector_ops import adapt_sharding
 
             v0j = jax.device_put(v0j, adapt_sharding(self.sharding, 2))
+        if self.check_symmetric and not self._symmetry_checked:
+            from ._symmetry import check_symmetric_operator
+
+            check_symmetric_operator(
+                self.matvec, self.operand, v0j.shape, self.dtype,
+                "FusedPPCG",
+                "solvers.linear_eigensystem.LinearEigensystemDavidson"
+                "(hermitian=False)",
+                sharding=v0j.sharding if self.sharding is not None else None,
+            )
+            self._symmetry_checked = True
         return self._init(v0j, self.operand)
 
     def run_on_device(self, v0):
@@ -332,6 +346,9 @@ class FusedPPCG:
         order = np.argsort(evals)
         x = np.asarray(final.x)[order]
         errors = np.asarray(final.errors)[order]
+        from ._finite import check_finite
+
+        check_finite(errors, "FusedPPCG")
         return evals[order], x, errors, int(iters)
 
     run = run_on_device
