@@ -214,3 +214,57 @@ class TestComplexDense:
         assert len(systems) == 2
         for sysv in systems:
             assert np.linalg.norm(m @ sysv.v.conj()) < 1e-9 or np.linalg.norm(m @ sysv.v) < 1e-9
+
+
+class TestRankDeficientWhiteningOrder:
+    """Pin the deliberate divergence from the reference for rank-deficient
+    overlaps (VERDICT r1 #7; see eigenproblem docstring, ops/dense.py).
+
+    The reference whitens the hermitian branch with LAPACK's ASCENDING
+    overlap eigenvalues and keeps head(rank) — i.e. the SMALLEST ones,
+    including the near-null direction (helper-implementation.h:345-358).
+    That is harmless while S is kept orthonormal (its usual call site) but
+    for a genuinely rank-deficient S it discards the dominant overlap
+    directions and zeroes the near-null one it kept, losing the subspace.
+    This package whitens in DESCENDING order (matching the non-hermitian
+    SVD branch), which keeps the span.
+    """
+
+    @staticmethod
+    def _fixture():
+        # Subspace with an exactly duplicated basis vector: rank(S) = 2.
+        rng = np.random.default_rng(7)
+        n = 6
+        a = rng.standard_normal((n, n)) * 0.1
+        a = a + a.T + np.diag(np.arange(1.0, n + 1))
+        x1 = np.zeros(n); x1[0] = 1.0
+        x2 = np.zeros(n); x2[1] = 1.0
+        basis = np.stack([x1, x2, x1])  # third row duplicates the first
+        h = basis @ a @ basis.T
+        s = basis @ basis.T
+        # exact pencil eigenvalues restricted to span{x1, x2}
+        y = np.stack([x1, x2])
+        exact = np.linalg.eigvalsh(y @ a @ y.T)
+        return h, s, exact
+
+    def test_descending_order_recovers_the_span(self):
+        h, s, exact = self._fixture()
+        evals, evecs = dense.eigenproblem(h, s, hermitian=True, svd_thresh=1e-14)
+        assert evals.shape[0] == 2  # rank-reduced, not 3
+        np.testing.assert_allclose(np.sort(evals.real), exact, atol=1e-10)
+
+    def test_reference_ascending_order_loses_the_span(self):
+        # Emulate the reference's whitening literally: ascending eigh order,
+        # head(rank), same 1e-14 null guard — and show it CANNOT reproduce
+        # the exact restricted eigenvalues, which is why dense.eigenproblem
+        # deviates.
+        h, s, exact = self._fixture()
+        sv, u = np.linalg.eigh(s)          # ascending: [0, 1, 2]
+        rank = int(np.count_nonzero(sv >= 1e-14 * sv.max()))
+        head = sv[:rank]                   # smallest kept — the reference bug
+        svmh = np.where(head > 1e-14, 1.0 / np.sqrt(np.where(head > 1e-14, head, 1.0)), 0.0)
+        hbar = (svmh[:, None] * u[:, :rank].T) @ h @ (u[:, :rank] * svmh[None, :])
+        ref_order_evals = np.sort(np.linalg.eigvalsh(hbar))
+        # the ascending head keeps the null direction (whitened to a zero
+        # row/col -> spurious 0 eigenvalue) and drops the dominant one
+        assert np.max(np.abs(np.sort(ref_order_evals)[-2:] - exact)) > 1e-3
