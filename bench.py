@@ -66,7 +66,7 @@ M_MAX_BLOCK = 64
 THROUGHPUT_ITERS = 64
 
 
-def main():
+def main(big: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -220,6 +220,7 @@ def main():
     st_blk = solver_blk.init_state(guess(NROOTS_BLOCK))
     final_blk, iters_blk = solve_blk(st_blk, op_fast, solver_blk.diag, tol_fast, 60)
     _, res_fast = f64_quality(final_blk.x, NROOTS_BLOCK)
+    conv_fast = bool(np.max(np.asarray(final_blk.errors)) <= tol_fast)
 
     # ---- FAST tier, 32-root block: peak arithmetic-intensity config ----
     # (same HBM traffic per iteration as r16 — the packed matvec is
@@ -242,9 +243,11 @@ def main():
         st_32 = solver_32.init_state(guess(r32))
         final_32, iters_32 = solve_32(st_32, op_fast, solver_32.diag, 3e-4, 60)
         _, res_32 = f64_quality(final_32.x, r32)
+        conv_32 = bool(np.max(np.asarray(final_32.errors)) <= 3e-4)
     else:
         gflops_32 = per_iter_32 = 0.0
         iters_32, res_32 = 0, 0.0
+        conv_32 = False
 
     # ---- PRECISE tier, 16-root block: secondary sustained rate ----
     solve_pb = make_davidson_solve(matvec_prec, NROOTS_BLOCK, M_MAX_BLOCK)
@@ -284,6 +287,7 @@ def main():
     wall_solve = time.perf_counter() - t0
     iters = int(iters)
     ev_err, res_f64 = f64_quality(final.x, NROOTS)
+    conv_prec = bool(np.max(np.asarray(final.errors)) <= tol_prec)
 
     # ---- PEAK config: n=16384, 64 roots, fast tier ----
     # the packed matvec is DMA-bound, so sustained GFLOP/s scales with the
@@ -335,10 +339,60 @@ def main():
             xi = x16[i] / np.linalg.norm(x16[i])
             rq = xi @ mat16 @ xi
             res_16 = max(res_16, float(np.linalg.norm(mat16 @ xi - rq * xi)))
+        conv_16 = bool(np.max(np.asarray(final_16.errors)) <= 3e-4)
         del mat16, sym16, op16
     else:
         gflops_16 = per_iter_16 = 0.0
         iters_16, res_16 = 0, 0.0
+        conv_16 = False
+
+    # ---- BIG peak config (opt-in, --big): n=32768, 64 roots, fast tier ----
+    # PERF.md's 50-TF claim made driver-reproducible. Off by default: the
+    # host-side setup packs an 8.6 GB matrix (minutes of numpy wall).
+    if big and backend == "tpu":
+        n32, r64b, m192b = 32768, 64, 192
+        rng32 = np.random.default_rng(0)
+        d32 = np.concatenate(
+            [np.linspace(-2.0, 3.0, 64), np.linspace(6.0, 50.0, n32 - 64)])
+        a32 = (rng32.standard_normal((n32, n32)) * (0.05 / np.sqrt(n32))).astype(
+            np.float32)
+        mat32 = a32 + a32.T
+        del a32
+        mat32 = mat32.astype(np.float64)
+        mat32[np.arange(n32), np.arange(n32)] += d32
+        diag32 = np.diag(mat32).copy()
+        sym32 = SymmetricBlocked.from_dense(mat32, b=1024, dtype=jnp.bfloat16)
+        op32 = (sym32.values, sym32.ii, sym32.jj)
+
+        def matvec32(x, op):
+            s = dataclasses.replace(sym32, values=op[0], ii=op[1], jj=op[2])
+            return symm_matmat_pallas(x, s)
+
+        solver_n32 = FusedDavidson(
+            matvec32, diag32, n32, r64b, m_max=m192b, dtype=dtype,
+            convergence_threshold=3e-4, max_iter=60, operand=op32, rr="window",
+        )
+        solve_n32 = make_davidson_solve(matvec32, r64b, m192b, rr="window",
+                                        fuse_chain=solver_n32.fuse_chain)
+        v32 = np.zeros((r64b, n32))
+        for row, i in enumerate(np.argsort(diag32)[:r64b]):
+            v32[row, i] = 1.0
+        st_n32 = solver_n32.init_state(v32)
+        per_iter_n32, _, _ = sustained(solve_n32, st_n32, op32, solver_n32.diag,
+                                       lo=16, hi=64)
+        flops_iter_n32 = (
+            2 * r64b * n32 * n32 + 2 * m192b * m192b * n32
+            + 2 * 2 * r64b * n32 * m192b + 2 * 2 * 2 * r64b * m192b * n32
+        )
+        gflops_n32 = flops_iter_n32 / per_iter_n32 / 1e9
+        st_n32 = solver_n32.init_state(v32)
+        final_n32, iters_n32 = solve_n32(st_n32, op32, solver_n32.diag, 3e-4, 60)
+        res_n32 = float(np.max(np.asarray(final_n32.errors)))
+        conv_n32 = bool(res_n32 <= 3e-4)
+        del mat32, sym32, op32
+    else:
+        gflops_n32 = per_iter_n32 = 0.0
+        iters_n32, res_n32, conv_n32 = 0, 0.0, False
 
     # ---- HARD-spectrum solve: PPCG vs window Davidson, wall to 1e-5 ----
     # weakly diagonally dominant operator (Jacobi preconditioning stalls the
@@ -442,26 +496,46 @@ def main():
     nnz_per_s = spmv_rate(NROOTS_BLOCK)
     nnz_per_s_r4 = spmv_rate(NROOTS)
 
+    # Leg taxonomy (truth-in-benchmarking, VERDICT r1 #4): every solve leg
+    # carries (tol, converged); throughput legs at loose tolerances are
+    # sustained-rate measurements, and the hard_window leg is the INTENDED
+    # stall contrast with PPCG — its converged flag is expected False.
     result = {
         "metric": f"fused_davidson_n{N}_r{NROOTS_BLOCK}_sustained",
         "value": round(gflops_blk, 1),
         "unit": "GFLOP/s",
         "vs_baseline": round(gflops_blk / REFERENCE_GFLOPS_BLOCK, 3),
+        "fast_tol": tol_fast,
+        "fast_converged": conv_fast,
         "precise_tier_gflops": round(gflops_prec, 1),
         "r32_gflops": round(gflops_32, 1),
         "r32_iter_time_ms": round(per_iter_32 * 1e3, 3),
         "r32_solve_iterations": int(iters_32),
         "r32_max_residual_f64": res_32,
+        "r32_tol": 3e-4,
+        "r32_converged": conv_32,
         "n16384_r64_gflops": round(gflops_16, 1),
         "n16384_r64_iter_time_ms": round(per_iter_16 * 1e3, 3),
         "n16384_r64_solve_iterations": int(iters_16),
         "n16384_r64_max_residual_f64": res_16,
+        "n16384_r64_tol": 3e-4,
+        "n16384_r64_converged": conv_16,
+        "n32768_r64_gflops": round(gflops_n32, 1),
+        "n32768_r64_iter_time_ms": round(per_iter_n32 * 1e3, 3),
+        "n32768_r64_solve_iterations": int(iters_n32),
+        "n32768_r64_max_residual": res_n32,
+        "n32768_r64_tol": 3e-4,
+        "n32768_r64_converged": conv_n32,
+        "n32768_enabled": bool(big and backend == "tpu"),
+        "hard_tol": 5e-5 if backend == "tpu" else 0.0,
         "hard_ppcg_wall_s": round(wall_ppcg_h, 4),
         "hard_ppcg_iterations": int(it_ppcg_h),
         "hard_ppcg_max_residual": res_ppcg_h,
+        "hard_ppcg_converged": bool(backend == "tpu" and res_ppcg_h <= 5e-5),
         "hard_window_wall_s": round(wall_win_h, 4),
         "hard_window_iterations": int(it_win_h),
         "hard_window_max_residual": res_win_h,
+        "hard_window_converged": bool(backend == "tpu" and res_win_h <= 5e-5),
         "r4_gflops": round(gflops_r4, 1),
         "r4_vs_r1": round(gflops_r4 / REFERENCE_GFLOPS, 3),
         "block_iter_time_ms": round(per_iter_blk * 1e3, 3),
@@ -475,6 +549,8 @@ def main():
         "solve_wall_s": round(wall_solve, 4),
         "solve_iterations": int(iters),
         "max_residual_f64": res_f64,
+        "precise_tol": tol_prec,
+        "precise_converged": conv_prec,
         "eigenvalue_error_vs_dense_f64": ev_err,
         "spmv_gnnz_per_s": round(nnz_per_s / 1e9, 2),
         "spmv_rows": NROOTS_BLOCK,
@@ -486,4 +562,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--big", action="store_true",
+                    help="add the n=32768 r64 peak leg (8.6 GB host setup)")
+    main(big=ap.parse_args().big)
