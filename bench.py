@@ -289,6 +289,26 @@ def main(big: bool = False):
     ev_err, res_f64 = f64_quality(final.x, NROOTS)
     conv_prec = bool(np.max(np.asarray(final.errors)) <= tol_prec)
 
+    # ---- PRECISE-1e8 leg: the reference's own convergence bar on TPU ----
+    # (test_LinearEigensystem.cpp:196: convergence_threshold = 1.0e-8).
+    # Split-tier fused solve to its f32 floor at r16, then mixed-precision
+    # refinement (host-f64 RR + deflated-projected corrections through the
+    # SAME device operator) to max f64 residual <= 1e-8.
+    from iterative_solver_tpu.solvers.refine import EigenpairRefiner
+
+    tol_1e8 = 1e-8
+    st_p16 = solver_pb.init_state(guess(NROOTS_BLOCK))
+    t0 = time.perf_counter()
+    final_p16, iters_p16 = solve_pb(st_p16, op_prec, solver_pb.diag, tol_prec, 60)
+    np.asarray(final_p16.errors)
+    wall_p16 = time.perf_counter() - t0
+    refiner = EigenpairRefiner(lambda xx: xx @ matrix.T, matvec_prec, op_prec,
+                               diag, N, NROOTS_BLOCK, dtype=dtype)
+    t0 = time.perf_counter()
+    ref_out = refiner.refine(np.asarray(final_p16.x, dtype=np.float64),
+                             tol=tol_1e8)
+    wall_refine = time.perf_counter() - t0
+
     # ---- PEAK config: n=16384, 64 roots, fast tier ----
     # the packed matvec is DMA-bound, so sustained GFLOP/s scales with the
     # block width at fixed traffic until the m-row dots saturate the MXU;
@@ -551,6 +571,13 @@ def main(big: bool = False):
         "max_residual_f64": res_f64,
         "precise_tol": tol_prec,
         "precise_converged": conv_prec,
+        "precise_1e8_tol": tol_1e8,
+        "precise_1e8_max_residual_f64": float(ref_out.residual_norms.max()),
+        "precise_1e8_converged": bool(ref_out.converged),
+        "precise_1e8_passes": int(ref_out.passes),
+        "precise_1e8_floor_before": float(ref_out.history[0]),
+        "precise_1e8_wall_s": round(wall_p16 + wall_refine, 4),
+        "precise_1e8_refine_wall_s": round(wall_refine, 4),
         "eigenvalue_error_vs_dense_f64": ev_err,
         "spmv_gnnz_per_s": round(nnz_per_s / 1e9, 2),
         "spmv_rows": NROOTS_BLOCK,

@@ -8,6 +8,9 @@ from .fused_davidson import FusedDavidson
 from .fused_linear import FusedLinearEquations
 from .fused_lbfgs import FusedLBFGS
 from .fused_diis import FusedDIIS
+from .fused_cg import FusedBlockCG
+from .fused_ppcg import FusedPPCG
+from .refine import EigenpairRefiner, RefineResult
 from .chebyshev import (
     estimate_spectral_bounds,
     make_chebyshev_davidson,
@@ -29,6 +32,10 @@ __all__ = [
     "FusedLinearEquations",
     "FusedLBFGS",
     "FusedDIIS",
+    "FusedBlockCG",
+    "FusedPPCG",
+    "EigenpairRefiner",
+    "RefineResult",
     "estimate_spectral_bounds",
     "make_chebyshev_davidson",
     "make_chebyshev_expand",

@@ -67,7 +67,7 @@ class IterativeSolverTemplate:
         capacity: Optional[int] = None,
         logger: Optional[Logger] = None,
         profiler: Optional[Profiler] = None,
-        offload: bool = False,
+        offload=False,
     ):
         if dtype is None:
             dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
@@ -88,10 +88,21 @@ class IterativeSolverTemplate:
         cap = capacity if capacity is not None else max(16, 4 * nroots)
         store_factory = None
         if offload:
-            # host/disk spill tier for basis histories beyond HBM
-            from ..array.offload_store import OffloadBasisStore
+            # host/disk spill tier for basis histories beyond HBM.
+            # True -> host-f64 OffloadBasisStore (parity numerics);
+            # "streamed" -> StreamedOffloadStore (block numerics streamed
+            # through the accelerator, BufferManager analogue);
+            # a callable -> used as the factory directly.
+            if callable(offload):
+                store_factory = offload
+            elif offload == "streamed":
+                from ..array.offload_store import StreamedOffloadStore
 
-            store_factory = OffloadBasisStore
+                store_factory = StreamedOffloadStore
+            else:
+                from ..array.offload_store import OffloadBasisStore
+
+                store_factory = OffloadBasisStore
         self.xspace = XSpace(
             n, dtype, sharding, capacity=cap, logger=self.logger,
             stats=self.stats, store_factory=store_factory,
