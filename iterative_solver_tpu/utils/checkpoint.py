@@ -1,11 +1,29 @@
 """Solver checkpoint/resume.
 
 The reference's designed persistence mechanism is backing Q/solution vectors
-into parallel-HDF5 arrays (DistrArrayHDF5.h:19-27); here the whole solver
-state — subspace equation matrices, the P/Q/D basis vectors, RHS vectors,
-solution data, statistics and solver-specific extras — round-trips through a
-single compressed .npz so a long Davidson/optimisation run can resume after
-preemption (the TPU-era failure-recovery story).
+into parallel-HDF5 arrays (DistrArrayHDF5.h:19-60, HDF5Handle.h); here the
+whole solver state — subspace equation matrices, the P/Q/D basis vectors,
+RHS vectors, solution data, statistics and solver-specific extras —
+round-trips through either
+
+- a single compressed ``.npz`` (the round-1 format, still the default), or
+- an **HDF5 file with a named-group layout** (``.h5``/``.hdf5`` paths):
+
+    /                     attrs: format_version, meta (JSON string)
+    /subspace/{s,h,rhs,value}          equation matrices
+    /qspace/{params,actions}           (nQ, N) stacked Q vectors
+    /dspace/{params,actions}           (nD, N) stacked D vectors
+    /pspace/dense                      (nP, N) dense P rows
+    /rhs/{vectors,norms}               right-hand sides
+    /solution/{errors,working_set,solutions,eigenvalues}
+
+  Every dataset is a plain f64/i64 array, so any HDF5 reader (the
+  reference's tooling included) can open a checkpoint without this package.
+
+``save_fused_state``/``load_fused_state`` accept the same two formats for
+the fused production solvers, and ``save_vecstore_hdf5`` /
+``load_vecstore_hdf5`` persist a native VecStore's rows as one dataset —
+the DistrArrayHDF5-as-Qvector analogue.
 """
 
 from __future__ import annotations
@@ -15,6 +33,28 @@ import os
 
 import numpy as np
 
+# dataset name in the HDF5 tree for each gathered state key
+_H5_LAYOUT = {
+    "s": "subspace/s",
+    "h": "subspace/h",
+    "rhs_mat": "subspace/rhs",
+    "value": "subspace/value",
+    "q_params": "qspace/params",
+    "q_actions": "qspace/actions",
+    "d_params": "dspace/params",
+    "d_actions": "dspace/actions",
+    "p_dense": "pspace/dense",
+    "rhs_vectors": "rhs/vectors",
+    "rhs_norm": "rhs/norms",
+    "errors": "solution/errors",
+    "working_set": "solution/working_set",
+    "solutions": "solution/solutions",
+    "eigenvalues": "solution/eigenvalues",
+}
+
+
+def _is_hdf5_path(path: str) -> bool:
+    return str(path).endswith((".h5", ".hdf5"))
 
 
 def _collect_block(store, slots):
@@ -23,7 +63,28 @@ def _collect_block(store, slots):
     return _np.asarray(store.rows(list(slots)), dtype=_np.float64)
 
 
+def _write_hdf5(path: str, meta_json: str, data: dict) -> None:
+    import h5py
+
+    with h5py.File(path, "w") as f:
+        f.attrs["format_version"] = 1
+        f.attrs["meta"] = meta_json
+        for key, arr in data.items():
+            f.create_dataset(_H5_LAYOUT[key], data=np.asarray(arr))
+
+
+def _read_hdf5(path: str):
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        meta = json.loads(f.attrs["meta"])
+        arrays = {k: np.asarray(f[ds]) for k, ds in _H5_LAYOUT.items() if ds in f}
+    return meta, arrays
+
+
 def save_checkpoint(solver, path: str) -> None:
+    """Persist a parity solver mid-solve; format chosen by extension
+    (.h5/.hdf5 -> named-group HDF5, anything else -> compressed npz)."""
     xs = solver.xspace
     data = {
         "s": xs.s,
@@ -70,7 +131,10 @@ def save_checkpoint(solver, path: str) -> None:
     if hasattr(solver, "max_size_qspace"):
         meta["extras"]["max_size_qspace"] = int(solver.max_size_qspace)
 
-    np.savez_compressed(path, meta=json.dumps(meta), **data)
+    if _is_hdf5_path(path):
+        _write_hdf5(path, json.dumps(meta), data)
+    else:
+        np.savez_compressed(path, meta=json.dumps(meta), **data)
 
 
 def load_checkpoint(path: str, sharding=None, dtype=None):
@@ -92,9 +156,12 @@ def load_checkpoint(path: str, sharding=None, dtype=None):
             OptimizeSD,
         )
     }
-    with np.load(path, allow_pickle=False) as z:
-        meta = json.loads(str(z["meta"]))
-        arrays = {k: z[k] for k in z.files if k != "meta"}
+    if _is_hdf5_path(path):
+        meta, arrays = _read_hdf5(path)
+    else:
+        with np.load(path, allow_pickle=False) as z:
+            meta = json.loads(str(z["meta"]))
+            arrays = {k: z[k] for k in z.files if k != "meta"}
 
     cls = registry[meta["solver_class"]]
     solver = cls(meta["n"], meta["nroots"], sharding=sharding, dtype=dtype)
@@ -183,6 +250,15 @@ def save_fused_state(state, path: str, **meta) -> None:
             return v.item()
         raise TypeError(f"unserialisable checkpoint metadata: {type(v)}")
 
+    if _is_hdf5_path(path):
+        import h5py
+
+        with h5py.File(path, "w") as f:
+            f.attrs["format_version"] = 1
+            f.attrs["meta"] = json.dumps(header, default=_jsonable)
+            for name, arr in data.items():
+                f.create_dataset(f"state/{name}", data=arr)
+        return
     np.savez_compressed(path, meta=json.dumps(header, default=_jsonable), **data)
 
 
@@ -196,12 +272,19 @@ def load_fused_state(path: str, sharding=None, dtype=None):
 
     from ..solvers.fused_davidson import DavidsonState
 
-    if not path.endswith(".npz") and not os.path.exists(path):
-        # np.savez_compressed appends the suffix when missing; mirror that
-        path = path + ".npz"
-    with np.load(path, allow_pickle=False) as z:
-        header = json.loads(str(z["meta"]))
-        arrays = {k: z[k] for k in header["fields"]}
+    if _is_hdf5_path(path):
+        import h5py
+
+        with h5py.File(path, "r") as f:
+            header = json.loads(f.attrs["meta"])
+            arrays = {k: np.asarray(f[f"state/{k}"]) for k in header["fields"]}
+    else:
+        if not path.endswith(".npz") and not os.path.exists(path):
+            # np.savez_compressed appends the suffix when missing; mirror that
+            path = path + ".npz"
+        with np.load(path, allow_pickle=False) as z:
+            header = json.loads(str(z["meta"]))
+            arrays = {k: z[k] for k in header["fields"]}
 
     def restore(name, arr):
         if np.issubdtype(arr.dtype, np.integer):
@@ -213,3 +296,38 @@ def load_fused_state(path: str, sharding=None, dtype=None):
 
     fields = {name: restore(name, arr) for name, arr in arrays.items()}
     return DavidsonState(**fields), header["meta"]
+
+
+# ---------------------------------------------------------------------------
+# VecStore rows as an HDF5 dataset (DistrArrayHDF5-as-Qvector analogue:
+# DistrArrayHDF5.h:19-60 stores each distributed array under a named group;
+# here a whole store's live rows land in one (nrows, N) dataset plus the
+# slot index that maps rows back to store slots).
+
+
+def save_vecstore_hdf5(store, path: str, group: str = "vecstore",
+                       slots=None) -> None:
+    """Dump a VecStore / OffloadBasisStore's rows to ``<group>/rows`` with
+    the originating slot ids in ``<group>/slots``."""
+    import h5py
+
+    if slots is None:
+        valid = getattr(store, "_valid", None)
+        slots = sorted(valid) if valid is not None else list(range(store.capacity))
+    rows = np.stack([np.asarray(store.get(s), dtype=np.float64) for s in slots]) \
+        if slots else np.zeros((0, getattr(store, "n", getattr(store, "row_len", 0))))
+    with h5py.File(path, "a") as f:
+        if group in f:
+            del f[group]
+        g = f.create_group(group)
+        g.create_dataset("rows", data=rows)
+        g.create_dataset("slots", data=np.asarray(slots, dtype=np.int64))
+
+
+def load_vecstore_hdf5(path: str, group: str = "vecstore"):
+    """Return ``(rows, slots)`` from a store dump."""
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        g = f[group]
+        return np.asarray(g["rows"]), [int(s) for s in np.asarray(g["slots"])]

@@ -115,6 +115,8 @@ class TestFusedCheckpoint:
         n, nroots = mat.shape[0], 3
         matj = jnp.asarray(mat)
 
+        import jax
+
         def matvec(x, op):
             return jnp.matmul(x, op.T, precision=jax.lax.Precision.HIGHEST)
 
@@ -199,3 +201,99 @@ def test_fused_checkpoint_path_suffix_and_numpy_meta(tmp_path):
     assert int(restored.k) == 1
     assert meta["iterations"] == 7
     assert meta["errors"] == [1.0, 2.0]
+
+
+class TestHDF5Format:
+    """Named-group HDF5 checkpoints (VERDICT r1 #5; DistrArrayHDF5.h:19-60).
+
+    The layout is documented in utils/checkpoint.py: plain f64/i64 datasets
+    under /subspace /qspace /dspace /pspace /rhs /solution so any HDF5
+    reader can open a checkpoint without this package."""
+
+    def test_resume_mid_solve_from_hdf5(self, tmp_path, hamiltonians):
+        matrix = hamiltonians["bh"]
+        n = matrix.shape[0]
+        problem = its.models.MatrixProblem(matrix)
+
+        def fresh(nroot=2):
+            s = its.create_linear_eigensystem(n, nroot, "Davidson")
+            s.set_hermiticity(True)
+            s.verbosity = its.Verbosity.NONE
+            p0 = np.zeros((nroot, n))
+            for r, i in enumerate(np.argsort(np.diag(matrix))[:nroot]):
+                p0[r, i] = 1.0
+            return s, jnp.asarray(p0), jnp.zeros((nroot, n))
+
+        ref_solver, p, a = fresh()
+        drive(ref_solver, problem, p, a, 30)
+        ref_evals = ref_solver.eigenvalues()[:2]
+
+        solver, p, a = fresh()
+        drive(solver, problem, p, a, 3)
+        path = str(tmp_path / "ckpt.h5")
+        save_checkpoint(solver, path)
+
+        # the file IS HDF5 with the documented tree
+        import h5py
+
+        with h5py.File(path, "r") as f:
+            assert f.attrs["format_version"] == 1
+            assert "qspace/params" in f and "subspace/h" in f
+            assert f["qspace/params"].shape[1] == n
+            nq_on_disk = f["qspace/params"].shape[0]
+        assert nq_on_disk == solver.xspace.dimensions.nQ
+
+        resumed = load_checkpoint(path)
+        np.testing.assert_allclose(resumed.xspace.h, solver.xspace.h, atol=1e-14)
+        p2 = jnp.asarray(np.asarray(resumed.solution_params([0, 1])))
+        drive(resumed, problem, p2, jnp.zeros_like(p2), 30)
+        np.testing.assert_allclose(resumed.eigenvalues()[:2], ref_evals, atol=2e-9)
+        assert max(resumed.errors) <= 2 * resumed.convergence_threshold
+
+    def test_fused_state_hdf5_roundtrip(self, tmp_path):
+        from iterative_solver_tpu.solvers.fused_davidson import FusedDavidson
+        from iterative_solver_tpu.utils.checkpoint import (
+            load_fused_state,
+            save_fused_state,
+        )
+
+        n, r = 96, 2
+        rng = np.random.default_rng(0)
+        m = rng.standard_normal((n, n)) * 0.01
+        m = m + m.T + np.diag(np.linspace(1, 10, n))
+
+        import jax
+
+        def matvec(x, op):
+            return jnp.matmul(x, op.T, precision=jax.lax.Precision.HIGHEST)
+
+        solver = FusedDavidson(matvec, np.diag(m), n, r, m_max=8,
+                               operand=jnp.asarray(m))
+        v0 = np.zeros((r, n)); v0[0, 0] = v0[1, 1] = 1.0
+        st = solver.init_state(v0)
+        st = solver.step(st, solver.operand, solver.diag)
+        path = str(tmp_path / "fused.h5")
+        save_fused_state(st, path, tol=1e-9, note=3)
+        st2, meta = load_fused_state(path)
+        assert meta["tol"] == 1e-9 and meta["note"] == 3
+        for a, b in zip(st, st2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+    def test_vecstore_hdf5_dump(self, tmp_path):
+        from iterative_solver_tpu.array.offload_store import OffloadBasisStore
+        from iterative_solver_tpu.utils.checkpoint import (
+            load_vecstore_hdf5,
+            save_vecstore_hdf5,
+        )
+
+        store = OffloadBasisStore(8, 32)
+        rng = np.random.default_rng(1)
+        vecs = rng.standard_normal((3, 32))
+        slots = [store.append(v) for v in vecs]
+        store.release(slots[1])
+        path = str(tmp_path / "store.h5")
+        save_vecstore_hdf5(store, path, group="q_store")
+        rows, disk_slots = load_vecstore_hdf5(path, group="q_store")
+        assert disk_slots == [slots[0], slots[2]]  # released slot excluded
+        np.testing.assert_allclose(rows, vecs[[0, 2]], atol=1e-15)
+        store.close()
