@@ -11,6 +11,7 @@ from .fused_diis import FusedDIIS
 from .fused_cg import FusedBlockCG
 from .fused_ppcg import FusedPPCG
 from .refine import EigenpairRefiner, RefineResult
+from .banded import BandedEigensolver
 from .chebyshev import (
     estimate_spectral_bounds,
     make_chebyshev_davidson,
@@ -36,6 +37,7 @@ __all__ = [
     "FusedPPCG",
     "EigenpairRefiner",
     "RefineResult",
+    "BandedEigensolver",
     "estimate_spectral_bounds",
     "make_chebyshev_davidson",
     "make_chebyshev_expand",

@@ -1,0 +1,77 @@
+"""Band-by-band deflated eigensolver over the offload tier (VERDICT r1 #6).
+
+Many lowest roots, one HBM-sized band at a time; locked bands deflate the
+next solve either exactly on device or via streamed re-orthogonalisation
+against the offload store (the beyond-HBM configuration).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from iterative_solver_tpu.solvers.banded import (
+    BandedEigensolver,
+    make_deflated_davidson_matvec,
+)
+
+
+def make_matrix(n, nlow=16, seed=0):
+    rng = np.random.default_rng(seed)
+    a = rng.standard_normal((n, n)) * (0.02 / np.sqrt(n))
+    d = np.concatenate([np.linspace(-3.0, 0.0, nlow), np.linspace(2.0, 20.0, n - nlow)])
+    return a + a.T + np.diag(d)
+
+
+def dense_matvec(x, op):
+    return jnp.matmul(x, op.T, precision=jax.lax.Precision.HIGHEST)
+
+
+@pytest.mark.parametrize("deflate", ["device", "streamed"])
+def test_banded_matches_dense(deflate):
+    n, nroots, band = 256, 12, 4
+    m = make_matrix(n)
+    ref = np.linalg.eigvalsh(m)[:nroots]
+    solver = BandedEigensolver(
+        dense_matvec, np.diag(m), n, band=band, m_max=16,
+        convergence_threshold=1e-9, max_iter=300,
+        operand=jnp.asarray(m), deflate=deflate, store_block_rows=3)
+    vals, vecs, errs = solver.solve(nroots)
+    np.testing.assert_allclose(vals, ref, atol=1e-7)
+    # residuals in f64 against the real operator (not the deflated one)
+    for i in range(nroots):
+        xi = vecs[i] / np.linalg.norm(vecs[i])
+        res = np.linalg.norm(m @ xi - vals[i] * xi)
+        assert res < 1e-6, f"root {i}: residual {res}"
+    # bands are mutually orthonormal
+    g = vecs @ vecs.T
+    np.testing.assert_allclose(g, np.eye(nroots), atol=1e-8)
+    if deflate == "streamed":
+        assert solver.n_locked == nroots
+
+
+def test_deflated_matvec_moves_locked_roots():
+    n = 64
+    m = make_matrix(n, nlow=4, seed=3)
+    w, v = np.linalg.eigh(m)
+    xl = v[:, :2].T  # lock the two lowest
+    sigma = 50.0
+    wrapped = make_deflated_davidson_matvec(dense_matvec, sigma)
+    packed = (jnp.asarray(m), jnp.asarray(xl))
+    # apply to the locked vectors: they now sit at sigma
+    out = np.asarray(wrapped(jnp.asarray(xl), packed))
+    np.testing.assert_allclose(out, sigma * xl, atol=1e-10)
+    # lowest eigenvalue of A' equals the THIRD of A
+    probe = np.eye(n)
+    ap = np.asarray(wrapped(jnp.asarray(probe), packed)).T
+    wp = np.linalg.eigvalsh(0.5 * (ap + ap.T))
+    np.testing.assert_allclose(wp[0], w[2], atol=1e-10)
+
+
+def test_empty_locked_block_is_noop():
+    n = 32
+    m = make_matrix(n, nlow=4, seed=5)
+    wrapped = make_deflated_davidson_matvec(dense_matvec, 99.0)
+    v = np.random.default_rng(0).standard_normal((3, n))
+    out = np.asarray(wrapped(jnp.asarray(v), (jnp.asarray(m), jnp.zeros((0, n)))))
+    np.testing.assert_allclose(out, v @ m.T, atol=1e-12)
