@@ -1,0 +1,425 @@
+"""Int8-quantized packed symmetric operator action: half the HBM bytes of
+the bf16 tier, double-rate MXU dots, exact integer accumulation.
+
+The packed-triangle kernels (symm_pallas.py) are DMA-bound at solver row
+widths: the tile stream sets the wall, so halving bytes/element halves the
+matvec time. Int8 does exactly that — IF the quantization error stays in
+the bf16 class and the per-tile float work stays off the critical path.
+Both follow from one trick, symmetric equilibration with a single global
+scale vector:
+
+    g[P] = sqrt(max_Q |A[P,Q]|)            (guarded against zero rows)
+    B    = D^-1 A D^-1,  D = diag(g)   =>  |B[P,Q]| <= 1
+
+(|A[P,Q]| <= min(rowmax_P, rowmax_Q) <= g[P] g[Q] by symmetry), so B
+quantizes with the SCALAR scale 1/127:
+
+    A[P,Q] ~= gq[P] gq[Q] Q[P,Q],   Q = round(127 B) in int8,  gq = g/sqrt(127)
+
+and the action factors through the quantized operand:
+
+    y[m,P] = sum_Q x[m,Q] A[P,Q] ~= gq[P] * sx[m] * (qx @ Q^T)[m,P]
+
+with x row-quantized AFTER the gq pre-scale (xs = x*gq, sx[m] =
+rowmax|xs|/127, qx = round(xs/sx)). Every per-tile step is then a pure
+int8 x int8 -> int32 MXU dot accumulated in an EXACT int32 scratch — the
+sx/gq rank-1 dequantization happens once, on the final (m, n) store, not
+per tile. Two tiers:
+
+- ``SymmetricBlockedInt8``  one int8 plane: half the bf16 tier's tile
+  bytes, absolute error ~ g[P]g[Q]/254 (the bf16 accuracy class for
+  equilibrated matrices — bf16 rounds each ELEMENT at 2^-9 relative, int8
+  bounds the error by 2^-8 of the equilibrated row scale). NOTE the bound
+  is the GEOMETRIC MEAN of the two row scales: on matrices with a wide
+  row-scale spread, elements coupling a small row to a large one carry
+  larger relative error than bf16 storage would give them. The spectral
+  floor (what sets a Davidson residual plateau) matches bf16's.
+- ``SymmetricBlockedInt8Split``  two int8 planes (Q1 + Q2/254 quantizing
+  the first plane's residual): the split double-bf16 accuracy class
+  (~2^-16) at HALF its bytes, and 6 double-rate int8 dots per pair where
+  split-bf16 spends 6 single-rate bf16 dots.
+
+Reference twin: the packed kernels replace the buffered dgemm over
+DistrArray chunks (array/util/gemm.h:100-152, BufferManager.h:136-173);
+quantized storage has no reference counterpart — it is the TPU-native
+serving trick applied to the symmetric operator stream.
+
+Int32 accumulator headroom: a b=512 contraction contributes at most
+127*127*512 ~= 8.3e6 per entry; nb tile-columns sum to nb*8.3e6, safe for
+n up to ~100k columns per accumulator entry (2^31/8.3e6 ~= 260 tiles).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+_SQRT127 = float(np.sqrt(127.0))
+
+
+def _pack_lower(matrix: np.ndarray, b: int, tol: Optional[float]):
+    """Shared padded lower-triangle tiling (mirrors SymmetricBlocked)."""
+    matrix = np.asarray(matrix, dtype=np.float64)
+    n = matrix.shape[0]
+    assert matrix.shape == (n, n), "operator must be square"
+    if not np.allclose(matrix, matrix.T, atol=0.0, rtol=0.0):
+        raise ValueError("int8 symmetric packing requires an exactly symmetric matrix")
+    b = min(b, n)
+    n_pad = ((n + b - 1) // b) * b
+    padded = np.zeros((n_pad, n_pad))
+    padded[:n, :n] = matrix
+    return padded, n_pad, b
+
+
+def _equilibrate(padded: np.ndarray):
+    """g[P] = sqrt(rowmax), 1.0 on all-zero (padding) rows; B in [-1, 1]."""
+    rowmax = np.abs(padded).max(axis=1)
+    g = np.sqrt(np.where(rowmax > 0.0, rowmax, 1.0))
+    return padded / np.outer(g, g), g
+
+
+def _tile_pairs(B: np.ndarray, n_pad: int, b: int, tol_mask):
+    nb = n_pad // b
+    tiles, iis, jjs = [], [], []
+    for i in range(nb):
+        for j in range(i + 1):
+            if tol_mask is not None and not tol_mask[i, j]:
+                continue
+            tiles.append(B[i * b:(i + 1) * b, j * b:(j + 1) * b])
+            iis.append(i)
+            jjs.append(j)
+    if not tiles:
+        tiles.append(B[:b, :b])
+        iis.append(0)
+        jjs.append(0)
+    return (np.stack(tiles), np.asarray(iis, dtype=np.int32),
+            np.asarray(jjs, dtype=np.int32))
+
+
+def _tol_mask(padded: np.ndarray, n_pad: int, b: int, tol: Optional[float]):
+    if tol is None:
+        return None
+    nb = n_pad // b
+    mask = np.zeros((nb, nb), dtype=bool)
+    for i in range(nb):
+        for j in range(i + 1):
+            mask[i, j] = np.abs(padded[i * b:(i + 1) * b, j * b:(j + 1) * b]).max() > tol
+    return mask
+
+
+@dataclasses.dataclass
+class SymmetricBlockedInt8:
+    """Packed lower triangle, one int8 plane + equilibration vector."""
+
+    q: Array             # (n_pairs, b, b) int8, round(127 * B) tiles
+    gq: Array            # (n_pad,) f32 equilibration, g/sqrt(127)
+    ii: Array            # (n_pairs,) int32 block row
+    jj: Array            # (n_pairs,) int32 block col (jj <= ii)
+    shape: Tuple[int, int]
+    b: int
+    diagonal: Optional[Array] = None
+
+    @property
+    def n_pairs(self) -> int:
+        return self.q.shape[0]
+
+    @classmethod
+    def from_dense(cls, matrix: np.ndarray, b: int = 512,
+                   tol: Optional[float] = None) -> "SymmetricBlockedInt8":
+        padded, n_pad, b = _pack_lower(matrix, b, tol)
+        B, g = _equilibrate(padded)
+        tiles, ii, jj = _tile_pairs(B, n_pad, b, _tol_mask(padded, n_pad, b, tol))
+        q = np.clip(np.rint(127.0 * tiles), -127, 127).astype(np.int8)
+        return cls(
+            q=jnp.asarray(q),
+            gq=jnp.asarray((g / _SQRT127).astype(np.float32)),
+            ii=jnp.asarray(ii),
+            jj=jnp.asarray(jj),
+            shape=(n_pad, n_pad),
+            b=b,
+            diagonal=jnp.asarray(np.diagonal(padded).copy(), dtype=jnp.float32),
+        )
+
+
+@dataclasses.dataclass
+class SymmetricBlockedInt8Split:
+    """Two int8 planes: A ~= gq gq^T ⊙ unpack(Q1 + Q2/254) — the ~2^-16
+    accuracy class of split double-bf16 at half the streamed bytes."""
+
+    q1: Array            # (n_pairs, b, b) int8, round(127 B)
+    q2: Array            # (n_pairs, b, b) int8, round(254 (127 B - Q1))
+    gq: Array            # (n_pad,) f32
+    ii: Array
+    jj: Array
+    shape: Tuple[int, int]
+    b: int
+    diagonal: Optional[Array] = None
+
+    @property
+    def n_pairs(self) -> int:
+        return self.q1.shape[0]
+
+    @classmethod
+    def from_dense(cls, matrix: np.ndarray, b: int = 512,
+                   tol: Optional[float] = None) -> "SymmetricBlockedInt8Split":
+        padded, n_pad, b = _pack_lower(matrix, b, tol)
+        B, g = _equilibrate(padded)
+        tiles, ii, jj = _tile_pairs(B, n_pad, b, _tol_mask(padded, n_pad, b, tol))
+        b127 = 127.0 * tiles
+        q1 = np.clip(np.rint(b127), -127, 127)
+        q2 = np.clip(np.rint(254.0 * (b127 - q1)), -127, 127).astype(np.int8)
+        return cls(
+            q1=q1.astype(np.int8),
+            q2=q2,
+            gq=jnp.asarray((g / _SQRT127).astype(np.float32)),
+            ii=jnp.asarray(ii),
+            jj=jnp.asarray(jj),
+            shape=(n_pad, n_pad),
+            b=b,
+            diagonal=jnp.asarray(np.diagonal(padded).copy(), dtype=jnp.float32),
+        )
+
+
+def quantize_rows(xs: Array):
+    """Per-row int8 quantization of a pre-scaled row block: xs ~= sx * qx.
+
+    Returns (qx int8 (m, n), sx f32 (m, 1)). Zero rows quantize to zeros
+    with sx = 1 (guarded divide)."""
+    xs = xs.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xs), axis=1, keepdims=True)
+    sx = jnp.where(amax > 0.0, amax, 1.0) / 127.0
+    qx = jnp.clip(jnp.round(xs / sx), -127, 127).astype(jnp.int8)
+    return qx, sx
+
+
+def quantize_rows_split(xs: Array):
+    """Double-int8 row split: xs ~= sx*(p1 + p2/254), error ~2^-16 rowmax."""
+    xs = xs.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xs), axis=1, keepdims=True)
+    sx = jnp.where(amax > 0.0, amax, 1.0) / 127.0
+    scaled = xs / sx
+    p1 = jnp.clip(jnp.round(scaled), -127, 127)
+    p2 = jnp.clip(jnp.round(254.0 * (scaled - p1)), -127, 127).astype(jnp.int8)
+    return p1.astype(jnp.int8), p2, sx
+
+
+# ---------------------------------------------------------------------------
+# Portable XLA paths — identical quantized arithmetic (exact int32 einsums),
+# so CPU tests pin the same numerics the Pallas kernels produce.
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _symm_matmat_int8_xla(qx, q, ii_jj, b, nb):
+    ii, jj = ii_jj
+    m = qx.shape[0]
+    xt = qx.reshape(m, nb, b).transpose(1, 0, 2).astype(jnp.int32)   # (nb, m, b)
+    qt = q.astype(jnp.int32)
+    contrib_i = jnp.einsum("kmn,kin->kmi", xt[jj], qt)
+    acc = jax.ops.segment_sum(contrib_i, ii, num_segments=nb)
+    strict = (ii != jj).astype(jnp.int32)
+    contrib_j = jnp.einsum("kmn,kni->kmi", xt[ii], qt)
+    acc = acc + jax.ops.segment_sum(contrib_j * strict[:, None, None], jj,
+                                    num_segments=nb)
+    return acc.transpose(1, 0, 2).reshape(m, nb * b)
+
+
+def symm_matmat_int8(x: Array, sym: SymmetricBlockedInt8) -> Array:
+    """XLA path of the int8 action (any backend)."""
+    nb = sym.shape[0] // sym.b
+    qx, sx = quantize_rows(x.astype(jnp.float32) * sym.gq[None, :])
+    acc = _symm_matmat_int8_xla(qx, sym.q, (sym.ii, sym.jj), sym.b, nb)
+    return (acc.astype(jnp.float32) * sx * sym.gq[None, :]).astype(x.dtype)
+
+
+def symm_matmat_int8_split(x: Array, sym: SymmetricBlockedInt8Split) -> Array:
+    """XLA path of the double-int8 action: three int32 contractions
+    (p1 Q1 + (p1 Q2 + p2 Q1)/254), dropping the O(2^-16 * 2^-8) p2 Q2 term."""
+    nb = sym.shape[0] // sym.b
+    p1, p2, sx = quantize_rows_split(x.astype(jnp.float32) * sym.gq[None, :])
+    pair = (sym.ii, sym.jj)
+    a1 = _symm_matmat_int8_xla(p1, sym.q1, pair, sym.b, nb)
+    a2 = _symm_matmat_int8_xla(p1, sym.q2, pair, sym.b, nb)
+    a2 = a2 + _symm_matmat_int8_xla(p2, sym.q1, pair, sym.b, nb)
+    acc = a1.astype(jnp.float32) + a2.astype(jnp.float32) * (1.0 / 254.0)
+    return (acc * sx * sym.gq[None, :]).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels: x resident in VMEM as int8 planes, tile stream through the
+# automatic pipeline, int32 accumulator scratch, one rank-1 dequantized store.
+
+
+@functools.lru_cache(maxsize=64)
+def _pallas_int8_fn(m, n, b, n_pairs, interpret):
+    return jax.jit(functools.partial(
+        _symm_matmat_int8_impl, m=m, n=n, b=b, n_pairs=n_pairs, interpret=interpret))
+
+
+def symm_matmat_int8_pallas(x: Array, sym: SymmetricBlockedInt8,
+                            interpret: bool = False) -> Array:
+    """Half-of-bf16-traffic symmetric action from one int8 plane."""
+    m, n = x.shape
+    assert n == sym.shape[0], "x width must match the operator dimension"
+    qx, sx = quantize_rows(x.astype(jnp.float32) * sym.gq[None, :])
+    fn = _pallas_int8_fn(m, n, sym.b, sym.n_pairs, interpret)
+    return fn(sym.ii, sym.jj, qx, sym.q, sx, sym.gq.reshape(1, n)).astype(x.dtype)
+
+
+def _symm_matmat_int8_impl(ii, jj, qx, q, sx, gq, *, m, n, b, n_pairs, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(ii_ref, jj_ref, qx_ref, q_ref, sx_ref, gq_ref, y_ref, acc):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            acc[...] = jnp.zeros_like(acc)
+
+        i = ii_ref[t]
+        j = jj_ref[t]
+        a = q_ref[0]                            # (b, b) int8 tile
+
+        # y_i += x_j Q^T : exact int32 accumulation, no per-tile float work
+        yi = jax.lax.dot_general(
+            qx_ref[:, pl.ds(j * b, b)], a,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        acc[:, pl.ds(i * b, b)] += yi
+
+        @pl.when(i != j)
+        def _():
+            yj = jax.lax.dot_general(
+                qx_ref[:, pl.ds(i * b, b)], a,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            acc[:, pl.ds(j * b, b)] += yj
+
+        @pl.when(t == n_pairs - 1)
+        def _():
+            y_ref[...] = acc[...].astype(jnp.float32) * sx_ref[...] * gq_ref[...]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # ii, jj
+        grid=(n_pairs,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),                # qx, resident
+            pl.BlockSpec((1, b, b), lambda t, *_: (t, 0, 0)),     # int8 tile stream
+            pl.BlockSpec(memory_space=pltpu.VMEM),                # sx (m, 1)
+            pl.BlockSpec(memory_space=pltpu.VMEM),                # gq (1, n)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((m, n), jnp.int32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * m * n_pairs * b * b,
+            bytes_accessed=n_pairs * b * b + m * n + 2 * m * n * 4,
+            transcendentals=0,
+        ),
+    )(ii, jj, qx, q, sx, gq)
+
+
+@functools.lru_cache(maxsize=64)
+def _pallas_int8_split_fn(m, n, b, n_pairs, interpret):
+    return jax.jit(functools.partial(
+        _symm_matmat_int8_split_impl, m=m, n=n, b=b, n_pairs=n_pairs,
+        interpret=interpret))
+
+
+def symm_matmat_int8_split_pallas(x: Array, sym: SymmetricBlockedInt8Split,
+                                  interpret: bool = False) -> Array:
+    """Split-bf16-class accuracy at half its traffic: two int8 planes."""
+    m, n = x.shape
+    assert n == sym.shape[0], "x width must match the operator dimension"
+    p1, p2, sx = quantize_rows_split(x.astype(jnp.float32) * sym.gq[None, :])
+    fn = _pallas_int8_split_fn(m, n, sym.b, sym.n_pairs, interpret)
+    return fn(sym.ii, sym.jj, p1, p2, sym.q1, sym.q2, sx,
+              sym.gq.reshape(1, n)).astype(x.dtype)
+
+
+def _symm_matmat_int8_split_impl(ii, jj, p1, p2, q1, q2, sx, gq,
+                                 *, m, n, b, n_pairs, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(ii_ref, jj_ref, p1_ref, p2_ref, q1_ref, q2_ref, sx_ref, gq_ref,
+               y_ref, acc1, acc2):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            acc1[...] = jnp.zeros_like(acc1)
+            acc2[...] = jnp.zeros_like(acc2)
+
+        i = ii_ref[t]
+        j = jj_ref[t]
+        a1 = q1_ref[0]
+        a2 = q2_ref[0]
+
+        def dots(src, transpose):
+            dn = (((1,), (1 if transpose else 0,)), ((), ()))
+            x1 = p1_ref[:, pl.ds(src * b, b)]
+            x2 = p2_ref[:, pl.ds(src * b, b)]
+            hi = jax.lax.dot_general(x1, a1, dimension_numbers=dn,
+                                     preferred_element_type=jnp.int32)
+            lo = jax.lax.dot_general(x1, a2, dimension_numbers=dn,
+                                     preferred_element_type=jnp.int32)
+            lo += jax.lax.dot_general(x2, a1, dimension_numbers=dn,
+                                      preferred_element_type=jnp.int32)
+            return hi, lo
+
+        hi, lo = dots(j, True)
+        acc1[:, pl.ds(i * b, b)] += hi
+        acc2[:, pl.ds(i * b, b)] += lo
+
+        @pl.when(i != j)
+        def _():
+            hi2, lo2 = dots(i, False)
+            acc1[:, pl.ds(j * b, b)] += hi2
+            acc2[:, pl.ds(j * b, b)] += lo2
+
+        @pl.when(t == n_pairs - 1)
+        def _():
+            y = acc1[...].astype(jnp.float32) + acc2[...].astype(jnp.float32) * (1.0 / 254.0)
+            y_ref[...] = y * sx_ref[...] * gq_ref[...]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_pairs,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),                # p1, resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),                # p2, resident
+            pl.BlockSpec((1, b, b), lambda t, *_: (t, 0, 0)),     # Q1 stream
+            pl.BlockSpec((1, b, b), lambda t, *_: (t, 0, 0)),     # Q2 stream
+            pl.BlockSpec(memory_space=pltpu.VMEM),                # sx
+            pl.BlockSpec(memory_space=pltpu.VMEM),                # gq
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((m, n), jnp.int32),
+                        pltpu.VMEM((m, n), jnp.int32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 4 * m * n_pairs * b * b,
+            bytes_accessed=2 * n_pairs * b * b + 2 * m * n + 2 * m * n * 4,
+            transcendentals=0,
+        ),
+    )(ii, jj, p1, p2, q1, q2, sx, gq)

@@ -619,7 +619,13 @@ class FusedDavidson:
         - ``"precise"`` split double-bf16 — f32 bytes, ~2^-16 operator, and
                         the per-tile f32 accumulation floors residuals ~50x
                         below a dense XLA matvec;
-        - ``"exact"``   native-precision tiles with HIGHEST dots.
+        - ``"exact"``   native-precision tiles with HIGHEST dots;
+        - ``"int8"``    one quantized plane (ops/kernels/symm_int8.py) —
+                        HALF the bf16 tier's bytes and double-rate MXU dots
+                        at the same residual-floor class (error bounded by
+                        the geometric mean of the equilibrated row scales);
+        - ``"int8_precise"`` two quantized planes — the "precise" accuracy
+                        class (~2^-16 operator) at half its streamed bytes.
 
         Default: "precise" on TPU, "exact" elsewhere. On non-TPU backends all
         tiers run through the portable XLA packed path at native precision
@@ -643,8 +649,10 @@ class FusedDavidson:
         on_tpu = jax.default_backend() == "tpu"
         if tier is None:
             tier = "precise" if on_tpu else "exact"
-        if tier not in ("fast", "precise", "exact"):
-            raise ValueError(f"unknown tier {tier!r}: use 'fast', 'precise' or 'exact'")
+        if tier not in ("fast", "precise", "exact", "int8", "int8_precise"):
+            raise ValueError(
+                f"unknown tier {tier!r}: use 'fast', 'precise', 'exact', "
+                "'int8' or 'int8_precise'")
         if b is None:
             # measured at n=8192/r=16 on one v5e: bf16 tiles stream at the
             # DMA roof with b=1024 (90 us vs 103 at b=512 — fewer grid steps
@@ -656,10 +664,41 @@ class FusedDavidson:
             # and Ritz-vector width every iteration) outweighs the ~13 us
             # grid-step saving.
             b = 512
-            if tier == "fast" and -(-n // 1024) * 1024 == -(-n // 512) * 512:
+            if tier in ("fast", "int8") and -(-n // 1024) * 1024 == -(-n // 512) * 512:
                 b = 1024
 
-        if tier == "precise":
+        if tier in ("int8", "int8_precise"):
+            from ..ops.kernels.symm_int8 import (
+                SymmetricBlockedInt8,
+                SymmetricBlockedInt8Split,
+                symm_matmat_int8,
+                symm_matmat_int8_pallas,
+                symm_matmat_int8_split,
+                symm_matmat_int8_split_pallas,
+            )
+
+            if tier == "int8":
+                sym = SymmetricBlockedInt8.from_dense(matrix, b=b)
+                operand = (sym.q, sym.gq, sym.ii, sym.jj)
+
+                def matvec(x, op):
+                    s = dataclasses.replace(sym, q=op[0], gq=op[1], ii=op[2], jj=op[3])
+                    if on_tpu:
+                        return symm_matmat_int8_pallas(x, s)
+                    return symm_matmat_int8(x, s).astype(x.dtype)
+
+            else:
+                sym = SymmetricBlockedInt8Split.from_dense(matrix, b=b)
+                operand = (sym.q1, sym.q2, sym.gq, sym.ii, sym.jj)
+
+                def matvec(x, op):
+                    s = dataclasses.replace(sym, q1=op[0], q2=op[1], gq=op[2],
+                                            ii=op[3], jj=op[4])
+                    if on_tpu:
+                        return symm_matmat_int8_split_pallas(x, s)
+                    return symm_matmat_int8_split(x, s).astype(x.dtype)
+
+        elif tier == "precise":
             sym = SymmetricBlockedSplit.from_dense(matrix, b=b)
             operand = (sym.hi, sym.lo, sym.ii, sym.jj)
 
