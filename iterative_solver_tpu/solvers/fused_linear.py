@@ -234,8 +234,10 @@ class FusedLinearEquations:
         on_tpu = jax.default_backend() == "tpu"
         if tier is None:
             tier = "precise" if on_tpu else "exact"
-        if tier not in ("fast", "precise", "exact"):
-            raise ValueError(f"unknown tier {tier!r}: use 'fast', 'precise' or 'exact'")
+        if tier not in ("fast", "precise", "exact", "int8", "int8_precise"):
+            raise ValueError(
+                f"unknown tier {tier!r}: use 'fast', 'precise', 'exact', "
+                "'int8' or 'int8_precise'")
         if b is None:
             # same measured tile-size policy as FusedDavidson: bf16 single
             # stack streams at the DMA roof with b=1024, the split tier's
@@ -243,7 +245,7 @@ class FusedLinearEquations:
             # row makes A singular), so the auto choice degrades to the
             # largest power-of-two tile that divides n (down to 128, the
             # lane width); below that the explicit divisibility error fires.
-            start = 1024 if tier == "fast" else 512
+            start = 1024 if tier in ("fast", "int8") else 512
             b = start
             while b > 128 and n % min(b, n) != 0:
                 b //= 2
@@ -255,7 +257,38 @@ class FusedLinearEquations:
                 f"operator dimension {n} must be a multiple of the tile size {b} "
                 f"(zero padding would make the linear system singular)")
 
-        if tier == "precise":
+        if tier in ("int8", "int8_precise"):
+            from ..ops.kernels.symm_int8 import (
+                SymmetricBlockedInt8,
+                SymmetricBlockedInt8Split,
+                symm_matmat_int8,
+                symm_matmat_int8_pallas,
+                symm_matmat_int8_split,
+                symm_matmat_int8_split_pallas,
+            )
+
+            if tier == "int8":
+                sym = SymmetricBlockedInt8.from_dense(matrix, b=b)
+                operand = (sym.q, sym.gq, sym.ii, sym.jj)
+
+                def matvec(x, op):
+                    s = dataclasses.replace(sym, q=op[0], gq=op[1], ii=op[2], jj=op[3])
+                    if on_tpu:
+                        return symm_matmat_int8_pallas(x, s)
+                    return symm_matmat_int8(x, s).astype(x.dtype)
+
+            else:
+                sym = SymmetricBlockedInt8Split.from_dense(matrix, b=b)
+                operand = (sym.q1, sym.q2, sym.gq, sym.ii, sym.jj)
+
+                def matvec(x, op):
+                    s = dataclasses.replace(sym, q1=op[0], q2=op[1], gq=op[2],
+                                            ii=op[3], jj=op[4])
+                    if on_tpu:
+                        return symm_matmat_int8_split_pallas(x, s)
+                    return symm_matmat_int8_split(x, s).astype(x.dtype)
+
+        elif tier == "precise":
             sym = SymmetricBlockedSplit.from_dense(matrix, b=b)
             operand = (sym.hi, sym.lo, sym.ii, sym.jj)
 

@@ -229,3 +229,25 @@ class TestFusedDavidsonInt8:
         ref = np.linalg.eigvalsh(mat)[:nroots]
         np.testing.assert_allclose(np.sort(np.asarray(evals)), ref, atol=ev_band)
         assert solver.unpad(x).shape == (nroots, n)
+
+
+class TestFusedLinearInt8:
+    @pytest.mark.parametrize("tier,x_band", [
+        ("int8", 3e-2),
+        ("int8_precise", 2e-4),
+    ])
+    def test_tiers_solve(self, tier, x_band):
+        from iterative_solver_tpu.solvers.fused_linear import FusedLinearEquations
+
+        n, nrhs = 128, 2
+        rng = np.random.default_rng(30)
+        a = rng.standard_normal((n, n)) * (0.1 / np.sqrt(n))
+        mat = a + a.T + np.diag(np.linspace(3.0, 12.0, n))
+        rhs = rng.standard_normal((nrhs, n))
+        solver = FusedLinearEquations.from_dense_symmetric(
+            mat, nrhs, tier=tier, b=32, convergence_threshold=x_band / 10,
+            max_iter=200)
+        x, errors, iters = solver.solve(rhs)
+        x_ref = np.linalg.solve(mat, rhs.T).T
+        err = np.abs(np.asarray(x, np.float64) - x_ref).max() / np.abs(x_ref).max()
+        assert err < x_band, (tier, err)
