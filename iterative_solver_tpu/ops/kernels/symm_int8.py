@@ -3,50 +3,61 @@ the bf16 tier, double-rate MXU dots, exact integer accumulation.
 
 The packed-triangle kernels (symm_pallas.py) are DMA-bound at solver row
 widths: the tile stream sets the wall, so halving bytes/element halves the
-matvec time. Int8 does exactly that — IF the quantization error stays in
-the bf16 class and the per-tile float work stays off the critical path.
-Both follow from one trick, symmetric equilibration with a single global
-scale vector:
+matvec time (measured n=8192 m=16 on one v5e: 36 us vs the bf16 tier's
+125 us inside the same loop). Int8 does exactly that — IF the quantization
+error stays in the bf16 class and the per-tile float work stays off the
+critical path. Two tricks deliver both:
 
-    g[P] = sqrt(max_Q |A[P,Q]|)            (guarded against zero rows)
-    B    = D^-1 A D^-1,  D = diag(g)   =>  |B[P,Q]| <= 1
+**Diagonal split.** A = diag(d) + E. The diagonal is stored EXACTLY (f32)
+and applied as one fused multiply-add on the final store; only the
+off-diagonal part E is quantized. Subspace operators are routinely
+diagonally dominant (FCI hamiltonians: large diagonal, small couplings) —
+quantizing A whole would scale the error by the diagonal magnitude and
+destroy the couplings that drive convergence. With the split, a purely
+diagonal operator is represented exactly and the quantization error scales
+with the COUPLING magnitudes only.
 
-(|A[P,Q]| <= min(rowmax_P, rowmax_Q) <= g[P] g[Q] by symmetry), so B
+**Symmetric equilibration with one global scale vector.**
+
+    g[P] = sqrt(max_Q |E[P,Q]|)            (guarded against zero rows)
+    B    = D^-1 E D^-1,  D = diag(g)   =>  |B[P,Q]| <= 1
+
+(|E[P,Q]| <= min(rowmax_P, rowmax_Q) <= g[P] g[Q] by symmetry), so B
 quantizes with the SCALAR scale 1/127:
 
-    A[P,Q] ~= gq[P] gq[Q] Q[P,Q],   Q = round(127 B) in int8,  gq = g/sqrt(127)
+    E[P,Q] ~= gq[P] gq[Q] Q[P,Q],   Q = round(127 B) in int8,  gq = g/sqrt(127)
 
 and the action factors through the quantized operand:
 
-    y[m,P] = sum_Q x[m,Q] A[P,Q] ~= gq[P] * sx[m] * (qx @ Q^T)[m,P]
+    y[m,P] = sum_Q x[m,Q] E[P,Q] + x[m,P] d[P]
+          ~= gq[P] * sx[m] * (qx @ Q^T)[m,P] + x[m,P] d[P]
 
 with x row-quantized AFTER the gq pre-scale (xs = x*gq, sx[m] =
 rowmax|xs|/127, qx = round(xs/sx)). Every per-tile step is then a pure
 int8 x int8 -> int32 MXU dot accumulated in an EXACT int32 scratch — the
-sx/gq rank-1 dequantization happens once, on the final (m, n) store, not
-per tile. Two tiers:
+sx/gq rank-1 dequantization and the diagonal fused multiply-add happen
+once, on the final (m, n) store, not per tile. Two tiers:
 
 - ``SymmetricBlockedInt8``  one int8 plane: half the bf16 tier's tile
-  bytes, absolute error ~ g[P]g[Q]/254 (the bf16 accuracy class for
-  equilibrated matrices — bf16 rounds each ELEMENT at 2^-9 relative, int8
-  bounds the error by 2^-8 of the equilibrated row scale). NOTE the bound
-  is the GEOMETRIC MEAN of the two row scales: on matrices with a wide
-  row-scale spread, elements coupling a small row to a large one carry
-  larger relative error than bf16 storage would give them. The spectral
-  floor (what sets a Davidson residual plateau) matches bf16's.
+  bytes, coupling error ~ g[P]g[Q]/254 (the bf16 accuracy class for
+  equilibrated couplings). NOTE the bound is the GEOMETRIC MEAN of the two
+  off-diagonal row scales: couplings joining a weak row to a strong one
+  carry larger relative error than bf16 storage would give them. The
+  spectral floor (what sets a Davidson residual plateau) matches bf16's.
 - ``SymmetricBlockedInt8Split``  two int8 planes (Q1 + Q2/254 quantizing
   the first plane's residual): the split double-bf16 accuracy class
-  (~2^-16) at HALF its bytes, and 6 double-rate int8 dots per pair where
-  split-bf16 spends 6 single-rate bf16 dots.
+  (~2^-16 of the coupling scale) at HALF its bytes, and 6 double-rate
+  int8 dots per pair where split-bf16 spends 6 single-rate bf16 dots
+  (measured 101 us vs 203 us at n=8192 b=512).
 
 Reference twin: the packed kernels replace the buffered dgemm over
 DistrArray chunks (array/util/gemm.h:100-152, BufferManager.h:136-173);
 quantized storage has no reference counterpart — it is the TPU-native
-serving trick applied to the symmetric operator stream.
+low-bit serving technique applied to the symmetric operator stream.
 
-Int32 accumulator headroom: a b=512 contraction contributes at most
-127*127*512 ~= 8.3e6 per entry; nb tile-columns sum to nb*8.3e6, safe for
-n up to ~100k columns per accumulator entry (2^31/8.3e6 ~= 260 tiles).
+Int32 accumulator headroom: a b=1024 contraction contributes at most
+127*127*1024 ~= 1.7e7 per entry; nb tile-columns sum to nb*1.7e7, safe for
+n up to ~130k columns per accumulator entry (2^31/1.7e7 ~= 130 tiles).
 """
 
 from __future__ import annotations
@@ -78,11 +89,17 @@ def _pack_lower(matrix: np.ndarray, b: int, tol: Optional[float]):
     return padded, n_pad, b
 
 
-def _equilibrate(padded: np.ndarray):
-    """g[P] = sqrt(rowmax), 1.0 on all-zero (padding) rows; B in [-1, 1]."""
-    rowmax = np.abs(padded).max(axis=1)
+def _split_equilibrate(padded: np.ndarray):
+    """Diagonal split + off-diagonal equilibration.
+
+    Returns (B, g, d): d the exact diagonal, E = padded - diag(d),
+    g[P] = sqrt(rowmax |E[P,:]|) (1.0 on zero rows), B = D^-1 E D^-1 in
+    [-1, 1]."""
+    d = np.diagonal(padded).copy()
+    E = padded - np.diag(d)
+    rowmax = np.abs(E).max(axis=1)
     g = np.sqrt(np.where(rowmax > 0.0, rowmax, 1.0))
-    return padded / np.outer(g, g), g
+    return E / np.outer(g, g), g, d
 
 
 def _tile_pairs(B: np.ndarray, n_pad: int, b: int, tol_mask):
@@ -103,20 +120,22 @@ def _tile_pairs(B: np.ndarray, n_pad: int, b: int, tol_mask):
             np.asarray(jjs, dtype=np.int32))
 
 
-def _tol_mask(padded: np.ndarray, n_pad: int, b: int, tol: Optional[float]):
+def _tol_mask(E_scaled_src: np.ndarray, n_pad: int, b: int, tol: Optional[float]):
     if tol is None:
         return None
     nb = n_pad // b
     mask = np.zeros((nb, nb), dtype=bool)
     for i in range(nb):
         for j in range(i + 1):
-            mask[i, j] = np.abs(padded[i * b:(i + 1) * b, j * b:(j + 1) * b]).max() > tol
+            mask[i, j] = np.abs(
+                E_scaled_src[i * b:(i + 1) * b, j * b:(j + 1) * b]).max() > tol
     return mask
 
 
 @dataclasses.dataclass
 class SymmetricBlockedInt8:
-    """Packed lower triangle, one int8 plane + equilibration vector."""
+    """Packed lower triangle of the off-diagonal part, one int8 plane,
+    plus the exact diagonal and the equilibration vector."""
 
     q: Array             # (n_pairs, b, b) int8, round(127 * B) tiles
     gq: Array            # (n_pad,) f32 equilibration, g/sqrt(127)
@@ -124,7 +143,8 @@ class SymmetricBlockedInt8:
     jj: Array            # (n_pairs,) int32 block col (jj <= ii)
     shape: Tuple[int, int]
     b: int
-    diagonal: Optional[Array] = None
+    diagonal: Optional[Array] = None   # (n_pad,) f32 EXACT diagonal (applied
+                                       # unquantized on the final store)
 
     @property
     def n_pairs(self) -> int:
@@ -134,8 +154,9 @@ class SymmetricBlockedInt8:
     def from_dense(cls, matrix: np.ndarray, b: int = 512,
                    tol: Optional[float] = None) -> "SymmetricBlockedInt8":
         padded, n_pad, b = _pack_lower(matrix, b, tol)
-        B, g = _equilibrate(padded)
-        tiles, ii, jj = _tile_pairs(B, n_pad, b, _tol_mask(padded, n_pad, b, tol))
+        B, g, d = _split_equilibrate(padded)
+        E = padded - np.diag(d)
+        tiles, ii, jj = _tile_pairs(B, n_pad, b, _tol_mask(E, n_pad, b, tol))
         q = np.clip(np.rint(127.0 * tiles), -127, 127).astype(np.int8)
         return cls(
             q=jnp.asarray(q),
@@ -144,14 +165,15 @@ class SymmetricBlockedInt8:
             jj=jnp.asarray(jj),
             shape=(n_pad, n_pad),
             b=b,
-            diagonal=jnp.asarray(np.diagonal(padded).copy(), dtype=jnp.float32),
+            diagonal=jnp.asarray(d, dtype=jnp.float32),
         )
 
 
 @dataclasses.dataclass
 class SymmetricBlockedInt8Split:
-    """Two int8 planes: A ~= gq gq^T ⊙ unpack(Q1 + Q2/254) — the ~2^-16
-    accuracy class of split double-bf16 at half the streamed bytes."""
+    """Two int8 planes: E ~= gq gq^T ⊙ unpack(Q1 + Q2/254) — the ~2^-16
+    accuracy class of split double-bf16 at half the streamed bytes — plus
+    the exact diagonal."""
 
     q1: Array            # (n_pairs, b, b) int8, round(127 B)
     q2: Array            # (n_pairs, b, b) int8, round(254 (127 B - Q1))
@@ -160,7 +182,7 @@ class SymmetricBlockedInt8Split:
     jj: Array
     shape: Tuple[int, int]
     b: int
-    diagonal: Optional[Array] = None
+    diagonal: Optional[Array] = None   # (n_pad,) f32 EXACT diagonal
 
     @property
     def n_pairs(self) -> int:
@@ -170,8 +192,9 @@ class SymmetricBlockedInt8Split:
     def from_dense(cls, matrix: np.ndarray, b: int = 512,
                    tol: Optional[float] = None) -> "SymmetricBlockedInt8Split":
         padded, n_pad, b = _pack_lower(matrix, b, tol)
-        B, g = _equilibrate(padded)
-        tiles, ii, jj = _tile_pairs(B, n_pad, b, _tol_mask(padded, n_pad, b, tol))
+        B, g, d = _split_equilibrate(padded)
+        E = padded - np.diag(d)
+        tiles, ii, jj = _tile_pairs(B, n_pad, b, _tol_mask(E, n_pad, b, tol))
         b127 = 127.0 * tiles
         q1 = np.clip(np.rint(b127), -127, 127)
         q2 = np.clip(np.rint(254.0 * (b127 - q1)), -127, 127).astype(np.int8)
@@ -183,7 +206,7 @@ class SymmetricBlockedInt8Split:
             jj=jnp.asarray(jj),
             shape=(n_pad, n_pad),
             b=b,
-            diagonal=jnp.asarray(np.diagonal(padded).copy(), dtype=jnp.float32),
+            diagonal=jnp.asarray(d, dtype=jnp.float32),
         )
 
 
@@ -233,27 +256,32 @@ def _symm_matmat_int8_xla(qx, q, ii_jj, b, nb):
 def symm_matmat_int8(x: Array, sym: SymmetricBlockedInt8) -> Array:
     """XLA path of the int8 action (any backend)."""
     nb = sym.shape[0] // sym.b
-    qx, sx = quantize_rows(x.astype(jnp.float32) * sym.gq[None, :])
+    xf = x.astype(jnp.float32)
+    qx, sx = quantize_rows(xf * sym.gq[None, :])
     acc = _symm_matmat_int8_xla(qx, sym.q, (sym.ii, sym.jj), sym.b, nb)
-    return (acc.astype(jnp.float32) * sx * sym.gq[None, :]).astype(x.dtype)
+    y = acc.astype(jnp.float32) * sx * sym.gq[None, :] + xf * sym.diagonal[None, :]
+    return y.astype(x.dtype)
 
 
 def symm_matmat_int8_split(x: Array, sym: SymmetricBlockedInt8Split) -> Array:
     """XLA path of the double-int8 action: three int32 contractions
     (p1 Q1 + (p1 Q2 + p2 Q1)/254), dropping the O(2^-16 * 2^-8) p2 Q2 term."""
     nb = sym.shape[0] // sym.b
-    p1, p2, sx = quantize_rows_split(x.astype(jnp.float32) * sym.gq[None, :])
+    xf = x.astype(jnp.float32)
+    p1, p2, sx = quantize_rows_split(xf * sym.gq[None, :])
     pair = (sym.ii, sym.jj)
     a1 = _symm_matmat_int8_xla(p1, sym.q1, pair, sym.b, nb)
     a2 = _symm_matmat_int8_xla(p1, sym.q2, pair, sym.b, nb)
     a2 = a2 + _symm_matmat_int8_xla(p2, sym.q1, pair, sym.b, nb)
     acc = a1.astype(jnp.float32) + a2.astype(jnp.float32) * (1.0 / 254.0)
-    return (acc * sx * sym.gq[None, :]).astype(x.dtype)
+    y = acc * sx * sym.gq[None, :] + xf * sym.diagonal[None, :]
+    return y.astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------
-# Pallas kernels: x resident in VMEM as int8 planes, tile stream through the
-# automatic pipeline, int32 accumulator scratch, one rank-1 dequantized store.
+# Pallas kernels: quantized x planes resident in VMEM, tile stream through
+# the automatic pipeline, int32 accumulator scratch, one dequantized store
+# fusing the rank-1 rescale and the exact-diagonal multiply-add.
 
 
 @functools.lru_cache(maxsize=64)
@@ -267,16 +295,20 @@ def symm_matmat_int8_pallas(x: Array, sym: SymmetricBlockedInt8,
     """Half-of-bf16-traffic symmetric action from one int8 plane."""
     m, n = x.shape
     assert n == sym.shape[0], "x width must match the operator dimension"
-    qx, sx = quantize_rows(x.astype(jnp.float32) * sym.gq[None, :])
+    xf = x.astype(jnp.float32)
+    qx, sx = quantize_rows(xf * sym.gq[None, :])
     fn = _pallas_int8_fn(m, n, sym.b, sym.n_pairs, interpret)
-    return fn(sym.ii, sym.jj, qx, sym.q, sx, sym.gq.reshape(1, n)).astype(x.dtype)
+    return fn(sym.ii, sym.jj, qx, sym.q, xf, sx, sym.gq.reshape(1, n),
+              sym.diagonal.reshape(1, n)).astype(x.dtype)
 
 
-def _symm_matmat_int8_impl(ii, jj, qx, q, sx, gq, *, m, n, b, n_pairs, interpret):
+def _symm_matmat_int8_impl(ii, jj, qx, q, xf, sx, gq, dg,
+                           *, m, n, b, n_pairs, interpret):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    def kernel(ii_ref, jj_ref, qx_ref, q_ref, sx_ref, gq_ref, y_ref, acc):
+    def kernel(ii_ref, jj_ref, qx_ref, q_ref, xf_ref, sx_ref, gq_ref, dg_ref,
+               y_ref, acc):
         t = pl.program_id(0)
 
         @pl.when(t == 0)
@@ -306,7 +338,8 @@ def _symm_matmat_int8_impl(ii, jj, qx, q, sx, gq, *, m, n, b, n_pairs, interpret
 
         @pl.when(t == n_pairs - 1)
         def _():
-            y_ref[...] = acc[...].astype(jnp.float32) * sx_ref[...] * gq_ref[...]
+            y_ref[...] = (acc[...].astype(jnp.float32) * sx_ref[...] * gq_ref[...]
+                          + xf_ref[...] * dg_ref[...])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # ii, jj
@@ -314,8 +347,10 @@ def _symm_matmat_int8_impl(ii, jj, qx, q, sx, gq, *, m, n, b, n_pairs, interpret
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),                # qx, resident
             pl.BlockSpec((1, b, b), lambda t, *_: (t, 0, 0)),     # int8 tile stream
+            pl.BlockSpec(memory_space=pltpu.VMEM),                # xf (exact diag path)
             pl.BlockSpec(memory_space=pltpu.VMEM),                # sx (m, 1)
             pl.BlockSpec(memory_space=pltpu.VMEM),                # gq (1, n)
+            pl.BlockSpec(memory_space=pltpu.VMEM),                # diagonal (1, n)
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((m, n), jnp.int32)],
@@ -327,10 +362,10 @@ def _symm_matmat_int8_impl(ii, jj, qx, q, sx, gq, *, m, n, b, n_pairs, interpret
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * m * n_pairs * b * b,
-            bytes_accessed=n_pairs * b * b + m * n + 2 * m * n * 4,
+            bytes_accessed=n_pairs * b * b + m * n * 5 + 2 * m * n * 4,
             transcendentals=0,
         ),
-    )(ii, jj, qx, q, sx, gq)
+    )(ii, jj, qx, q, xf, sx, gq, dg)
 
 
 @functools.lru_cache(maxsize=64)
@@ -345,19 +380,20 @@ def symm_matmat_int8_split_pallas(x: Array, sym: SymmetricBlockedInt8Split,
     """Split-bf16-class accuracy at half its traffic: two int8 planes."""
     m, n = x.shape
     assert n == sym.shape[0], "x width must match the operator dimension"
-    p1, p2, sx = quantize_rows_split(x.astype(jnp.float32) * sym.gq[None, :])
+    xf = x.astype(jnp.float32)
+    p1, p2, sx = quantize_rows_split(xf * sym.gq[None, :])
     fn = _pallas_int8_split_fn(m, n, sym.b, sym.n_pairs, interpret)
-    return fn(sym.ii, sym.jj, p1, p2, sym.q1, sym.q2, sx,
-              sym.gq.reshape(1, n)).astype(x.dtype)
+    return fn(sym.ii, sym.jj, p1, p2, sym.q1, sym.q2, xf, sx,
+              sym.gq.reshape(1, n), sym.diagonal.reshape(1, n)).astype(x.dtype)
 
 
-def _symm_matmat_int8_split_impl(ii, jj, p1, p2, q1, q2, sx, gq,
+def _symm_matmat_int8_split_impl(ii, jj, p1, p2, q1, q2, xf, sx, gq, dg,
                                  *, m, n, b, n_pairs, interpret):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    def kernel(ii_ref, jj_ref, p1_ref, p2_ref, q1_ref, q2_ref, sx_ref, gq_ref,
-               y_ref, acc1, acc2):
+    def kernel(ii_ref, jj_ref, p1_ref, p2_ref, q1_ref, q2_ref, xf_ref, sx_ref,
+               gq_ref, dg_ref, y_ref, acc1, acc2):
         t = pl.program_id(0)
 
         @pl.when(t == 0)
@@ -395,7 +431,7 @@ def _symm_matmat_int8_split_impl(ii, jj, p1, p2, q1, q2, sx, gq,
         @pl.when(t == n_pairs - 1)
         def _():
             y = acc1[...].astype(jnp.float32) + acc2[...].astype(jnp.float32) * (1.0 / 254.0)
-            y_ref[...] = y * sx_ref[...] * gq_ref[...]
+            y_ref[...] = y * sx_ref[...] * gq_ref[...] + xf_ref[...] * dg_ref[...]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -405,8 +441,10 @@ def _symm_matmat_int8_split_impl(ii, jj, p1, p2, q1, q2, sx, gq,
             pl.BlockSpec(memory_space=pltpu.VMEM),                # p2, resident
             pl.BlockSpec((1, b, b), lambda t, *_: (t, 0, 0)),     # Q1 stream
             pl.BlockSpec((1, b, b), lambda t, *_: (t, 0, 0)),     # Q2 stream
+            pl.BlockSpec(memory_space=pltpu.VMEM),                # xf (exact diag path)
             pl.BlockSpec(memory_space=pltpu.VMEM),                # sx
             pl.BlockSpec(memory_space=pltpu.VMEM),                # gq
+            pl.BlockSpec(memory_space=pltpu.VMEM),                # diagonal
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((m, n), jnp.int32),
@@ -419,7 +457,7 @@ def _symm_matmat_int8_split_impl(ii, jj, p1, p2, q1, q2, sx, gq,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=3 * 4 * m * n_pairs * b * b,
-            bytes_accessed=2 * n_pairs * b * b + 2 * m * n + 2 * m * n * 4,
+            bytes_accessed=2 * n_pairs * b * b + m * n * 6 + 2 * m * n * 4,
             transcendentals=0,
         ),
-    )(ii, jj, p1, p2, q1, q2, sx, gq)
+    )(ii, jj, p1, p2, q1, q2, xf, sx, gq, dg)

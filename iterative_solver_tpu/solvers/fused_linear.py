@@ -269,21 +269,22 @@ class FusedLinearEquations:
 
             if tier == "int8":
                 sym = SymmetricBlockedInt8.from_dense(matrix, b=b)
-                operand = (sym.q, sym.gq, sym.ii, sym.jj)
+                operand = (sym.q, sym.gq, sym.diagonal, sym.ii, sym.jj)
 
                 def matvec(x, op):
-                    s = dataclasses.replace(sym, q=op[0], gq=op[1], ii=op[2], jj=op[3])
+                    s = dataclasses.replace(sym, q=op[0], gq=op[1], diagonal=op[2],
+                                            ii=op[3], jj=op[4])
                     if on_tpu:
                         return symm_matmat_int8_pallas(x, s)
                     return symm_matmat_int8(x, s).astype(x.dtype)
 
             else:
                 sym = SymmetricBlockedInt8Split.from_dense(matrix, b=b)
-                operand = (sym.q1, sym.q2, sym.gq, sym.ii, sym.jj)
+                operand = (sym.q1, sym.q2, sym.gq, sym.diagonal, sym.ii, sym.jj)
 
                 def matvec(x, op):
                     s = dataclasses.replace(sym, q1=op[0], q2=op[1], gq=op[2],
-                                            ii=op[3], jj=op[4])
+                                            diagonal=op[3], ii=op[4], jj=op[5])
                     if on_tpu:
                         return symm_matmat_int8_split_pallas(x, s)
                     return symm_matmat_int8_split(x, s).astype(x.dtype)

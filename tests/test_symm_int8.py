@@ -77,19 +77,55 @@ class TestQuantization:
         mat = (mat + mat.T) / 2  # wide dynamic range, still symmetric
         sym = SymmetricBlockedInt8.from_dense(mat, b=32)
         assert np.abs(np.asarray(sym.q, dtype=np.int64)).max() <= 127
+        # diagonal is stored exactly; tiles quantize E = mat - diag with the
         # reconstruction error bounded by the equilibrated step, per element
+        np.testing.assert_array_equal(
+            np.asarray(sym.diagonal), np.diagonal(mat).astype(np.float32))
+        E = mat - np.diag(np.diagonal(mat))
         gq = np.asarray(sym.gq, dtype=np.float64)
         b = sym.b
         for t in range(sym.n_pairs):
             i, j = int(sym.ii[t]), int(sym.jj[t])
             gi = gq[i * b:(i + 1) * b]
             gj = gq[j * b:(j + 1) * b]
-            ref = mat[i * b:(i + 1) * b, j * b:(j + 1) * b] if (i + 1) * b <= 96 else None
+            ref = E[i * b:(i + 1) * b, j * b:(j + 1) * b] if (i + 1) * b <= 96 else None
             if ref is None:
                 continue
             back = np.outer(gi, gj) * np.asarray(sym.q[t], dtype=np.float64)
             bound = 0.5 * np.outer(gi, gj) + 1e-12
             assert np.all(np.abs(back - ref) <= bound)
+
+    def test_diagonal_matrix_is_exact(self):
+        """The diagonal split makes a purely diagonal operator exact: the
+        quantized plane is all zero and the action reduces to the f32
+        multiply-add."""
+        d = np.linspace(-3.0, 50.0, 64)
+        sym = SymmetricBlockedInt8.from_dense(np.diag(d), b=32)
+        assert np.abs(np.asarray(sym.q, np.int64)).max() == 0
+        x = np.random.default_rng(40).standard_normal((3, 64)).astype(np.float32)
+        y = np.asarray(symm_matmat_int8(jnp.asarray(x), sym), dtype=np.float64)
+        np.testing.assert_allclose(y, x.astype(np.float64) * d, rtol=2e-7)
+
+    def test_diag_dominant_error_scales_with_couplings(self):
+        """The bench-shaped operator (large diagonal, tiny couplings): the
+        quantization error must scale with the COUPLING magnitudes, not the
+        diagonal — quantizing A whole would be ~1000x worse here."""
+        n = 128
+        rng = np.random.default_rng(41)
+        e = rng.standard_normal((n, n)) * (0.05 / np.sqrt(n))
+        E = e + e.T
+        np.fill_diagonal(E, 0.0)
+        mat = E + np.diag(np.linspace(6.0, 50.0, n))
+        sym = SymmetricBlockedInt8.from_dense(mat, b=32)
+        x = rng.standard_normal((3, n)).astype(np.float32)
+        y = np.asarray(symm_matmat_int8(jnp.asarray(x), sym), np.float64)
+        ref = x.astype(np.float64) @ mat
+        # error budget: coupling rowmax / 254 per element, accumulated over n
+        # columns in rms — far below the diagonal scale
+        coupling_max = np.abs(E).max()
+        err = np.abs(y - ref).max()
+        assert err < 3.0 * coupling_max * np.sqrt(n) / 254.0 * np.abs(x).max() * 30
+        assert err < 1e-3 * np.abs(ref).max()
 
 
 class TestXLAPaths:
@@ -134,14 +170,16 @@ class TestXLAPaths:
         s = np.exp(np.linspace(0.0, 6.0, n))  # 400x scale spread
         mat = base * np.outer(s, s)
         sym = SymmetricBlockedInt8.from_dense(mat, b=b)
-        rowmax = np.abs(mat).max(axis=1)
+        E = mat - np.diag(np.diagonal(mat))
+        rowmax = np.abs(E).max(axis=1)
         x = np.eye(n, dtype=np.float32)[:4]  # unit vectors probe single rows
         y = np.asarray(symm_matmat_int8(jnp.asarray(x), sym))[:, :n]
         ref = x.astype(np.float64) @ mat
         for r in range(4):
-            # per-element bound: operator quantization 0.5*g_r*g_Q/127 plus
-            # the x-row quantization (exact unit vectors -> negligible)
-            bound = 0.55 * np.sqrt(rowmax[r] * rowmax) / 127.0 + 1e-9
+            # per-element bound: coupling quantization 0.5*g_r*g_Q/127 plus
+            # the exact diagonal's f32 rounding (unit-vector x is exact)
+            bound = (0.55 * np.sqrt(rowmax[r] * rowmax) / 127.0
+                     + 1e-6 * np.abs(np.diagonal(mat)) + 1e-9)
             assert np.all(np.abs(y[r] - ref[r]) <= bound)
 
     def test_padding_and_zero_region(self):
@@ -186,7 +224,10 @@ class TestPallasInterpret:
             np.random.default_rng(17).standard_normal((4, n)).astype(np.float32))
         y_xla = np.asarray(symm_matmat_int8(x, sym))
         y_pl = np.asarray(symm_matmat_int8_pallas(x, sym, interpret=True))
-        np.testing.assert_allclose(y_pl, y_xla, rtol=1e-6, atol=0)
+        # int32 accumulation is exact; only the final f32 dequantization
+        # FMA order can differ between the kernel and the XLA path
+        np.testing.assert_allclose(y_pl, y_xla, rtol=1e-6,
+                                   atol=1e-6 * np.abs(y_xla).max())
 
     @pytest.mark.parametrize("n,b", [(96, 32), (128, 64)])
     def test_int8_split_pallas_matches_xla_exactly(self, n, b):
@@ -196,7 +237,8 @@ class TestPallasInterpret:
             np.random.default_rng(19).standard_normal((4, n)).astype(np.float32))
         y_xla = np.asarray(symm_matmat_int8_split(x, sym))
         y_pl = np.asarray(symm_matmat_int8_split_pallas(x, sym, interpret=True))
-        np.testing.assert_allclose(y_pl, y_xla, rtol=1e-6, atol=0)
+        np.testing.assert_allclose(y_pl, y_xla, rtol=1e-6,
+                                   atol=1e-6 * np.abs(y_xla).max())
 
 
 class TestFusedDavidsonInt8:
