@@ -99,37 +99,33 @@ def _split_equilibrate(padded: np.ndarray):
     E = padded - np.diag(d)
     rowmax = np.abs(E).max(axis=1)
     g = np.sqrt(np.where(rowmax > 0.0, rowmax, 1.0))
-    return E / np.outer(g, g), g, d
+    B = E / g[:, None]
+    B /= g[None, :]   # two broadcast divides: no n^2 outer-product temporary
+    return B, g, d
 
 
 def _tile_pairs(B: np.ndarray, n_pad: int, b: int, tol_mask):
+    """Vectorized lower-pair extraction: one reshape/swap view + fancy
+    index instead of a per-tile Python loop (the loop costs minutes at
+    n=8192 on a slow host; this is one gather)."""
     nb = n_pad // b
-    tiles, iis, jjs = [], [], []
-    for i in range(nb):
-        for j in range(i + 1):
-            if tol_mask is not None and not tol_mask[i, j]:
-                continue
-            tiles.append(B[i * b:(i + 1) * b, j * b:(j + 1) * b])
-            iis.append(i)
-            jjs.append(j)
-    if not tiles:
-        tiles.append(B[:b, :b])
-        iis.append(0)
-        jjs.append(0)
-    return (np.stack(tiles), np.asarray(iis, dtype=np.int32),
-            np.asarray(jjs, dtype=np.int32))
+    iis, jjs = np.tril_indices(nb)
+    if tol_mask is not None:
+        keep = tol_mask[iis, jjs]
+        iis, jjs = iis[keep], jjs[keep]
+    if iis.size == 0:
+        iis = np.zeros(1, dtype=np.int64)
+        jjs = np.zeros(1, dtype=np.int64)
+    grid = B.reshape(nb, b, nb, b).swapaxes(1, 2)   # (nb, nb, b, b) view
+    return (grid[iis, jjs], iis.astype(np.int32), jjs.astype(np.int32))
 
 
 def _tol_mask(E_scaled_src: np.ndarray, n_pad: int, b: int, tol: Optional[float]):
     if tol is None:
         return None
     nb = n_pad // b
-    mask = np.zeros((nb, nb), dtype=bool)
-    for i in range(nb):
-        for j in range(i + 1):
-            mask[i, j] = np.abs(
-                E_scaled_src[i * b:(i + 1) * b, j * b:(j + 1) * b]).max() > tol
-    return mask
+    grid = E_scaled_src.reshape(nb, b, nb, b).swapaxes(1, 2)
+    return np.abs(grid).max(axis=(2, 3)) > tol
 
 
 @dataclasses.dataclass
@@ -155,8 +151,10 @@ class SymmetricBlockedInt8:
                    tol: Optional[float] = None) -> "SymmetricBlockedInt8":
         padded, n_pad, b = _pack_lower(matrix, b, tol)
         B, g, d = _split_equilibrate(padded)
-        E = padded - np.diag(d)
-        tiles, ii, jj = _tile_pairs(B, n_pad, b, _tol_mask(E, n_pad, b, tol))
+        mask = None
+        if tol is not None:
+            mask = _tol_mask(padded - np.diag(d), n_pad, b, tol)
+        tiles, ii, jj = _tile_pairs(B, n_pad, b, mask)
         q = np.clip(np.rint(127.0 * tiles), -127, 127).astype(np.int8)
         return cls(
             q=jnp.asarray(q),
@@ -193,8 +191,10 @@ class SymmetricBlockedInt8Split:
                    tol: Optional[float] = None) -> "SymmetricBlockedInt8Split":
         padded, n_pad, b = _pack_lower(matrix, b, tol)
         B, g, d = _split_equilibrate(padded)
-        E = padded - np.diag(d)
-        tiles, ii, jj = _tile_pairs(B, n_pad, b, _tol_mask(E, n_pad, b, tol))
+        mask = None
+        if tol is not None:
+            mask = _tol_mask(padded - np.diag(d), n_pad, b, tol)
+        tiles, ii, jj = _tile_pairs(B, n_pad, b, mask)
         b127 = 127.0 * tiles
         q1 = np.clip(np.rint(b127), -127, 127)
         q2 = np.clip(np.rint(254.0 * (b127 - q1)), -127, 127).astype(np.int8)

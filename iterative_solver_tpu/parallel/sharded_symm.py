@@ -51,12 +51,12 @@ Array = jax.Array
 _PREC = jax.lax.Precision.HIGHEST
 
 
-def _interleave_pairs(values, ii, jj, ndev, b):
+def _interleave_pairs(values, ii, jj, ndev, b, dtype=None):
     """Round-robin tile pairs over devices, padded to equal count with zero
     tiles aimed at block (0, 0) — they contribute nothing."""
     n_pairs = values.shape[0]
     max_p = (n_pairs + ndev - 1) // ndev
-    v = np.zeros((ndev, max_p, b, b))
+    v = np.zeros((ndev, max_p, b, b), dtype=dtype if dtype is not None else np.float64)
     gi = np.zeros((ndev, max_p), dtype=np.int32)
     gj = np.zeros((ndev, max_p), dtype=np.int32)
     for d in range(ndev):
@@ -82,6 +82,11 @@ class ShardedSymmetric:
     pairs_per_dev: int
     diagonal: Array     # (N,) sharded on the vector axis
     lo: Optional[Array] = None   # split tier: bf16 lo tiles (values = hi)
+    gq: Optional[Array] = None   # int8 tiers: replicated (N,) equilibration
+                                 # (values = Q / Q1 int8 planes, lo = Q2);
+                                 # diagonal then carries the EXACT diag and
+                                 # is applied OUTSIDE the psum (once, not
+                                 # once per device partial)
 
     @property
     def n(self) -> int:
@@ -160,6 +165,46 @@ class ShardedSymmetric:
             lo=put(jnp.asarray(lo, dtype=jnp.bfloat16), P(axis, None, None)),
         )
 
+    @classmethod
+    def from_int8(cls, sym, mesh: Mesh, axis: str = DATA_AXIS) -> "ShardedSymmetric":
+        """Shard the quantized tiers (ops/kernels/symm_int8.py): accepts a
+        SymmetricBlockedInt8 (one plane) or SymmetricBlockedInt8Split (two
+        planes). Int8 planes interleave round-robin like the float tiers;
+        the equilibration vector replicates (32 KB) and the exact diagonal
+        shards over the vector axis."""
+        ndev = mesh.devices.size
+        n = sym.shape[0]
+        if n % ndev != 0:
+            raise ValueError(
+                f"operator dimension {n} must divide over {ndev} devices")
+        ii = np.asarray(sym.ii)
+        jj = np.asarray(sym.jj)
+        two_plane = hasattr(sym, "q1")
+        q1 = np.asarray(sym.q1 if two_plane else sym.q)
+        v1, gi, gj, max_p = _interleave_pairs(q1, ii, jj, ndev, sym.b, dtype=np.int8)
+
+        def put(arr, spec):
+            return jax.device_put(jnp.asarray(arr), NamedSharding(mesh, spec))
+
+        lo = None
+        if two_plane:
+            v2, _, _, _ = _interleave_pairs(np.asarray(sym.q2), ii, jj, ndev,
+                                            sym.b, dtype=np.int8)
+            lo = put(v2, P(axis, None, None))
+        return cls(
+            values=put(v1, P(axis, None, None)),
+            ii=put(gi, P(axis)),
+            jj=put(gj, P(axis)),
+            mesh=mesh,
+            axis=axis,
+            shape=sym.shape,
+            b=sym.b,
+            pairs_per_dev=max_p,
+            diagonal=put(jnp.asarray(sym.diagonal, dtype=jnp.float32), P(axis)),
+            lo=lo,
+            gq=put(jnp.asarray(sym.gq, dtype=jnp.float32), P(None)),
+        )
+
     def matvec_fn(self, use_pallas: bool | None = None):
         """Return (matvec, operand): ``matvec(x, operand)`` with x of shape
         (m, N) sharded (None, axis); output identically sharded."""
@@ -167,9 +212,12 @@ class ShardedSymmetric:
         n = self.n
         nb = n // b
         max_p = self.pairs_per_dev
+        int8 = self.gq is not None
         split = self.lo is not None
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
+        if int8:
+            return self._matvec_fn_int8(use_pallas, split)
 
         def contract_xla(x, values, ii, jj):
             # the portable packed contraction from the kernel module, on the
@@ -229,4 +277,76 @@ class ShardedSymmetric:
 
         operand = ((self.values, self.lo, self.ii, self.jj) if split
                    else (self.values, self.ii, self.jj))
+        return matvec, operand
+
+    def _matvec_fn_int8(self, use_pallas: bool, two_plane: bool):
+        """Int8 tiers over the mesh: each device quantizes the gathered x
+        (cheap, redundant), contracts its local int8 pairs into an exact
+        int32 partial, dequantizes (linear in the accumulator, so the
+        psum_scatter of scaled partials is exact), and the EXACT diagonal
+        is applied once outside the reduction on the sharded output."""
+        from ..ops.kernels.symm_int8 import (
+            _symm_matmat_int8_impl,
+            _symm_matmat_int8_split_impl,
+            _symm_matmat_int8_xla,
+            quantize_rows,
+            quantize_rows_split,
+        )
+
+        mesh, axis, b = self.mesh, self.axis, self.b
+        n = self.n
+        nb = n // b
+        max_p = self.pairs_per_dev
+
+        in_specs = [P(None, axis), P(axis, None, None), P(axis), P(axis), P(None)]
+        if two_plane:
+            in_specs.insert(2, P(axis, None, None))
+
+        @jax.shard_map(
+            mesh=mesh,
+            in_specs=tuple(in_specs),
+            out_specs=P(None, axis),
+            check_vma=False,
+        )
+        def sharded_action(x_local, *op):
+            m = x_local.shape[0]
+            x = jax.lax.all_gather(x_local, axis, axis=1, tiled=True)
+            xf = x.astype(jnp.float32)
+            if two_plane:
+                q1, q2, ii, jj, gq = op
+                p1, p2, sx = quantize_rows_split(xf * gq[None, :])
+                if use_pallas:
+                    y = _symm_matmat_int8_split_impl(
+                        ii, jj, p1, p2, q1, q2, xf, sx, gq.reshape(1, n),
+                        jnp.zeros((1, n), jnp.float32),  # diag applied outside
+                        m=m, n=n, b=b, n_pairs=max_p, interpret=False)
+                else:
+                    a1 = _symm_matmat_int8_xla(p1, q1, (ii, jj), b, nb)
+                    a2 = _symm_matmat_int8_xla(p1, q2, (ii, jj), b, nb)
+                    a2 = a2 + _symm_matmat_int8_xla(p2, q1, (ii, jj), b, nb)
+                    y = (a1.astype(jnp.float32)
+                         + a2.astype(jnp.float32) * (1.0 / 254.0)) * sx * gq[None, :]
+            else:
+                q, ii, jj, gq = op
+                qx, sx = quantize_rows(xf * gq[None, :])
+                if use_pallas:
+                    y = _symm_matmat_int8_impl(
+                        ii, jj, qx, q, xf, sx, gq.reshape(1, n),
+                        jnp.zeros((1, n), jnp.float32),
+                        m=m, n=n, b=b, n_pairs=max_p, interpret=False)
+                else:
+                    acc = _symm_matmat_int8_xla(qx, q, (ii, jj), b, nb)
+                    y = acc.astype(jnp.float32) * sx * gq[None, :]
+            return jax.lax.psum_scatter(y, axis, scatter_dimension=1, tiled=True)
+
+        def matvec(x, operand):
+            # the exact diagonal rides the operand tuple (a traced argument,
+            # never a baked constant) and applies once on the canonical
+            # sharding, outside the partial-sum reduction
+            y = sharded_action(x, *operand[:-1])
+            return (y + x.astype(jnp.float32) * operand[-1][None, :]).astype(x.dtype)
+
+        operand = ((self.values, self.lo, self.ii, self.jj, self.gq, self.diagonal)
+                   if two_plane
+                   else (self.values, self.ii, self.jj, self.gq, self.diagonal))
         return matvec, operand
