@@ -249,6 +249,47 @@ def main(big: bool = False):
         iters_32, res_32 = 0, 0.0
         conv_32 = False
 
+    # ---- TURBO tier: int8 quantized operator (ops/kernels/symm_int8.py) ----
+    # One int8 plane + exact diagonal: HALF the bf16 tier's streamed bytes
+    # and double-rate MXU dots (the packed matvec drops 125 -> 36 us at
+    # n=8192 m=16). Coupling quantization floors the residual ~4e-3 on this
+    # spectrum, so the leg runs at its own (looser) tolerance — an honest
+    # sustained-rate tier for throughput-first screening passes.
+    if backend == "tpu":
+        from iterative_solver_tpu.ops.kernels.symm_int8 import (
+            SymmetricBlockedInt8,
+            symm_matmat_int8_pallas,
+        )
+
+        tol_turbo = 5e-3
+        sym_i8 = SymmetricBlockedInt8.from_dense(matrix, b=1024)
+        op_i8 = (sym_i8.q, sym_i8.gq, sym_i8.diagonal, sym_i8.ii, sym_i8.jj)
+
+        def matvec_i8(x, op):
+            s = dataclasses.replace(sym_i8, q=op[0], gq=op[1], diagonal=op[2],
+                                    ii=op[3], jj=op[4])
+            return symm_matmat_int8_pallas(x, s)
+
+        solver_i8 = FusedDavidson(
+            matvec_i8, diag, N, NROOTS_BLOCK, m_max=M_MAX_BLOCK, dtype=dtype,
+            convergence_threshold=tol_turbo, max_iter=60, operand=op_i8,
+            rr=rr_fast,
+        )
+        solve_i8 = make_davidson_solve(matvec_i8, NROOTS_BLOCK, M_MAX_BLOCK,
+                                       rr=rr_fast, fuse_chain=solver_i8.fuse_chain)
+        st_i8 = solver_i8.init_state(guess(NROOTS_BLOCK))
+        per_iter_i8, _, _ = sustained(solve_i8, st_i8, op_i8, solver_i8.diag)
+        gflops_i8 = flops_iter_blk / per_iter_i8 / 1e9
+        st_i8 = solver_i8.init_state(guess(NROOTS_BLOCK))
+        final_i8, iters_i8 = solve_i8(st_i8, op_i8, solver_i8.diag, tol_turbo, 60)
+        _, res_i8 = f64_quality(final_i8.x, NROOTS_BLOCK)
+        conv_i8 = bool(np.max(np.asarray(final_i8.errors)) <= tol_turbo)
+    else:
+        gflops_i8 = per_iter_i8 = 0.0
+        iters_i8, res_i8 = 0, 0.0
+        conv_i8 = False
+        tol_turbo = 0.0
+
     # ---- PRECISE tier, 16-root block: secondary sustained rate ----
     solve_pb = make_davidson_solve(matvec_prec, NROOTS_BLOCK, M_MAX_BLOCK)
     solver_pb = FusedDavidson(
@@ -528,6 +569,12 @@ def main(big: bool = False):
         "fast_tol": tol_fast,
         "fast_converged": conv_fast,
         "precise_tier_gflops": round(gflops_prec, 1),
+        "turbo_int8_gflops": round(gflops_i8, 1),
+        "turbo_int8_iter_time_ms": round(per_iter_i8 * 1e3, 3),
+        "turbo_int8_solve_iterations": int(iters_i8),
+        "turbo_int8_max_residual_f64": res_i8,
+        "turbo_int8_tol": tol_turbo,
+        "turbo_int8_converged": conv_i8,
         "r32_gflops": round(gflops_32, 1),
         "r32_iter_time_ms": round(per_iter_32 * 1e3, 3),
         "r32_solve_iterations": int(iters_32),
