@@ -300,6 +300,43 @@ def main(big: bool = False):
     per_iter_prec, _, _ = sustained(solve_pb, st_pb, op_prec, solver_pb.diag)
     gflops_prec = flops_iter_blk / per_iter_prec / 1e9
 
+    # ---- QUANTIZED-PRECISE tier: two int8 planes (split-bf16 class, half
+    # its bytes — kernel 101 vs 203 us; converges the precise tol in ~3
+    # iterations on this spectrum, f64 floor ~6e-6) ----
+    if backend == "tpu":
+        from iterative_solver_tpu.ops.kernels.symm_int8 import (
+            SymmetricBlockedInt8Split,
+            symm_matmat_int8_split_pallas,
+        )
+
+        sym_i8p = SymmetricBlockedInt8Split.from_dense(matrix, b=512)
+        op_i8p = (sym_i8p.q1, sym_i8p.q2, sym_i8p.gq, sym_i8p.diagonal,
+                  sym_i8p.ii, sym_i8p.jj)
+
+        def matvec_i8p(x, op):
+            s = dataclasses.replace(sym_i8p, q1=op[0], q2=op[1], gq=op[2],
+                                    diagonal=op[3], ii=op[4], jj=op[5])
+            return symm_matmat_int8_split_pallas(x, s)
+
+        solver_i8p = FusedDavidson(
+            matvec_i8p, diag, N, NROOTS_BLOCK, m_max=M_MAX_BLOCK, dtype=dtype,
+            convergence_threshold=tol_prec, max_iter=60, operand=op_i8p,
+        )
+        solve_i8p = make_davidson_solve(matvec_i8p, NROOTS_BLOCK, M_MAX_BLOCK,
+                                        fuse_chain=solver_i8p.fuse_chain)
+        st_i8p = solver_i8p.init_state(guess(NROOTS_BLOCK))
+        per_iter_i8p, _, _ = sustained(solve_i8p, st_i8p, op_i8p, solver_i8p.diag)
+        gflops_i8p = flops_iter_blk / per_iter_i8p / 1e9
+        st_i8p = solver_i8p.init_state(guess(NROOTS_BLOCK))
+        final_i8p, iters_i8p = solve_i8p(st_i8p, op_i8p, solver_i8p.diag,
+                                         tol_prec, 60)
+        _, res_i8p = f64_quality(final_i8p.x, NROOTS_BLOCK)
+        conv_i8p = bool(np.max(np.asarray(final_i8p.errors)) <= tol_prec)
+    else:
+        gflops_i8p = per_iter_i8p = 0.0
+        iters_i8p, res_i8p = 0, 0.0
+        conv_i8p = False
+
     # ---- FAST tier, 4-root sustained + dispatch constant ----
     solver_r4 = FusedDavidson(
         matvec_fast, diag, N, NROOTS, m_max=M_MAX, dtype=dtype,
@@ -575,6 +612,12 @@ def main(big: bool = False):
         "turbo_int8_max_residual_f64": res_i8,
         "turbo_int8_tol": tol_turbo,
         "turbo_int8_converged": conv_i8,
+        "int8_precise_gflops": round(gflops_i8p, 1),
+        "int8_precise_iter_time_ms": round(per_iter_i8p * 1e3, 3),
+        "int8_precise_solve_iterations": int(iters_i8p),
+        "int8_precise_max_residual_f64": res_i8p,
+        "int8_precise_tol": tol_prec,
+        "int8_precise_converged": conv_i8p,
         "r32_gflops": round(gflops_32, 1),
         "r32_iter_time_ms": round(per_iter_32 * 1e3, 3),
         "r32_solve_iterations": int(iters_32),

@@ -72,25 +72,22 @@ class SymmetricBlocked:
         padded = np.zeros((n_pad, n_pad))
         padded[:n, :n] = matrix
         nb = n_pad // b
-        vals, iis, jjs = [], [], []
-        for i in range(nb):
-            for j in range(i + 1):
-                tile = padded[i * b:(i + 1) * b, j * b:(j + 1) * b]
-                if tol is not None and np.abs(tile).max() <= tol:
-                    continue
-                vals.append(tile)
-                iis.append(i)
-                jjs.append(j)
-        if not vals:  # all-zero operator: keep one zero tile for static shapes
-            vals.append(padded[:b, :b])
-            iis.append(0)
-            jjs.append(0)
+        # vectorized lower-pair gather (a per-tile Python loop costs minutes
+        # at n=8192 on a slow host): one reshape/swap view + fancy index
+        iis, jjs = np.tril_indices(nb)
+        grid = padded.reshape(nb, b, nb, b).swapaxes(1, 2)
+        if tol is not None:
+            keep = (np.abs(grid).max(axis=(2, 3)) > tol)[iis, jjs]
+            iis, jjs = iis[keep], jjs[keep]
+        if iis.size == 0:  # all-zero operator: keep one zero tile
+            iis = np.zeros(1, dtype=np.int64)
+            jjs = np.zeros(1, dtype=np.int64)
         if dtype is None:
             dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
         return cls(
-            values=jnp.asarray(np.stack(vals), dtype=dtype),
-            ii=jnp.asarray(np.asarray(iis, dtype=np.int32)),
-            jj=jnp.asarray(np.asarray(jjs, dtype=np.int32)),
+            values=jnp.asarray(grid[iis, jjs], dtype=dtype),
+            ii=jnp.asarray(iis.astype(np.int32)),
+            jj=jnp.asarray(jjs.astype(np.int32)),
             shape=(n_pad, n_pad),
             b=b,
             diagonal=jnp.asarray(np.diagonal(padded).copy(), dtype=dtype),
