@@ -438,11 +438,43 @@ def main(big: bool = False):
             rq = xi @ mat16 @ xi
             res_16 = max(res_16, float(np.linalg.norm(mat16 @ xi - rq * xi)))
         conv_16 = bool(np.max(np.asarray(final_16.errors)) <= 3e-4)
-        del mat16, sym16, op16
+
+        # int8 variant of the peak config: same spectrum, quantized
+        # couplings + exact diagonal at half the bf16 tile bytes
+        from iterative_solver_tpu.ops.kernels.symm_int8 import (
+            SymmetricBlockedInt8 as _SBI8,
+            symm_matmat_int8_pallas as _smi8,
+        )
+
+        sym16q = _SBI8.from_dense(mat16, b=1024)
+        op16q = (sym16q.q, sym16q.gq, sym16q.diagonal, sym16q.ii, sym16q.jj)
+
+        def matvec16q(x, op):
+            s = dataclasses.replace(sym16q, q=op[0], gq=op[1], diagonal=op[2],
+                                    ii=op[3], jj=op[4])
+            return _smi8(x, s)
+
+        solver_16q = FusedDavidson(
+            matvec16q, diag16, n16, r64, m_max=m192, dtype=dtype,
+            convergence_threshold=5e-3, max_iter=60, operand=op16q, rr="window",
+        )
+        solve_16q = make_davidson_solve(matvec16q, r64, m192, rr="window",
+                                        fuse_chain=solver_16q.fuse_chain)
+        st_16q = solver_16q.init_state(v16)
+        per_iter_16q, _, _ = sustained(solve_16q, st_16q, op16q, solver_16q.diag,
+                                       lo=32, hi=160)
+        gflops_16q = flops_iter_16 / per_iter_16q / 1e9
+        st_16q = solver_16q.init_state(v16)
+        final_16q, iters_16q = solve_16q(st_16q, op16q, solver_16q.diag, 5e-3, 60)
+        conv_16q = bool(np.max(np.asarray(final_16q.errors)) <= 5e-3)
+        del mat16, sym16, op16, sym16q, op16q
     else:
         gflops_16 = per_iter_16 = 0.0
         iters_16, res_16 = 0, 0.0
         conv_16 = False
+        gflops_16q = per_iter_16q = 0.0
+        iters_16q = 0
+        conv_16q = False
 
     # ---- BIG peak config (opt-in, --big): n=32768, 64 roots, fast tier ----
     # PERF.md's 50-TF claim made driver-reproducible. Off by default: the
@@ -630,6 +662,11 @@ def main(big: bool = False):
         "n16384_r64_max_residual_f64": res_16,
         "n16384_r64_tol": 3e-4,
         "n16384_r64_converged": conv_16,
+        "n16384_r64_int8_gflops": round(gflops_16q, 1),
+        "n16384_r64_int8_iter_time_ms": round(per_iter_16q * 1e3, 3),
+        "n16384_r64_int8_solve_iterations": int(iters_16q),
+        "n16384_r64_int8_tol": 5e-3,
+        "n16384_r64_int8_converged": conv_16q,
         "n32768_r64_gflops": round(gflops_n32, 1),
         "n32768_r64_iter_time_ms": round(per_iter_n32 * 1e3, 3),
         "n32768_r64_solve_iterations": int(iters_n32),
