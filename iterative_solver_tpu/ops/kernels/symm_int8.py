@@ -72,6 +72,16 @@ import numpy as np
 
 Array = jax.Array
 
+def _params():
+    """Mosaic compiler params for the packed kernels: raise the scoped-VMEM
+    limit above the 16 MB default — the r64/b1024 configuration's resident
+    x + accumulator + double-buffered tiles legitimately need ~18-24 MB and
+    the chip has far more; the default limit is a lint, not the hardware."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
+
 _SQRT127 = float(np.sqrt(127.0))
 
 
@@ -360,6 +370,7 @@ def _symm_matmat_int8_impl(ii, jj, qx, q, xf, sx, gq, dg,
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
+        compiler_params=None if interpret else _params(),
         cost_estimate=pl.CostEstimate(
             flops=4 * m * n_pairs * b * b,
             bytes_accessed=n_pairs * b * b + m * n * 5 + 2 * m * n * 4,
@@ -455,6 +466,7 @@ def _symm_matmat_int8_split_impl(ii, jj, p1, p2, q1, q2, xf, sx, gq, dg,
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
+        compiler_params=None if interpret else _params(),
         cost_estimate=pl.CostEstimate(
             flops=3 * 4 * m * n_pairs * b * b,
             bytes_accessed=2 * n_pairs * b * b + m * n * 6 + 2 * m * n * 4,

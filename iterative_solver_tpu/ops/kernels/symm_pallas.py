@@ -33,6 +33,16 @@ import jax.numpy as jnp
 import numpy as np
 
 Array = jax.Array
+
+def _params():
+    """Mosaic compiler params for the packed kernels: raise the scoped-VMEM
+    limit above the 16 MB default — the r64/b1024 configuration's resident
+    x + accumulator + double-buffered tiles legitimately need ~18-24 MB and
+    the chip has far more; the default limit is a lint, not the hardware."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
 _PREC = jax.lax.Precision.HIGHEST
 
 
@@ -203,6 +213,7 @@ def _symm_matmat_pallas_impl(ii, jj, x, values, *, m, n, b, n_pairs, interpret):
         out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
+        compiler_params=None if interpret else _params(),
         cost_estimate=pl.CostEstimate(
             flops=4 * m * n_pairs * b * b,
             bytes_accessed=n_pairs * b * b * nbytes + 2 * m * n * 4,
@@ -373,6 +384,7 @@ def _symm_matmat_split_impl(ii, jj, x, hi, lo, *, m, n, b, n_pairs, interpret):
         out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
+        compiler_params=None if interpret else _params(),
         cost_estimate=pl.CostEstimate(
             flops=3 * 4 * m * n_pairs * b * b,
             bytes_accessed=n_pairs * b * b * 4 + 2 * m * n * 4,
