@@ -293,3 +293,25 @@ class TestFusedLinearInt8:
         x_ref = np.linalg.solve(mat, rhs.T).T
         err = np.abs(np.asarray(x, np.float64) - x_ref).max() / np.abs(x_ref).max()
         assert err < x_band, (tier, err)
+
+
+class TestPPCGInt8:
+    def test_ppcg_int8_precise_tier(self):
+        """FusedPPCG inherits the int8 tiers through its from_dense
+        delegation to FusedDavidson — full solve to the two-plane floor."""
+        from iterative_solver_tpu.solvers.fused_ppcg import FusedPPCG
+
+        n, nroots = 192, 3
+        rng = np.random.default_rng(50)
+        a = rng.standard_normal((n, n)) * (0.1 / np.sqrt(n))
+        mat = a + a.T + np.diag(np.linspace(0.0, 15.0, n))
+        solver = FusedPPCG.from_dense_symmetric(
+            mat, nroots, tier="int8_precise", b=32, rr_every=4,
+            convergence_threshold=1e-4, max_iter=400)
+        v0 = np.zeros((nroots, n))
+        for row, i in enumerate(np.argsort(np.diag(mat))[:nroots]):
+            v0[row, i] = 1.0
+        evals, x, errors, iters = solver.run_on_device(v0)
+        assert np.max(errors) < 1e-4
+        ref = np.linalg.eigvalsh(mat)[:nroots]
+        np.testing.assert_allclose(np.sort(np.asarray(evals)), ref, atol=1e-4)
