@@ -219,3 +219,123 @@ def _bsr_matmat_pallas_impl(row_ptr, col_idx, x, values, *, m, n, bm, bn, n_rb, 
         ),
     )(row_ptr, col_idx, x, values)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Int8 quantized BSR: the sparse twin of ops/kernels/symm_int8.py.
+#
+# Two-sided equilibration generalises the symmetric trick to ANY matrix:
+# |E[P,Q]| <= min(rowmax_P, colmax_Q) <= sqrt(rowmax_P * colmax_Q), so with
+# r = sqrt(rowmax|E|), c = sqrt(colmax|E|) the scaled matrix lies in [-1,1]
+# and one GLOBAL pair of scale vectors quantizes every block to int8:
+#
+#     E[P,Q] ~= rq[P] * cq[Q] * Q8[P,Q],     rq = r/sqrt(127), cq = c/sqrt(127)
+#
+# The action then runs entirely in exact int32 (pre-scale x by cq, row-
+# quantize, int8 block gemms, int32 segment-sum) with one rank-1 float
+# rescale + the EXACT diagonal's fused multiply-add at the end — halving
+# the value traffic of the bf16 BSR tier at the bf16 coupling-accuracy
+# class. XLA path only: the BSR action is gather-bound and the XLA gather
+# beats the Pallas DMA variant (PERF.md), so the quantized tier rides the
+# winning path.
+
+
+@dataclasses.dataclass
+class BSRMatrixInt8:
+    """Quantized BSR: one int8 plane + row/col equilibration + exact diag."""
+
+    q: Array             # (n_blocks, bm, bn) int8
+    rq: Array            # (n_pad_rows,) f32 row equilibration (incl. 1/sqrt127)
+    cq: Array            # (n_pad_cols,) f32 col equilibration
+    col_idx: Array       # (n_blocks,) int32
+    row_idx: Array       # (n_blocks,) int32
+    row_ptr: Array       # (n_row_blocks + 1,) int32
+    shape: Tuple[int, int]
+    bm: int
+    bn: int
+    diagonal: Optional[Array] = None   # (n_pad,) f32 EXACT diagonal (square)
+
+    @property
+    def n_blocks(self) -> int:
+        return self.q.shape[0]
+
+    @property
+    def nnz(self) -> int:
+        return self.n_blocks * self.bm * self.bn
+
+    @classmethod
+    def from_bsr(cls, bsr: BSRMatrix) -> "BSRMatrixInt8":
+        """Quantize an existing BSR operator (keeps its block topology)."""
+        sqrt127 = float(np.sqrt(127.0))
+        vals = np.asarray(bsr.values, dtype=np.float64)
+        rows = np.asarray(bsr.row_idx)
+        cols = np.asarray(bsr.col_idx)
+        bm, bn = bsr.bm, bsr.bn
+        n_pad, m_pad = bsr.shape
+        # the diagonal split needs the matrix diagonal to align with the
+        # diagonal BLOCKS — square matrix and square blocks only
+        square = n_pad == m_pad and bm == bn and bsr.diagonal is not None
+        diag = (np.asarray(bsr.diagonal, dtype=np.float64)
+                if square else np.zeros(n_pad))
+        # subtract the exact diagonal from the stored blocks (square only),
+        # all vectorized — per-block Python loops are the slow-host trap
+        E = vals.copy()
+        ar_m = np.arange(bm)
+        row_gidx = rows[:, None] * bm + ar_m[None, :]          # (nb, bm)
+        col_gidx = cols[:, None] * bn + np.arange(bn)[None, :]  # (nb, bn)
+        if square and E.shape[0]:
+            dmask = np.where(rows == cols)[0]
+            E[dmask[:, None], ar_m[None, :], ar_m[None, :]] -= diag[row_gidx[dmask]]
+        # global row/col maxima of |E| accumulated across blocks
+        rowmax = np.zeros(n_pad)
+        colmax = np.zeros(m_pad)
+        absE = np.abs(E)
+        np.maximum.at(rowmax, row_gidx, absE.max(axis=2))
+        np.maximum.at(colmax, col_gidx, absE.max(axis=1))
+        r = np.sqrt(np.where(rowmax > 0.0, rowmax, 1.0))
+        c = np.sqrt(np.where(colmax > 0.0, colmax, 1.0))
+        scaled = E / (r[row_gidx][:, :, None] * c[col_gidx][:, None, :])
+        q = np.clip(np.rint(127.0 * scaled), -127, 127).astype(np.int8)
+        return cls(
+            q=jnp.asarray(q),
+            rq=jnp.asarray((r / sqrt127).astype(np.float32)),
+            cq=jnp.asarray((c / sqrt127).astype(np.float32)),
+            col_idx=bsr.col_idx,
+            row_idx=bsr.row_idx,
+            row_ptr=bsr.row_ptr,
+            shape=bsr.shape,
+            bm=bm,
+            bn=bn,
+            diagonal=jnp.asarray(diag, dtype=jnp.float32) if square else None,
+        )
+
+    @classmethod
+    def from_dense(cls, matrix: np.ndarray, bm: Optional[int] = None,
+                   bn: Optional[int] = None, tol: float = 0.0) -> "BSRMatrixInt8":
+        return cls.from_bsr(BSRMatrix.from_dense(matrix, bm=bm, bn=bn, tol=tol))
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def _bsr_matmat_int8_xla(qx, q, col_idx, row_idx, bm, bn, n_rb):
+    """Exact-int32 twin of _bsr_matmat_xla."""
+    m = qx.shape[0]
+    xt = qx.reshape(m, -1, bn).transpose(1, 0, 2).astype(jnp.int32)
+    x_blocks = xt[col_idx]
+    contrib = jnp.einsum("kmn,kin->kmi", x_blocks, q.astype(jnp.int32))
+    y_blocks = jax.ops.segment_sum(contrib, row_idx, num_segments=n_rb)
+    return y_blocks.transpose(1, 0, 2).reshape(m, n_rb * bm)
+
+
+def bsr_matmat_int8(x: Array, bsr: BSRMatrixInt8) -> Array:
+    """Quantized BSR action y = x E^T * scales + x * diag, any backend."""
+    from .symm_int8 import quantize_rows
+
+    n_rb = bsr.shape[0] // bsr.bm
+    xf = x.astype(jnp.float32)
+    qx, sx = quantize_rows(xf * bsr.cq[None, :])
+    acc = _bsr_matmat_int8_xla(qx, bsr.q, bsr.col_idx, bsr.row_idx,
+                               bsr.bm, bsr.bn, n_rb)
+    y = acc.astype(jnp.float32) * sx * bsr.rq[None, :]
+    if bsr.diagonal is not None:
+        y = y + xf * bsr.diagonal[None, :]
+    return y.astype(x.dtype)

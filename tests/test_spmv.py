@@ -132,3 +132,70 @@ class TestMaskedGramPallas:
             out = np.asarray(masked_gram_pallas(jnp.asarray(v), jnp.asarray(v), jnp.asarray(mask),
                                                 tile=tile, interpret=True))
             np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-4)
+
+
+class TestBSRInt8:
+    """Quantized BSR tier (BSRMatrixInt8): two-sided equilibration + exact
+    diagonal, exact-int32 action."""
+
+    def test_accuracy_class_vs_dense(self):
+        from iterative_solver_tpu.ops.kernels.spmv_pallas import (
+            BSRMatrixInt8, bsr_matmat_int8)
+
+        matrix = make_block_sparse(128, 16, seed=20)
+        q = BSRMatrixInt8.from_dense(matrix, bm=16, bn=16)
+        x = np.random.default_rng(21).standard_normal((3, 128)).astype(np.float32)
+        y = np.asarray(bsr_matmat_int8(jnp.asarray(x), q), np.float64)
+        ref = x.astype(np.float64) @ matrix.T
+        # bf16-class coupling error, exact diagonal
+        assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-2
+
+    def test_diag_dominant_error_scales_with_couplings(self):
+        from iterative_solver_tpu.ops.kernels.spmv_pallas import (
+            BSRMatrixInt8, bsr_matmat_int8)
+
+        matrix = make_block_sparse(96, 16, seed=22)
+        # amplify the diagonal: error must stay at the coupling scale
+        matrix += np.diag(np.linspace(50.0, 500.0, 96))
+        q = BSRMatrixInt8.from_dense(matrix, bm=16, bn=16)
+        x = np.random.default_rng(23).standard_normal((2, 96)).astype(np.float32)
+        y = np.asarray(bsr_matmat_int8(jnp.asarray(x), q), np.float64)
+        ref = x.astype(np.float64) @ matrix.T
+        offdiag = matrix - np.diag(np.diagonal(matrix))
+        coupling = np.abs(offdiag).max()
+        assert np.abs(y - ref).max() < coupling * 0.3  # not diag-scale (~500)
+
+    def test_keeps_block_topology(self):
+        from iterative_solver_tpu.ops.kernels.spmv_pallas import BSRMatrixInt8
+
+        matrix = make_block_sparse(64, 16, seed=24)
+        bsr = BSRMatrix.from_dense(matrix, bm=16, bn=16)
+        q = BSRMatrixInt8.from_bsr(bsr)
+        np.testing.assert_array_equal(np.asarray(q.col_idx), np.asarray(bsr.col_idx))
+        np.testing.assert_array_equal(np.asarray(q.row_idx), np.asarray(bsr.row_idx))
+        assert q.nnz == bsr.nnz
+
+    def test_nonsquare_blocks_skip_diag_split(self):
+        from iterative_solver_tpu.ops.kernels.spmv_pallas import (
+            BSRMatrixInt8, bsr_matmat_int8)
+
+        matrix = make_block_sparse(96, 16, seed=25)
+        q = BSRMatrixInt8.from_dense(matrix, bm=32, bn=16)
+        assert q.diagonal is None
+        x = np.random.default_rng(26).standard_normal((2, 96)).astype(np.float32)
+        y = np.asarray(bsr_matmat_int8(jnp.asarray(x), q), np.float64)
+        ref = x.astype(np.float64) @ matrix.T
+        # without the diag split accuracy is relative to sqrt(rowmax colmax)
+        assert np.abs(y - ref).max() / np.abs(ref).max() < 5e-2
+
+    def test_synthetic_fci_action(self):
+        from iterative_solver_tpu.models.synthetic_fci import synthetic_fci_bsr
+        from iterative_solver_tpu.ops.kernels.spmv_pallas import (
+            BSRMatrixInt8, bsr_matmat_int8)
+
+        bsr, dense = synthetic_fci_bsr(256, block=32, density=0.3, seed=27)
+        q = BSRMatrixInt8.from_bsr(bsr)
+        x = np.random.default_rng(28).standard_normal((4, 256)).astype(np.float32)
+        y = np.asarray(bsr_matmat_int8(jnp.asarray(x), q), np.float64)
+        ref = x.astype(np.float64) @ dense.T
+        assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-2
