@@ -626,6 +626,51 @@ def main(big: bool = False):
     nnz_per_s = spmv_rate(NROOTS_BLOCK)
     nnz_per_s_r4 = spmv_rate(NROOTS)
 
+    # quantized sparse tier: same action through int8 blocks (half the
+    # value traffic, exact int32 accumulation) — bf16-class couplings
+    from iterative_solver_tpu.ops.kernels.spmv_pallas import (
+        BSRMatrixInt8,
+        _bsr_matmat_int8_xla,
+    )
+    from iterative_solver_tpu.ops.kernels.symm_int8 import quantize_rows
+
+    bsr_q = BSRMatrixInt8.from_bsr(bsr)
+
+    @jax.jit
+    def spmm_loop_int8(x, q, cq, rq, dg, col_idx, row_idx, k):
+        def body(i, acc):
+            xf = acc.astype(jnp.float32)
+            qx, sx = quantize_rows(xf * cq[None, :])
+            y = _bsr_matmat_int8_xla(qx, q, col_idx, row_idx,
+                                     bsr.bm, bsr.bn, n_rb)
+            y = y.astype(jnp.float32) * sx * rq[None, :] + xf * dg[None, :]
+            return (y * 1e-2).astype(acc.dtype)
+
+        return jax.lax.fori_loop(0, k, body, x)
+
+    def spmv_rate_int8(rows):
+        xs = jnp.asarray(
+            np.random.default_rng(2).standard_normal((rows, bsr.shape[0])),
+            dtype=dtype)
+        dg = bsr_q.diagonal if bsr_q.diagonal is not None else jnp.zeros(
+            bsr.shape[0], jnp.float32)
+        args = (bsr_q.q, bsr_q.cq, bsr_q.rq, dg, bsr_q.col_idx, bsr_q.row_idx)
+        np.asarray(spmm_loop_int8(xs, *args, 4)[0, :2])
+        walls = {}
+        trips = (64, 1024) if backend == "tpu" else (4, 32)
+        for k in trips:
+            best = float("inf")
+            for _ in range(5):
+                t0 = time.perf_counter()
+                out = spmm_loop_int8(xs, *args, k)
+                np.asarray(out[0, :2])
+                best = min(best, time.perf_counter() - t0)
+            walls[k] = best
+        wall = (walls[trips[1]] - walls[trips[0]]) / (trips[1] - trips[0])
+        return bsr.nnz * rows / wall
+
+    nnz_per_s_int8 = spmv_rate_int8(NROOTS_BLOCK)
+
     # Leg taxonomy (truth-in-benchmarking, VERDICT r1 #4): every solve leg
     # carries (tol, converged); throughput legs at loose tolerances are
     # sustained-rate measurements, and the hard_window leg is the INTENDED
@@ -707,6 +752,7 @@ def main(big: bool = False):
         "precise_1e8_refine_wall_s": round(wall_refine, 4),
         "eigenvalue_error_vs_dense_f64": ev_err,
         "spmv_gnnz_per_s": round(nnz_per_s / 1e9, 2),
+        "spmv_int8_gnnz_per_s": round(nnz_per_s_int8 / 1e9, 2),
         "spmv_rows": NROOTS_BLOCK,
         "spmv_r4_gnnz_per_s": round(nnz_per_s_r4 / 1e9, 2),
         "spmv_nnz": bsr.nnz,
