@@ -519,10 +519,44 @@ def main(big: bool = False):
         final_n32, iters_n32 = solve_n32(st_n32, op32, solver_n32.diag, 3e-4, 60)
         res_n32 = float(np.max(np.asarray(final_n32.errors)))
         conv_n32 = bool(res_n32 <= 3e-4)
-        del mat32, sym32, op32
+        del sym32, op32
+
+        # int8 variant of the big peak (quantized couplings, exact diag)
+        from iterative_solver_tpu.ops.kernels.symm_int8 import (
+            SymmetricBlockedInt8 as _SBI8b,
+            symm_matmat_int8_pallas as _smi8b,
+        )
+
+        sym32q = _SBI8b.from_dense(mat32, b=1024)
+        del mat32
+        op32q = (sym32q.q, sym32q.gq, sym32q.diagonal, sym32q.ii, sym32q.jj)
+
+        def matvec32q(x, op):
+            s = dataclasses.replace(sym32q, q=op[0], gq=op[1], diagonal=op[2],
+                                    ii=op[3], jj=op[4])
+            return _smi8b(x, s)
+
+        solver_n32q = FusedDavidson(
+            matvec32q, diag32, n32, r64b, m_max=m192b, dtype=dtype,
+            convergence_threshold=5e-3, max_iter=60, operand=op32q, rr="window",
+        )
+        solve_n32q = make_davidson_solve(matvec32q, r64b, m192b, rr="window",
+                                         fuse_chain=solver_n32q.fuse_chain)
+        st_n32q = solver_n32q.init_state(v32)
+        per_iter_n32q, _, _ = sustained(solve_n32q, st_n32q, op32q,
+                                        solver_n32q.diag, lo=16, hi=64)
+        gflops_n32q = flops_iter_n32 / per_iter_n32q / 1e9
+        st_n32q = solver_n32q.init_state(v32)
+        final_n32q, iters_n32q = solve_n32q(st_n32q, op32q, solver_n32q.diag,
+                                            5e-3, 60)
+        res_n32q = float(np.max(np.asarray(final_n32q.errors)))
+        conv_n32q = bool(res_n32q <= 5e-3)
+        del sym32q, op32q
     else:
         gflops_n32 = per_iter_n32 = 0.0
         iters_n32, res_n32, conv_n32 = 0, 0.0, False
+        gflops_n32q = per_iter_n32q = 0.0
+        iters_n32q, res_n32q, conv_n32q = 0, 0.0, False
 
     # ---- HARD-spectrum solve: PPCG vs window Davidson, wall to 1e-5 ----
     # weakly diagonally dominant operator (Jacobi preconditioning stalls the
@@ -719,6 +753,12 @@ def main(big: bool = False):
         "n32768_r64_tol": 3e-4,
         "n32768_r64_converged": conv_n32,
         "n32768_enabled": bool(big and backend == "tpu"),
+        "n32768_r64_int8_gflops": round(gflops_n32q, 1),
+        "n32768_r64_int8_iter_time_ms": round(per_iter_n32q * 1e3, 3),
+        "n32768_r64_int8_solve_iterations": int(iters_n32q),
+        "n32768_r64_int8_max_residual": res_n32q,
+        "n32768_r64_int8_tol": 5e-3,
+        "n32768_r64_int8_converged": conv_n32q,
         "hard_tol": 5e-5 if backend == "tpu" else 0.0,
         "hard_ppcg_wall_s": round(wall_ppcg_h, 4),
         "hard_ppcg_iterations": int(it_ppcg_h),
