@@ -275,8 +275,19 @@ class BSRMatrixInt8:
         # the diagonal split needs the matrix diagonal to align with the
         # diagonal BLOCKS — square matrix and square blocks only
         square = n_pad == m_pad and bm == bn and bsr.diagonal is not None
+        if square:
+            # only rows whose diagonal BLOCK exists in the topology get the
+            # split: a tol-dropped diagonal block contributes NOTHING in the
+            # float path, so adding its diagonal back here would diverge
+            # from the bsr_matmat twin by up to the drop tolerance
+            has_diag_block = np.zeros(n_pad // bm, dtype=bool)
+            rows_np = np.asarray(bsr.row_idx)
+            cols_np = np.asarray(bsr.col_idx)
+            has_diag_block[rows_np[rows_np == cols_np]] = True
         diag = (np.asarray(bsr.diagonal, dtype=np.float64)
                 if square else np.zeros(n_pad))
+        if square:
+            diag = np.where(np.repeat(has_diag_block, bm), diag, 0.0)
         # subtract the exact diagonal from the stored blocks (square only),
         # all vectorized — per-block Python loops are the slow-host trap
         E = vals.copy()

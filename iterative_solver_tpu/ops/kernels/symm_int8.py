@@ -55,9 +55,12 @@ DistrArray chunks (array/util/gemm.h:100-152, BufferManager.h:136-173);
 quantized storage has no reference counterpart — it is the TPU-native
 low-bit serving technique applied to the symmetric operator stream.
 
-Int32 accumulator headroom: a b=1024 contraction contributes at most
-127*127*1024 ~= 1.7e7 per entry; nb tile-columns sum to nb*1.7e7, safe for
-n up to ~130k columns per accumulator entry (2^31/1.7e7 ~= 130 tiles).
+Int32 accumulator headroom: each accumulator entry receives one bounded
+contribution (<= 127*127*b) per int8 dot per tile column, so the exact
+range holds up to 2^31/127^2 ~= 133k columns for the one-plane tier and
+HALF that (~66k) for the split tier, whose lo accumulator takes two dots
+per tile (p1@Q2 + p2@Q1). ``from_dense`` refuses oversized operators
+loudly (_check_acc_headroom) — wraparound would be silent finite garbage.
 """
 
 from __future__ import annotations
@@ -85,8 +88,11 @@ def _params():
 _SQRT127 = float(np.sqrt(127.0))
 
 
-def _pack_lower(matrix: np.ndarray, b: int, tol: Optional[float]):
-    """Shared padded lower-triangle tiling (mirrors SymmetricBlocked)."""
+def _pack_lower(matrix: np.ndarray, b: int):
+    """Shared padded working copy (mirrors SymmetricBlocked). Returns a
+    MUTABLE copy the equilibration then edits in place — the whole packing
+    pipeline holds one full-size temporary, not three (an n=32768 operator
+    is 8.6 GB; every avoidable copy is minutes of host wall)."""
     matrix = np.asarray(matrix, dtype=np.float64)
     n = matrix.shape[0]
     assert matrix.shape == (n, n), "operator must be square"
@@ -94,24 +100,39 @@ def _pack_lower(matrix: np.ndarray, b: int, tol: Optional[float]):
         raise ValueError("int8 symmetric packing requires an exactly symmetric matrix")
     b = min(b, n)
     n_pad = ((n + b - 1) // b) * b
-    padded = np.zeros((n_pad, n_pad))
-    padded[:n, :n] = matrix
-    return padded, n_pad, b
+    if n_pad == n:
+        work = matrix.astype(np.float64, copy=True)
+    else:
+        work = np.zeros((n_pad, n_pad))
+        work[:n, :n] = matrix
+    return work, n_pad, b
 
 
-def _split_equilibrate(padded: np.ndarray):
-    """Diagonal split + off-diagonal equilibration.
-
-    Returns (B, g, d): d the exact diagonal, E = padded - diag(d),
-    g[P] = sqrt(rowmax |E[P,:]|) (1.0 on zero rows), B = D^-1 E D^-1 in
-    [-1, 1]."""
-    d = np.diagonal(padded).copy()
-    E = padded - np.diag(d)
-    rowmax = np.abs(E).max(axis=1)
+def _equilibrate_inplace(work: np.ndarray):
+    """Diagonal split + off-diagonal row maxima, editing ``work`` in place:
+    on return ``work`` holds E = A - diag(d). Returns (g, d) with
+    g[P] = sqrt(rowmax |E[P,:]|) (1.0 on zero rows)."""
+    d = np.diagonal(work).copy()
+    np.fill_diagonal(work, 0.0)
+    rowmax = np.abs(work).max(axis=1)
     g = np.sqrt(np.where(rowmax > 0.0, rowmax, 1.0))
-    B = E / g[:, None]
-    B /= g[None, :]   # two broadcast divides: no n^2 outer-product temporary
-    return B, g, d
+    return g, d
+
+
+def _check_acc_headroom(n_pad: int, b: int, dots_per_tile: int, what: str):
+    """The kernels accumulate in int32: each output entry receives one
+    contribution per tile column, each bounded by 127*127*b per int8 dot.
+    One-plane kernels run 1 dot per accumulator per tile; the split
+    kernel's lo accumulator receives TWO (p1@Q2 + p2@Q1). Wraparound is
+    silent finite garbage, so refuse loudly instead."""
+    worst = dots_per_tile * (n_pad // b) * 127 * 127 * b  # = dots*127^2*n_pad
+    if worst >= 2 ** 31:
+        limit = 2 ** 31 // (dots_per_tile * 127 * 127)
+        raise ValueError(
+            f"{what}: operator dimension {n_pad} exceeds the exact-int32 "
+            f"accumulation headroom (max ~{limit} columns for this tier); "
+            "shard the operator over a mesh (ShardedSymmetric.from_int8 "
+            "bounds the per-device tile count) or use a float tier")
 
 
 def _tile_pairs(B: np.ndarray, n_pad: int, b: int, tol_mask):
@@ -159,12 +180,14 @@ class SymmetricBlockedInt8:
     @classmethod
     def from_dense(cls, matrix: np.ndarray, b: int = 512,
                    tol: Optional[float] = None) -> "SymmetricBlockedInt8":
-        padded, n_pad, b = _pack_lower(matrix, b, tol)
-        B, g, d = _split_equilibrate(padded)
-        mask = None
-        if tol is not None:
-            mask = _tol_mask(padded - np.diag(d), n_pad, b, tol)
-        tiles, ii, jj = _tile_pairs(B, n_pad, b, mask)
+        work, n_pad, b = _pack_lower(matrix, b)
+        _check_acc_headroom(n_pad, b, 1, "SymmetricBlockedInt8")
+        g, d = _equilibrate_inplace(work)             # work == E
+        mask = _tol_mask(work, n_pad, b, tol)
+        work /= g[:, None]
+        work /= g[None, :]                            # work == B, in place
+        tiles, ii, jj = _tile_pairs(work, n_pad, b, mask)
+        del work
         q = np.clip(np.rint(127.0 * tiles), -127, 127).astype(np.int8)
         return cls(
             q=jnp.asarray(q),
@@ -199,12 +222,15 @@ class SymmetricBlockedInt8Split:
     @classmethod
     def from_dense(cls, matrix: np.ndarray, b: int = 512,
                    tol: Optional[float] = None) -> "SymmetricBlockedInt8Split":
-        padded, n_pad, b = _pack_lower(matrix, b, tol)
-        B, g, d = _split_equilibrate(padded)
-        mask = None
-        if tol is not None:
-            mask = _tol_mask(padded - np.diag(d), n_pad, b, tol)
-        tiles, ii, jj = _tile_pairs(B, n_pad, b, mask)
+        work, n_pad, b = _pack_lower(matrix, b)
+        # the split kernel's lo accumulator takes TWO dots per tile
+        _check_acc_headroom(n_pad, b, 2, "SymmetricBlockedInt8Split")
+        g, d = _equilibrate_inplace(work)             # work == E
+        mask = _tol_mask(work, n_pad, b, tol)
+        work /= g[:, None]
+        work /= g[None, :]                            # work == B, in place
+        tiles, ii, jj = _tile_pairs(work, n_pad, b, mask)
+        del work
         b127 = 127.0 * tiles
         q1 = np.clip(np.rint(b127), -127, 127)
         q2 = np.clip(np.rint(254.0 * (b127 - q1)), -127, 127).astype(np.int8)
@@ -218,6 +244,14 @@ class SymmetricBlockedInt8Split:
             b=b,
             diagonal=jnp.asarray(d, dtype=jnp.float32),
         )
+
+
+def _diag_or_zeros(sym) -> Array:
+    """The ``diagonal`` field is Optional (a directly-constructed operand
+    without a diagonal split is legal); consumers treat None as zeros."""
+    if sym.diagonal is not None:
+        return sym.diagonal
+    return jnp.zeros(sym.shape[0], jnp.float32)
 
 
 def quantize_rows(xs: Array):
@@ -269,7 +303,7 @@ def symm_matmat_int8(x: Array, sym: SymmetricBlockedInt8) -> Array:
     xf = x.astype(jnp.float32)
     qx, sx = quantize_rows(xf * sym.gq[None, :])
     acc = _symm_matmat_int8_xla(qx, sym.q, (sym.ii, sym.jj), sym.b, nb)
-    y = acc.astype(jnp.float32) * sx * sym.gq[None, :] + xf * sym.diagonal[None, :]
+    y = acc.astype(jnp.float32) * sx * sym.gq[None, :] + xf * _diag_or_zeros(sym)[None, :]
     return y.astype(x.dtype)
 
 
@@ -284,7 +318,7 @@ def symm_matmat_int8_split(x: Array, sym: SymmetricBlockedInt8Split) -> Array:
     a2 = _symm_matmat_int8_xla(p1, sym.q2, pair, sym.b, nb)
     a2 = a2 + _symm_matmat_int8_xla(p2, sym.q1, pair, sym.b, nb)
     acc = a1.astype(jnp.float32) + a2.astype(jnp.float32) * (1.0 / 254.0)
-    y = acc * sx * sym.gq[None, :] + xf * sym.diagonal[None, :]
+    y = acc * sx * sym.gq[None, :] + xf * _diag_or_zeros(sym)[None, :]
     return y.astype(x.dtype)
 
 
@@ -309,7 +343,7 @@ def symm_matmat_int8_pallas(x: Array, sym: SymmetricBlockedInt8,
     qx, sx = quantize_rows(xf * sym.gq[None, :])
     fn = _pallas_int8_fn(m, n, sym.b, sym.n_pairs, interpret)
     return fn(sym.ii, sym.jj, qx, sym.q, xf, sx, sym.gq.reshape(1, n),
-              sym.diagonal.reshape(1, n)).astype(x.dtype)
+              _diag_or_zeros(sym).reshape(1, n)).astype(x.dtype)
 
 
 def _symm_matmat_int8_impl(ii, jj, qx, q, xf, sx, gq, dg,
@@ -395,7 +429,7 @@ def symm_matmat_int8_split_pallas(x: Array, sym: SymmetricBlockedInt8Split,
     p1, p2, sx = quantize_rows_split(xf * sym.gq[None, :])
     fn = _pallas_int8_split_fn(m, n, sym.b, sym.n_pairs, interpret)
     return fn(sym.ii, sym.jj, p1, p2, sym.q1, sym.q2, xf, sx,
-              sym.gq.reshape(1, n), sym.diagonal.reshape(1, n)).astype(x.dtype)
+              sym.gq.reshape(1, n), _diag_or_zeros(sym).reshape(1, n)).astype(x.dtype)
 
 
 def _symm_matmat_int8_split_impl(ii, jj, p1, p2, q1, q2, xf, sx, gq, dg,
@@ -473,3 +507,40 @@ def _symm_matmat_int8_split_impl(ii, jj, p1, p2, q1, q2, xf, sx, gq, dg,
             transcendentals=0,
         ),
     )(ii, jj, p1, p2, q1, q2, xf, sx, gq, dg)
+
+
+def make_int8_matvec(matrix, b: int = 512, two_plane: bool = False,
+                     tol: Optional[float] = None, use_pallas=None):
+    """One-call builder for the quantized tiers: returns (matvec, operand,
+    sym) where ``matvec(x, operand)`` runs the Pallas kernel on TPU and the
+    portable XLA path elsewhere, with every array (planes, scales, exact
+    diagonal, topology) as a traced operand — never a baked constant.
+
+    The single source of truth for the tier dispatch shared by
+    FusedDavidson/FusedLinearEquations.from_dense_symmetric and bench legs
+    (keeping six call sites from drifting apart)."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if two_plane:
+        sym = SymmetricBlockedInt8Split.from_dense(matrix, b=b, tol=tol)
+        operand = (sym.q1, sym.q2, sym.gq, sym.diagonal, sym.ii, sym.jj)
+
+        def matvec(x, op):
+            s = dataclasses.replace(sym, q1=op[0], q2=op[1], gq=op[2],
+                                    diagonal=op[3], ii=op[4], jj=op[5])
+            if use_pallas:
+                return symm_matmat_int8_split_pallas(x, s)
+            return symm_matmat_int8_split(x, s).astype(x.dtype)
+
+    else:
+        sym = SymmetricBlockedInt8.from_dense(matrix, b=b, tol=tol)
+        operand = (sym.q, sym.gq, sym.diagonal, sym.ii, sym.jj)
+
+        def matvec(x, op):
+            s = dataclasses.replace(sym, q=op[0], gq=op[1], diagonal=op[2],
+                                    ii=op[3], jj=op[4])
+            if use_pallas:
+                return symm_matmat_int8_pallas(x, s)
+            return symm_matmat_int8(x, s).astype(x.dtype)
+
+    return matvec, operand, sym

@@ -200,7 +200,9 @@ class ShardedSymmetric:
             shape=sym.shape,
             b=sym.b,
             pairs_per_dev=max_p,
-            diagonal=put(jnp.asarray(sym.diagonal, dtype=jnp.float32), P(axis)),
+            diagonal=put(jnp.asarray(
+                sym.diagonal if sym.diagonal is not None
+                else np.zeros(n), dtype=jnp.float32), P(axis)),
             lo=lo,
             gq=put(jnp.asarray(sym.gq, dtype=jnp.float32), P(None)),
         )

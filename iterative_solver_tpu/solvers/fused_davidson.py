@@ -668,36 +668,11 @@ class FusedDavidson:
                 b = 1024
 
         if tier in ("int8", "int8_precise"):
-            from ..ops.kernels.symm_int8 import (
-                SymmetricBlockedInt8,
-                SymmetricBlockedInt8Split,
-                symm_matmat_int8,
-                symm_matmat_int8_pallas,
-                symm_matmat_int8_split,
-                symm_matmat_int8_split_pallas,
-            )
+            from ..ops.kernels.symm_int8 import make_int8_matvec
 
-            if tier == "int8":
-                sym = SymmetricBlockedInt8.from_dense(matrix, b=b)
-                operand = (sym.q, sym.gq, sym.diagonal, sym.ii, sym.jj)
-
-                def matvec(x, op):
-                    s = dataclasses.replace(sym, q=op[0], gq=op[1], diagonal=op[2],
-                                            ii=op[3], jj=op[4])
-                    if on_tpu:
-                        return symm_matmat_int8_pallas(x, s)
-                    return symm_matmat_int8(x, s).astype(x.dtype)
-
-            else:
-                sym = SymmetricBlockedInt8Split.from_dense(matrix, b=b)
-                operand = (sym.q1, sym.q2, sym.gq, sym.diagonal, sym.ii, sym.jj)
-
-                def matvec(x, op):
-                    s = dataclasses.replace(sym, q1=op[0], q2=op[1], gq=op[2],
-                                            diagonal=op[3], ii=op[4], jj=op[5])
-                    if on_tpu:
-                        return symm_matmat_int8_split_pallas(x, s)
-                    return symm_matmat_int8_split(x, s).astype(x.dtype)
+            matvec, operand, sym = make_int8_matvec(
+                matrix, b=b, two_plane=(tier == "int8_precise"),
+                use_pallas=on_tpu)
 
         elif tier == "precise":
             sym = SymmetricBlockedSplit.from_dense(matrix, b=b)
