@@ -256,19 +256,10 @@ def main(big: bool = False):
     # spectrum, so the leg runs at its own (looser) tolerance — an honest
     # sustained-rate tier for throughput-first screening passes.
     if backend == "tpu":
-        from iterative_solver_tpu.ops.kernels.symm_int8 import (
-            SymmetricBlockedInt8,
-            symm_matmat_int8_pallas,
-        )
+        from iterative_solver_tpu.ops.kernels.symm_int8 import make_int8_matvec
 
         tol_turbo = 5e-3
-        sym_i8 = SymmetricBlockedInt8.from_dense(matrix, b=1024)
-        op_i8 = (sym_i8.q, sym_i8.gq, sym_i8.diagonal, sym_i8.ii, sym_i8.jj)
-
-        def matvec_i8(x, op):
-            s = dataclasses.replace(sym_i8, q=op[0], gq=op[1], diagonal=op[2],
-                                    ii=op[3], jj=op[4])
-            return symm_matmat_int8_pallas(x, s)
+        matvec_i8, op_i8, _ = make_int8_matvec(matrix, b=1024)
 
         solver_i8 = FusedDavidson(
             matvec_i8, diag, N, NROOTS_BLOCK, m_max=M_MAX_BLOCK, dtype=dtype,
@@ -304,19 +295,9 @@ def main(big: bool = False):
     # its bytes — kernel 101 vs 203 us; converges the precise tol in ~3
     # iterations on this spectrum, f64 floor ~6e-6) ----
     if backend == "tpu":
-        from iterative_solver_tpu.ops.kernels.symm_int8 import (
-            SymmetricBlockedInt8Split,
-            symm_matmat_int8_split_pallas,
-        )
+        from iterative_solver_tpu.ops.kernels.symm_int8 import make_int8_matvec
 
-        sym_i8p = SymmetricBlockedInt8Split.from_dense(matrix, b=512)
-        op_i8p = (sym_i8p.q1, sym_i8p.q2, sym_i8p.gq, sym_i8p.diagonal,
-                  sym_i8p.ii, sym_i8p.jj)
-
-        def matvec_i8p(x, op):
-            s = dataclasses.replace(sym_i8p, q1=op[0], q2=op[1], gq=op[2],
-                                    diagonal=op[3], ii=op[4], jj=op[5])
-            return symm_matmat_int8_split_pallas(x, s)
+        matvec_i8p, op_i8p, _ = make_int8_matvec(matrix, b=512, two_plane=True)
 
         solver_i8p = FusedDavidson(
             matvec_i8p, diag, N, NROOTS_BLOCK, m_max=M_MAX_BLOCK, dtype=dtype,
@@ -445,18 +426,9 @@ def main(big: bool = False):
 
         # int8 variant of the peak config: same spectrum, quantized
         # couplings + exact diagonal at half the bf16 tile bytes
-        from iterative_solver_tpu.ops.kernels.symm_int8 import (
-            SymmetricBlockedInt8 as _SBI8,
-            symm_matmat_int8_pallas as _smi8,
-        )
+        from iterative_solver_tpu.ops.kernels.symm_int8 import make_int8_matvec
 
-        sym16q = _SBI8.from_dense(mat16, b=1024)
-        op16q = (sym16q.q, sym16q.gq, sym16q.diagonal, sym16q.ii, sym16q.jj)
-
-        def matvec16q(x, op):
-            s = dataclasses.replace(sym16q, q=op[0], gq=op[1], diagonal=op[2],
-                                    ii=op[3], jj=op[4])
-            return _smi8(x, s)
+        matvec16q, op16q, sym16q = make_int8_matvec(mat16, b=1024)
 
         solver_16q = FusedDavidson(
             matvec16q, diag16, n16, r64, m_max=m192, dtype=dtype,
@@ -471,7 +443,7 @@ def main(big: bool = False):
         st_16q = solver_16q.init_state(v16)
         final_16q, iters_16q = solve_16q(st_16q, op16q, solver_16q.diag, 5e-3, 60)
         conv_16q = bool(np.max(np.asarray(final_16q.errors)) <= 5e-3)
-        del mat16, sym16, op16, sym16q, op16q
+        del mat16, sym16, op16, sym16q, op16q, matvec16q
     else:
         gflops_16 = per_iter_16 = 0.0
         iters_16, res_16 = 0, 0.0
@@ -526,19 +498,10 @@ def main(big: bool = False):
         del sym32, op32
 
         # int8 variant of the big peak (quantized couplings, exact diag)
-        from iterative_solver_tpu.ops.kernels.symm_int8 import (
-            SymmetricBlockedInt8 as _SBI8b,
-            symm_matmat_int8_pallas as _smi8b,
-        )
+        from iterative_solver_tpu.ops.kernels.symm_int8 import make_int8_matvec
 
-        sym32q = _SBI8b.from_dense(mat32, b=1024)
+        matvec32q, op32q, sym32q = make_int8_matvec(mat32, b=1024)
         del mat32
-        op32q = (sym32q.q, sym32q.gq, sym32q.diagonal, sym32q.ii, sym32q.jj)
-
-        def matvec32q(x, op):
-            s = dataclasses.replace(sym32q, q=op[0], gq=op[1], diagonal=op[2],
-                                    ii=op[3], jj=op[4])
-            return _smi8b(x, s)
 
         solver_n32q = FusedDavidson(
             matvec32q, diag32, n32, r64b, m_max=m192b, dtype=dtype,
@@ -555,7 +518,7 @@ def main(big: bool = False):
                                             5e-3, 60)
         res_n32q = float(np.max(np.asarray(final_n32q.errors)))
         conv_n32q = bool(res_n32q <= 5e-3)
-        del sym32q, op32q
+        del sym32q, op32q, matvec32q
     else:
         gflops_n32 = per_iter_n32 = 0.0
         iters_n32, res_n32, conv_n32 = 0, 0.0, False
