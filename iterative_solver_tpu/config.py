@@ -89,3 +89,47 @@ def enable_compile_cache() -> None:
         _cache_enabled = True
     except Exception:  # cache is an optimisation, never a hard dependency
         pass
+
+
+def _host_fingerprint() -> str:
+    """Short hash of this host's CPU model + feature flags."""
+    import hashlib
+
+    text = ""
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith(("model name", "flags")):
+                    text = text + line
+                    if "flags" in line:
+                        break
+    except OSError:
+        import platform
+
+        text = platform.processor() or platform.machine()
+    return hashlib.sha1(text.encode()).hexdigest()[:12]
+
+
+def use_host_local_cache_for_cpu() -> None:
+    """Re-point the persistent compile cache at a host-fingerprinted subdir.
+
+    Call AFTER forcing ``jax_platforms=cpu`` (tests' conftest, the driver
+    dryrun). XLA:CPU cache entries are AOT machine code: replaying one
+    compiled on a host with different CPU features risks SIGILL
+    (cpu_aot_loader warnings all over MULTICHIP_r02). TPU entries are
+    target-TPU executables and stay in the shared directory — this only
+    partitions the CPU-forced processes' cache per host."""
+    try:
+        import jax
+
+        base = jax.config.jax_compilation_cache_dir
+        if not base:
+            return
+        tag = f"cpu-{_host_fingerprint()}"
+        if os.path.basename(base) == tag:
+            return
+        target = os.path.join(base, tag)
+        os.makedirs(target, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", target)
+    except Exception:
+        pass

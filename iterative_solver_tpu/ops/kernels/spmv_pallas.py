@@ -272,6 +272,19 @@ class BSRMatrixInt8:
         cols = np.asarray(bsr.col_idx)
         bm, bn = bsr.bm, bsr.bn
         n_pad, m_pad = bsr.shape
+        # exact-int32 accumulation headroom (same hazard as
+        # symm_int8._check_acc_headroom): each output entry receives one
+        # int8 dot per block in its row, each bounded by 127*127*bn —
+        # wraparound would be silent finite garbage, so refuse loudly
+        max_bpr = int(np.bincount(rows).max()) if rows.size else 0
+        if max_bpr * 127 * 127 * bn >= 2 ** 31:
+            limit = 2 ** 31 // (127 * 127)
+            raise ValueError(
+                f"BSRMatrixInt8: densest block row has {max_bpr} blocks x "
+                f"bn={bn} (effective {max_bpr * bn} columns) — exceeds the "
+                f"exact-int32 accumulation headroom (~{limit} effective "
+                "columns); split the operator over a mesh or use a float "
+                "tier")
         # the diagonal split needs the matrix diagonal to align with the
         # diagonal BLOCKS — square matrix and square blocks only
         square = n_pad == m_pad and bm == bn and bsr.diagonal is not None

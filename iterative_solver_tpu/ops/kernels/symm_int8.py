@@ -75,14 +75,9 @@ import numpy as np
 
 Array = jax.Array
 
-def _params():
-    """Mosaic compiler params for the packed kernels: raise the scoped-VMEM
-    limit above the 16 MB default — the r64/b1024 configuration's resident
-    x + accumulator + double-buffered tiles legitimately need ~18-24 MB and
-    the chip has far more; the default limit is a lint, not the hardware."""
-    from jax.experimental.pallas import tpu as pltpu
-
-    return pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+# one shared Mosaic params helper — symm_pallas owns the VMEM-limit
+# rationale; a second copy here would drift when the limit is retuned
+from .symm_pallas import _params  # noqa: E402,F401
 
 
 _SQRT127 = float(np.sqrt(127.0))

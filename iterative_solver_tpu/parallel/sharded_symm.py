@@ -182,6 +182,22 @@ class ShardedSymmetric:
         two_plane = hasattr(sym, "q1")
         q1 = np.asarray(sym.q1 if two_plane else sym.q)
         v1, gi, gj, max_p = _interleave_pairs(q1, ii, jj, ndev, sym.b, dtype=np.int8)
+        # per-device exact-int32 headroom, enforced over the ACTUAL
+        # interleave (symm_int8._check_acc_headroom's escape hatch points
+        # here, so the claimed bound must be checked, not assumed): each
+        # pair (i,j) adds one int8 dot (two for the split lo plane) into
+        # accumulator rows i and j, each bounded by 127^2 * b
+        counts = np.zeros((ndev, n // sym.b), dtype=np.int64)
+        dev_of = np.repeat(np.arange(ndev), max_p)
+        np.add.at(counts, (dev_of, gi.reshape(-1)), 1)
+        np.add.at(counts, (dev_of, gj.reshape(-1)), 1)
+        dots = 2 if two_plane else 1
+        if dots * int(counts.max()) * 127 * 127 * sym.b >= 2 ** 31:
+            raise ValueError(
+                f"ShardedSymmetric.from_int8: a device accumulator row "
+                f"receives {int(counts.max())} int8 tile dots of b={sym.b} "
+                "— exceeds exact-int32 headroom even sharded over "
+                f"{ndev} devices; use more devices or a float tier")
 
         def put(arr, spec):
             return jax.device_put(jnp.asarray(arr), NamedSharding(mesh, spec))

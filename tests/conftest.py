@@ -20,6 +20,13 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# partition the persistent compile cache per host for CPU-forced runs —
+# XLA:CPU entries are AOT machine code and replaying a foreign host's
+# entries risks SIGILL (VERDICT r2 weak #5)
+from iterative_solver_tpu import config as _islv_config  # noqa: E402
+
+_islv_config.use_host_local_cache_for_cpu()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
