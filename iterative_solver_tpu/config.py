@@ -110,6 +110,25 @@ def _host_fingerprint() -> str:
     return hashlib.sha1(text.encode()).hexdigest()[:12]
 
 
+def disable_compile_cache() -> None:
+    """Turn the persistent compile cache off for this process.
+
+    Used by the driver dryrun (__graft_entry__) on CPU: XLA:CPU AOT
+    reloads emit cpu_aot_loader SIGILL-risk errors even for same-host
+    entries (the serialized target features include LLVM tuning flags
+    like +prefer-no-scatter that the host-feature check never matches),
+    and CPU compiles are local and cheap — the cache only pays for
+    itself through the remote TPU tunnel."""
+    global _cache_enabled
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", None)
+        _cache_enabled = False
+    except Exception:
+        pass
+
+
 def use_host_local_cache_for_cpu() -> None:
     """Re-point the persistent compile cache at a host-fingerprinted subdir.
 

@@ -217,22 +217,66 @@ class BandedEigensolver:
         #    locked root forever). Rows that pass the f64 bar move into the
         #    store immediately and the active block shrinks, so converged
         #    rows never generate noise directions.
-        inner = 2
+        # 3. FULL-DEPTH solve while nothing is locked. With no history
+        #    there is nothing to purge — restarting every 2 iterations only
+        #    throws the basis away (measured: band 1 of an n=512 gapped
+        #    problem converges in one 6-iteration full-depth solve but
+        #    burns its whole budget under inner=2). Once history exists the
+        #    depth goes back to 2 — deepening between purges was tried and
+        #    livelocks: contamination grows ~30x/iteration, so 16
+        #    unpurged iterations collapse the block onto the locked roots
+        #    faster than the sweep converges new ones.
+        # 4. WINDOWED hard deflation. The last ``band`` locked vectors stay
+        #    device-resident inside the deflated matvec — a CONSTANT
+        #    (band, N) HBM footprint independent of the total history, so
+        #    the beyond-HBM claim stands. Soft purge alone lets the last
+        #    active row of a band wander to a wrong state once its seed's
+        #    component is stripped (measured: band 2 root 8 of an n=512
+        #    gapped problem converging into the upper cluster, eigenvalue
+        #    off by 3.7); the spectrally-adjacent locked roots are exactly
+        #    the ones the preconditioned residual re-amplifies, and they
+        #    are always inside the window. Older history keeps the
+        #    streamed purge.
+        import jax
+        import jax.numpy as jnp
+
+        W = self.band
+        wrapped = make_deflated_davidson_matvec(self.matvec, self.sigma)
+        self._recent = getattr(self, "_recent", [])
+
+        def recent_window():
+            xl = np.zeros((W, self.n))
+            rows = self._recent[-W:]
+            if rows:  # zero rows are exact no-ops in the wrapper
+                xl[:len(rows)] = np.stack(rows)
+            xl_dev = jnp.asarray(xl, dtype=self.dtype)
+            if self.sharding is not None:
+                from ..array.vector_ops import adapt_sharding
+
+                xl_dev = jax.device_put(xl_dev, adapt_sharding(self.sharding, 2))
+            return xl_dev
+
         done_vals, done_vecs, done_res = [], [], []
         active = v0
         total_iter = 0
         self._stream_solvers = getattr(self, "_stream_solvers", {})
         while active.shape[0] and total_iter < self.max_iter:
+            # full-depth while every locked vector is hard-deflated by the
+            # window (nothing for a purge to catch); shallow purge cycles
+            # once soft-only history exists
+            inner = self.max_iter if len(self._locked_slots) <= W else 2
             ra = active.shape[0]
-            solver = self._stream_solvers.get(ra)
+            solver = self._stream_solvers.get((ra, inner))
             if solver is None:
                 solver = FusedDavidson(
-                    self.matvec, self.diag, self.n, ra, m_max=self.m_max,
+                    wrapped, self.diag, self.n, ra, m_max=self.m_max,
                     dtype=self.dtype, sharding=self.sharding,
                     convergence_threshold=self.tol, max_iter=inner,
-                    operand=self.operand, rr=self.rr, check_symmetric=False,
+                    operand=(self.operand, recent_window()), rr=self.rr,
+                    check_symmetric=False,
                 )
-                self._stream_solvers[ra] = solver
+                self._stream_solvers[(ra, inner)] = solver
+            solver.operand = (self.operand, recent_window())
             evals, x, errs, it = solver.run_on_device(active)
             total_iter += max(int(it), 1)
             x = np.asarray(x, dtype=np.float64)
@@ -254,6 +298,7 @@ class BandedEigensolver:
                     done_vecs.append(x[i])
                     done_res.append(res[i])
                     self._locked_slots.append(self.store.append(x[i]))
+                    self._recent.append(x[i])
                 else:
                     keep.append(i)
             active = x[keep]
@@ -266,6 +311,7 @@ class BandedEigensolver:
                 done_vecs.append(active[i])
                 done_res.append(res[i])
                 self._locked_slots.append(self.store.append(active[i]))
+                self._recent.append(active[i])
         order = np.argsort(done_vals)
         return (np.asarray(done_vals)[order],
                 np.asarray(done_vecs)[order],

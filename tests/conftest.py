@@ -23,6 +23,9 @@ jax.config.update("jax_enable_x64", True)
 # partition the persistent compile cache per host for CPU-forced runs —
 # XLA:CPU entries are AOT machine code and replaying a foreign host's
 # entries risks SIGILL (VERDICT r2 weak #5)
+import sys  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from iterative_solver_tpu import config as _islv_config  # noqa: E402
 
 _islv_config.use_host_local_cache_for_cpu()
