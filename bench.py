@@ -291,10 +291,21 @@ def main(big: bool = False, phenol: bool = False):
             v0[row, i] = 1.0
         return v0
 
-    def sustained(solve_fn, st, operand, dg, lo=None, hi=None):
+    def sustained(solve_fn, st, operand, dg, lo=None, hi=None, tag=None):
         """Marginal seconds/iteration between two trip counts of one compiled
         solve — removes the per-dispatch constant (same method as the SpMV
-        metric). Returns (s_per_iter, wall_lo, dispatch_constant_s)."""
+        metric). Returns (s_per_iter, wall_lo, dispatch_constant_s).
+
+        Noise hardening (measured failure modes of the axon tunnel):
+        - the tolerance argument is perturbed per repetition so no two
+          dispatches carry identical payloads — repeated IDENTICAL
+          dispatches can be served from a payload cache, yielding walls
+          below the DMA roof (and marginals near zero or negative);
+        - an implausible marginal (negative, or a dispatch constant
+          outside [0, 2 s] — degraded windows show fake multi-second
+          constants) triggers up to 2 re-measurements; if it never comes
+          back plausible the last value is kept and the leg lands in
+          ``noisy_measurements`` so the artifact is honest about it."""
         lo = THROUGHPUT_ITERS if lo is None else lo
         hi = 8 * THROUGHPUT_ITERS if hi is None else hi
         out, got_lo = solve_fn(st, operand, dg, -1.0, lo)
@@ -302,18 +313,25 @@ def main(big: bool = False, phenol: bool = False):
         out, got_hi = solve_fn(st, operand, dg, -1.0, hi)
         np.asarray(out.errors)
         got_lo, got_hi = int(got_lo), int(got_hi)
-        walls = {}
-        for k in (lo, hi):
-            best = float("inf")
-            for _ in range(5):  # best-of-5: tunnel + chip contention add
-                                # run-to-run noise of up to ~30%
-                t0 = time.perf_counter()
-                out, _ = solve_fn(st, operand, dg, -1.0, k)
-                np.asarray(out.errors)
-                best = min(best, time.perf_counter() - t0)
-            walls[k] = best
-        per_iter = (walls[hi] - walls[lo]) / (got_hi - got_lo)
-        return per_iter, walls[lo], walls[lo] - got_lo * per_iter
+        for attempt in range(3):
+            walls = {}
+            for k in (lo, hi):
+                best = float("inf")
+                for rep in range(5):  # best-of-5: tunnel + chip contention
+                                      # add run-to-run noise of up to ~30%
+                    tol = -1.0 - 1e-6 * (attempt * 16 + rep + 1)
+                    t0 = time.perf_counter()
+                    out, _ = solve_fn(st, operand, dg, tol, k)
+                    np.asarray(out.errors)
+                    best = min(best, time.perf_counter() - t0)
+                walls[k] = best
+            per_iter = (walls[hi] - walls[lo]) / (got_hi - got_lo)
+            const = walls[lo] - got_lo * per_iter
+            if per_iter > 0 and 0.0 <= const <= 2.0:
+                return per_iter, walls[lo], const
+        if tag is not None:
+            R.setdefault("noisy_measurements", []).append(tag)
+        return per_iter, walls[lo], const
 
     def f64_quality(x, nroots):
         x64 = np.asarray(x, dtype=np.float64)
@@ -353,7 +371,7 @@ def main(big: bool = False, phenol: bool = False):
         solve_blk = make_davidson_solve(matvec_fast, NROOTS_BLOCK, M_MAX_BLOCK,
                                         rr=rr_fast, fuse_chain=solver_blk.fuse_chain)
         st_blk = solver_blk.init_state(guess(NROOTS_BLOCK))
-        per_iter_blk, wall_blk, _ = sustained(solve_blk, st_blk, op_fast, solver_blk.diag)
+        per_iter_blk, wall_blk, _ = sustained(solve_blk, st_blk, op_fast, solver_blk.diag, tag="headline")
         gflops_blk = flops_iter_blk / per_iter_blk / 1e9
         # convergence proof for the SAME config (fast tier resolves ~2e-4)
         st_blk = solver_blk.init_state(guess(NROOTS_BLOCK))
@@ -390,7 +408,7 @@ def main(big: bool = False, phenol: bool = False):
         solve_i8 = make_davidson_solve(matvec_i8, NROOTS_BLOCK, M_MAX_BLOCK,
                                        rr=rr_fast, fuse_chain=solver_i8.fuse_chain)
         st_i8 = solver_i8.init_state(guess(NROOTS_BLOCK))
-        per_iter_i8, _, _ = sustained(solve_i8, st_i8, op_i8, solver_i8.diag)
+        per_iter_i8, _, _ = sustained(solve_i8, st_i8, op_i8, solver_i8.diag, tag="turbo_int8")
         st_i8 = solver_i8.init_state(guess(NROOTS_BLOCK))
         final_i8, iters_i8 = solve_i8(st_i8, op_i8, solver_i8.diag, tol_turbo, 60)
         _, res_i8 = f64_quality(final_i8.x, NROOTS_BLOCK)
@@ -412,7 +430,7 @@ def main(big: bool = False, phenol: bool = False):
             convergence_threshold=tol_prec, max_iter=60, operand=op_prec,
         )
         st_pb = solver_pb.init_state(guess(NROOTS_BLOCK))
-        per_iter_prec, _, _ = sustained(solve_pb, st_pb, op_prec, solver_pb.diag)
+        per_iter_prec, _, _ = sustained(solve_pb, st_pb, op_prec, solver_pb.diag, tag="precise16")
         ctx["solve_pb"], ctx["solver_pb"] = solve_pb, solver_pb
         R.update({
             "precise_tier_gflops": round(flops_iter_blk / per_iter_prec / 1e9, 1),
@@ -433,7 +451,7 @@ def main(big: bool = False, phenol: bool = False):
         solve_i8p = make_davidson_solve(matvec_i8p, NROOTS_BLOCK, M_MAX_BLOCK,
                                         fuse_chain=solver_i8p.fuse_chain)
         st_i8p = solver_i8p.init_state(guess(NROOTS_BLOCK))
-        per_iter_i8p, _, _ = sustained(solve_i8p, st_i8p, op_i8p, solver_i8p.diag)
+        per_iter_i8p, _, _ = sustained(solve_i8p, st_i8p, op_i8p, solver_i8p.diag, tag="int8_precise")
         st_i8p = solver_i8p.init_state(guess(NROOTS_BLOCK))
         final_i8p, iters_i8p = solve_i8p(st_i8p, op_i8p, solver_i8p.diag,
                                          tol_prec, 60)
@@ -460,7 +478,7 @@ def main(big: bool = False, phenol: bool = False):
         solve_32 = make_davidson_solve(matvec_fast, r32, m32, rr=rr_fast,
                                        fuse_chain=solver_32.fuse_chain)
         st_32 = solver_32.init_state(guess(r32))
-        per_iter_32, _, _ = sustained(solve_32, st_32, op_fast, solver_32.diag)
+        per_iter_32, _, _ = sustained(solve_32, st_32, op_fast, solver_32.diag, tag="r32")
         flops_iter_32 = (
             2 * r32 * N * N + 2 * m32 * m32 * N
             + 2 * 2 * r32 * N * m32 + 2 * 2 * 2 * r32 * m32 * N
@@ -487,7 +505,7 @@ def main(big: bool = False, phenol: bool = False):
                                        fuse_chain=solver_r4.fuse_chain)
         st_r4 = solver_r4.init_state(guess(NROOTS))
         per_iter_r4, wall_r4, dispatch_const = sustained(
-            solve_r4, st_r4, op_fast, solver_r4.diag
+            solve_r4, st_r4, op_fast, solver_r4.diag, tag="r4"
         )
         gflops_r4 = flops_iter_r4 / per_iter_r4 / 1e9
         R.update({
@@ -596,7 +614,7 @@ def main(big: bool = False, phenol: bool = False):
             v16[row, i] = 1.0
         st_16 = solver_16.init_state(v16)
         per_iter_16, _, _ = sustained(solve_16, st_16, op16, solver_16.diag,
-                                      lo=32, hi=160)
+                                      lo=32, hi=160, tag="n16384")
         flops_iter_16 = (
             2 * r64 * n16 * n16 + 2 * m192 * m192 * n16
             + 2 * 2 * r64 * n16 * m192 + 2 * 2 * 2 * r64 * m192 * n16
@@ -642,7 +660,7 @@ def main(big: bool = False, phenol: bool = False):
                                         fuse_chain=solver_16q.fuse_chain)
         st_16q = solver_16q.init_state(v16)
         per_iter_16q, _, _ = sustained(solve_16q, st_16q, op16q, solver_16q.diag,
-                                       lo=32, hi=160)
+                                       lo=32, hi=160, tag="n16384_int8")
         st_16q = solver_16q.init_state(v16)
         final_16q, iters_16q = solve_16q(st_16q, op16q, solver_16q.diag, 5e-3, 60)
         R.update({
@@ -860,7 +878,7 @@ def main(big: bool = False, phenol: bool = False):
             v32[row, i] = 1.0
         st_n32 = solver_n32.init_state(v32)
         per_iter_n32, _, _ = sustained(solve_n32, st_n32, op32, solver_n32.diag,
-                                       lo=16, hi=64)
+                                       lo=16, hi=64, tag="n32768")
         flops_iter_n32 = (
             2 * r64b * n32 * n32 + 2 * m192b * m192b * n32
             + 2 * 2 * r64b * n32 * m192b + 2 * 2 * 2 * r64b * m192b * n32
@@ -889,7 +907,8 @@ def main(big: bool = False, phenol: bool = False):
                                          fuse_chain=solver_n32q.fuse_chain)
         st_n32q = solver_n32q.init_state(v32)
         per_iter_n32q, _, _ = sustained(solve_n32q, st_n32q, op32q,
-                                        solver_n32q.diag, lo=16, hi=64)
+                                        solver_n32q.diag, lo=16, hi=64,
+                                        tag="n32768_int8")
         st_n32q = solver_n32q.init_state(v32)
         final_n32q, iters_n32q = solve_n32q(st_n32q, op32q, solver_n32q.diag,
                                             5e-3, 60)
