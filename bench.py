@@ -839,6 +839,63 @@ def main(big: bool = False, phenol: bool = False):
         wall = (walls[trips[1]] - walls[trips[0]]) / (trips[1] - trips[0])
         R["spmv_int8_gnnz_per_s"] = round(bsr.nnz * NROOTS_BLOCK / wall / 1e9, 2)
 
+    # ---- NON-HERMITIAN chunked path vs fused symmetric control ----
+    # (VERDICT r2 next #3: was ~100x via the parity host loop). Same
+    # operator tier (dense XLA HIGHEST) and spectrum class for both
+    # sides; the nonsym side pays one chunk dispatch + one host eig per
+    # block append instead of one while_loop for the whole solve.
+    def leg_nonsym():
+        from iterative_solver_tpu.solvers.fused_nonsym import FusedNonSymDavidson
+
+        nn, rn, mn = 8192, 16, 64
+        rngn = np.random.default_rng(7)
+        an = rngn.standard_normal((nn, nn)) * (0.05 / np.sqrt(nn))
+        dn = np.concatenate([np.linspace(-2.0, 0.0, 32),
+                             np.linspace(2.0, 20.0, nn - 32)])
+        mat_n = an + an.T + np.diag(dn)
+        mat_n[np.tril_indices(nn, -1)] *= 0.9  # reference's 0.1 strength
+        diag_n = np.diag(mat_n).copy()
+
+        def mv(x, op):
+            return jnp.matmul(x, op.T, precision=jax.lax.Precision.HIGHEST)
+
+        op_n = jnp.asarray(mat_n, dtype)
+        vn = np.zeros((rn, nn))
+        for row, i in enumerate(np.argsort(diag_n)[:rn]):
+            vn[row, i] = 1.0
+        tol_n = 2e-4
+        s_ns = FusedNonSymDavidson(mv, diag_n, nn, rn, m_max=mn, dtype=dtype,
+                                   convergence_threshold=tol_n, max_iter=60,
+                                   operand=op_n)
+        s_ns.solve(vn)  # warm compile
+        best = float("inf")
+        for _ in range(3):
+            s_ns.iterations = 0
+            t0 = time.perf_counter()
+            _, _, errs_ns, it_ns = s_ns.solve(vn)
+            best = min(best, time.perf_counter() - t0)
+        # symmetric control: SAME tier/shape through the fused while_loop
+        mat_s = 0.5 * (mat_n + mat_n.T)
+        op_s = jnp.asarray(mat_s, dtype)
+        s_sym = FusedDavidson(mv, np.diag(mat_s), nn, rn, m_max=mn,
+                              dtype=dtype, convergence_threshold=tol_n,
+                              max_iter=60, operand=op_s)
+        s_sym.run_on_device(vn)  # warm
+        best_s = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _, _, errs_s, it_s = s_sym.run_on_device(vn)
+            best_s = min(best_s, time.perf_counter() - t0)
+        R.update({
+            "nonsym_wall_s": round(best, 4),
+            "nonsym_iterations": int(it_ns),
+            "nonsym_max_residual": float(np.max(errs_ns)),
+            "nonsym_tol": tol_n,
+            "nonsym_converged": bool(np.max(errs_ns) <= tol_n),
+            "nonsym_sym_control_wall_s": round(best_s, 4),
+            "nonsym_vs_sym_factor": round(best / best_s, 2),
+        })
+
     # ---- BIG peak config (opt-in, --big): n=32768, 64 roots ----
     # PERF.md's 50-TF claim made driver-reproducible. Off by default: the
     # host-side setup packs an 8.6 GB matrix (minutes of numpy wall).
@@ -942,6 +999,24 @@ def main(big: bool = False, phenol: bool = False):
         runner.run("hard_spectrum", leg_hard_spectrum, budget_s=420)
     runner.run("spmv", leg_spmv, budget_s=300)
     runner.run("spmv_int8", leg_spmv_int8, budget_s=240, needs=("spmv",))
+    if backend == "tpu":
+        # streamed offload tier (VERDICT r2 next #2): pipelined vs serial vs
+        # host gram at 256 x 65536, plus the tunnel H2D probe that explains
+        # the vs_host outcome in this sandbox, and a beyond-device-budget
+        # streamed banded solve (see benchmarks/offload_benchmark.py)
+        def leg_offload():
+            from benchmarks.offload_benchmark import run_offload_benchmark
+
+            R.update(run_offload_benchmark())
+
+        def leg_banded_stream():
+            from benchmarks.offload_benchmark import run_beyond_budget_banded
+
+            R.update(run_beyond_budget_banded())
+
+        runner.run("offload", leg_offload, budget_s=300)
+        runner.run("banded_stream", leg_banded_stream, budget_s=300)
+        runner.run("nonsym", leg_nonsym, budget_s=420)
     if big and backend == "tpu":
         runner.run("n32768", leg_big, budget_s=900)
     if phenol and backend == "tpu":

@@ -9,6 +9,7 @@ from .fused_linear import FusedLinearEquations
 from .fused_lbfgs import FusedLBFGS
 from .fused_diis import FusedDIIS
 from .fused_cg import FusedBlockCG
+from .fused_nonsym import FusedNonSymDavidson
 from .fused_ppcg import FusedPPCG
 from .refine import EigenpairRefiner, RefineResult
 from .banded import BandedEigensolver
@@ -34,6 +35,7 @@ __all__ = [
     "FusedLBFGS",
     "FusedDIIS",
     "FusedBlockCG",
+    "FusedNonSymDavidson",
     "FusedPPCG",
     "EigenpairRefiner",
     "RefineResult",

@@ -1,0 +1,332 @@
+"""Chunked-dispatch non-hermitian Davidson (the TPU production path).
+
+The reference solves non-hermitian eigenproblems through its one Davidson
+template (hermiticity option, LinearEigensystemDavidson.h:130-184) with
+the complex-pair machinery of helper-implementation.h:382-527. Until this
+module, the repo carried that capability only on the host-driven parity
+solver — reference-class algorithms at ~100x below the fused symmetric
+path's relative speed (one ~28 ms tunnel round-trip per O(N) stage).
+
+TPU constraint shaping the design: the small non-symmetric subspace
+eigenproblem has NO TPU lowering (``jnp.linalg.eig`` is CPU-only), so a
+single-dispatch ``while_loop`` like fused_davidson's is impossible.
+Instead each outer iteration runs as exactly ONE jitted device chunk
+containing every O(N) stage —
+
+    Ritz reconstruction  X = C V,  AX = C W
+    pair-aware residuals R = AX - LAMBDA X       (one (r,r)@(r,N) matmul)
+    Jacobi-preconditioned expansion, two-pass classical Gram-Schmidt
+    null-drop + Cholesky whitening (chain_pallas.whiten_after_chain)
+    basis append + operator application W_new = matvec(t)
+    incremental projected matrix H = (mask V) (mask W)^T
+
+— and the host touches only (m_max, m_max) matrices between chunks:
+LAPACK ``eig``, ascending-real-part ordering, complex-pair extraction.
+Dispatch economics: 1 chunk round-trip per block append + 1 restart
+round-trip per basis fill, against the parity solver's ~10 round-trips
+per iteration.
+
+Complex pairs stay in REAL arithmetic end-to-end (the reference's real
+instantiation does the same; its complex<double> build is an
+assert(false) stub): for a conjugate pair a +- bi with eigenvector
+p + iq, the rows x_p = p^T V, x_q = q^T V satisfy
+
+    A x_p ~ a x_p - b x_q          A x_q ~ b x_p + a x_q
+
+so the host packs LAMBDA with 2x2 blocks [[a, -b], [b, a]] (scalars for
+real roots) and the device needs no complex dtype — complex arithmetic
+would halve MXU rate and double HBM traffic for zero accuracy gain.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def ritz_nonsym(h: np.ndarray, nroots: int):
+    """Host-side small-matrix stage: right eigenpairs of the projected
+    matrix, ascending by real part, complex-conjugate pairs converted to
+    real (p, q) coefficient rows with their 2x2 LAMBDA block.
+
+    Returns ``(evals_complex (nroots,), coeff (nroots, k), lam (nroots,
+    nroots), shifts (nroots,))`` — coeff rows reconstruct X = coeff @ V;
+    lam is the real block-diagonal residual matrix; shifts the real parts
+    used by the Jacobi preconditioner. Mirrors the semantics of
+    helper-implementation.h:382-448 (sort + pair rotation) on the
+    standard-eigenproblem case the fused path maintains (V orthonormal).
+    """
+    k = h.shape[0]
+    nroots = min(nroots, k)
+    w, vr = np.linalg.eig(h)
+    order = np.argsort(w.real, kind="stable")
+    w = w[order]
+    vr = vr[:, order]
+    coeff = np.zeros((nroots, k))
+    lam = np.zeros((nroots, nroots))
+    evals = np.zeros((nroots,), dtype=np.complex128)
+    i = 0
+    while i < nroots:
+        li = w[i]
+        if abs(li.imag) > 1e-13 * max(1.0, abs(li)):
+            # conjugate partner is adjacent after the stable real-part sort
+            if i + 1 >= nroots:
+                # pair straddles the window: take one more root than asked
+                # rather than splitting a conjugate pair (the reference
+                # never tracks half a pair either)
+                nroots_eff = i  # drop the straddling pair from this window
+                return (evals[:nroots_eff], coeff[:nroots_eff],
+                        lam[:nroots_eff, :nroots_eff], np.real(evals[:nroots_eff]))
+            a, b = li.real, abs(li.imag)
+            y = vr[:, i] if li.imag > 0 else np.conj(vr[:, i])
+            p, q = y.real, y.imag
+            sp = np.linalg.norm(p) or 1.0
+            sq = np.linalg.norm(q) or 1.0
+            coeff[i] = p / sp
+            coeff[i + 1] = q / sq
+            # rescaling rows rescales the pair coupling: with x_p = p/sp,
+            # x_q = q/sq, A x_p = a x_p - b (sq/sp) x_q etc.
+            lam[i, i] = a
+            lam[i + 1, i + 1] = a
+            lam[i, i + 1] = -b * (sq / sp)
+            lam[i + 1, i] = b * (sp / sq)
+            evals[i] = a + 1j * b
+            evals[i + 1] = a - 1j * b
+            i += 2
+        else:
+            y = vr[:, i].real
+            nrm = np.linalg.norm(y)
+            mx = int(np.argmax(np.abs(y)))
+            if y[mx] < 0:
+                y = -y
+            coeff[i] = y / (nrm if nrm > 0 else 1.0)
+            lam[i, i] = li.real
+            evals[i] = li.real
+            i += 1
+    return evals, coeff, lam, evals.real.copy()
+
+
+def make_nonsym_chunk(matvec: Callable, nroots: int, m_max: int,
+                      null_thresh: float = 1e-10, inner: int = 1):
+    """``inner`` appends' worth of O(N) work as a single jitted dispatch.
+
+    Append 1 expands the Jacobi-preconditioned residual at the host-given
+    Ritz data; appends 2..inner are frozen-shift Krylov enrichment — the
+    new block's residual proxy (A - shift) t reuses the matvec already
+    paid for the append, so each extra inner step costs ONE matvec plus
+    small ops and no host round-trip (GD+k-style subspace enrichment; the
+    shifts go stale within a chunk, which costs a little iteration
+    quality for a ``1/inner`` cut in dispatch count — measured trade in
+    docs/PERF.md)."""
+    from ..ops.kernels.chain_pallas import whiten_after_chain
+
+    @jax.jit
+    def chunk(v, w, mask, k, coeff, lam, shifts, operand, diag):
+        vm = v * mask[:, None]
+        wm = w * mask[:, None]
+        x = jnp.matmul(coeff, vm, precision=_PREC)      # (r, N)
+        ax = jnp.matmul(coeff, wm, precision=_PREC)
+        r_blk = ax - jnp.matmul(lam, x, precision=_PREC)
+        errors = jnp.sqrt(jnp.abs(
+            jnp.einsum("in,in->i", r_blk, r_blk, precision=_PREC)))
+        # Jacobi preconditioner at the Ritz real parts (IterativeSolver.h:
+        # 34-44 semantics, regulariser relative to the spectrum scale)
+        scale_est = jnp.max(jnp.abs(diag)) + jnp.max(jnp.abs(shifts))
+        denom = diag[None, :] - shifts[:, None] + 1e-15 * scale_est + 1e-300
+
+        def append(v, w, mask, k, t):
+            vm = v * mask[:, None]
+            n0_2 = jnp.einsum("in,in->i", t, t, precision=_PREC)
+            tt = t
+            for _ in range(2):  # two-pass classical GS against the live basis
+                proj = jnp.matmul(tt, vm.T, precision=_PREC)
+                tt = tt - jnp.matmul(proj, vm, precision=_PREC)
+            n2 = jnp.einsum("in,in->i", tt, tt, precision=_PREC)
+            tt, keep = whiten_after_chain(tt, n0_2, n2, nroots, null_thresh)
+            w_rows = matvec(tt, operand).astype(w.dtype)
+            v_new = jax.lax.dynamic_update_slice(
+                v, tt.astype(v.dtype), (k, jnp.zeros((), k.dtype)))
+            w_new = jax.lax.dynamic_update_slice(
+                w, w_rows, (k, jnp.zeros((), k.dtype)))
+            slot_ids = jax.lax.broadcasted_iota(jnp.int32, (m_max, 1), 0)[:, 0]
+            new_rows = (slot_ids >= k) & (slot_ids < k + nroots)
+            keep_full = jnp.zeros((m_max,), dtype=bool).at[:nroots].set(keep)
+            mask_new = jnp.where(new_rows & jnp.roll(keep_full, k), 1.0, mask)
+            return v_new, w_new, mask_new, k + nroots, tt, w_rows
+
+        t = r_blk / denom
+        v, w, mask, k, t_app, w_rows = append(v, w, mask, k, t)
+        for _ in range(inner - 1):
+            # frozen-shift enrichment: residual proxy of the block just
+            # appended, using its already-computed operator image
+            t = (w_rows - shifts[:, None] * t_app) / denom
+            v, w, mask, k, t_app, w_rows = append(v, w, mask, k, t)
+        h = jnp.matmul(v * mask[:, None], (w * mask[:, None]).T,
+                       precision=_PREC)
+        return v, w, mask, k, h, x, errors
+
+    return chunk
+
+
+def make_nonsym_reset(matvec: Callable, nroots: int, m_max: int):
+    """Init/restart: orthonormalise an (r, N) block, apply the operator,
+    lay out fresh (m_max, N) stacks + projected matrix. One dispatch."""
+    from ..array.vector_ops import chol_jitter
+
+    @jax.jit
+    def reset(x, operand):
+        g = jnp.matmul(x, x.T, precision=_PREC)
+        g = 0.5 * (g + g.T) + chol_jitter(g.dtype) * jnp.eye(
+            nroots, dtype=g.dtype)
+        l = jnp.linalg.cholesky(g)
+        t = jax.scipy.linalg.solve_triangular(l, x, lower=True)
+        w_rows = matvec(t, operand)
+        v = jnp.zeros((m_max, x.shape[1]), x.dtype).at[:nroots].set(t)
+        w = jnp.zeros((m_max, x.shape[1]), x.dtype).at[:nroots].set(w_rows)
+        mask = jnp.zeros((m_max,), x.dtype).at[:nroots].set(1.0)
+        h = jnp.matmul(v * mask[:, None], (w * mask[:, None]).T,
+                       precision=_PREC)
+        return v, w, mask, jnp.asarray(nroots, jnp.int32), h
+
+    return reset
+
+
+class FusedNonSymDavidson:
+    """Chunked-dispatch Davidson for non-hermitian operators.
+
+    Same surface shape as FusedDavidson (matvec(x, operand) -> x A^T over
+    row blocks, fixed-capacity stacks, any operator tier); eigenvalues may
+    come back complex (conjugate pairs), reported in ``eigenvalues``
+    (complex ndarray) with the pair's real 2D invariant-subspace rows in
+    ``x``. Reference twin: LinearEigensystemDavidson.h:130-184 at
+    hermiticity=false.
+    """
+
+    def __init__(
+        self,
+        matvec: Callable,
+        diagonals,
+        n: int,
+        nroots: int,
+        m_max: Optional[int] = None,
+        dtype=None,
+        sharding=None,
+        convergence_threshold: float = 1e-8,
+        max_iter: int = 100,
+        operand=None,
+        null_thresh: float = 1e-10,
+        inner: int = 1,
+    ):
+        if dtype is None:
+            dtype = (jnp.float64 if jax.config.read("jax_enable_x64")
+                     else jnp.float32)
+        self.matvec = matvec
+        self.n = n
+        self.nroots = nroots
+        self.m_max = m_max if m_max is not None else max(4 * nroots, 2 * nroots + 2)
+        if self.m_max < 2 * nroots:
+            raise ValueError("m_max must be >= 2*nroots")
+        self.dtype = dtype
+        self.sharding = sharding
+        self.tol = convergence_threshold
+        self.max_iter = max_iter
+        self.operand = operand
+        self.diag = jnp.asarray(np.asarray(diagonals), dtype=dtype)
+        self.inner = max(1, int(inner))
+        self._null_thresh = null_thresh
+        self._chunks = {}
+        self._reset = make_nonsym_reset(matvec, nroots, self.m_max)
+        self.iterations = 0
+        self.matvecs = 0
+
+    def _chunk_fn(self, inner: int):
+        fn = self._chunks.get(inner)
+        if fn is None:
+            fn = make_nonsym_chunk(self.matvec, self.nroots, self.m_max,
+                                   self._null_thresh, inner=inner)
+            self._chunks[inner] = fn
+        return fn
+
+    def _put_block(self, x):
+        x = jnp.asarray(np.asarray(x), dtype=self.dtype)
+        if self.sharding is not None:
+            from ..array.vector_ops import adapt_sharding
+
+            x = jax.device_put(x, adapt_sharding(self.sharding, 2))
+        return x
+
+    def solve(self, v0):
+        """Returns ``(evals_complex, x real-form rows, errors, iterations)``.
+
+        Normally all three lead arrays have ``nroots`` entries; if a
+        conjugate pair straddles the window boundary at convergence the
+        returned set shrinks by one instead of splitting the pair (the
+        reference never tracks half a pair either)."""
+        v, w, mask, k, h = self._reset(self._put_block(v0), self.operand)
+        self.matvecs += self.nroots
+        evals = np.zeros((self.nroots,), dtype=np.complex128)
+        x_out = None
+        r_eff = self.nroots
+        errors = np.full((self.nroots,), np.inf)
+        k_host = self.nroots  # k tracked on host: every sync is a tunnel RTT
+        errs_dev = None
+        for _ in range(self.max_iter):
+            # ONE batched fetch per outer cycle (h + mask + previous
+            # chunk's errors) — separate np.asarray calls each cost a
+            # ~28 ms tunnel round-trip. The errors fetched here belong to
+            # the PREVIOUS cycle's Ritz data, which is exactly the
+            # quantity the convergence test is defined on.
+            if errs_dev is None:
+                h_host, mask_host = jax.device_get((h, mask))
+            else:
+                h_host, mask_host, errs_h = jax.device_get((h, mask, errs_dev))
+                errors = np.asarray(errs_h, dtype=np.float64)[:r_eff]
+                if np.all(errors <= self.tol):
+                    break
+            h_host = np.asarray(h_host, dtype=np.float64)
+            act = np.where(np.asarray(mask_host) > 0.5)[0]
+            hm = h_host[np.ix_(act, act)]
+            evals, coeff_act, lam, shifts = ritz_nonsym(hm, self.nroots)
+            r_eff = coeff_act.shape[0]
+            if r_eff == 0:
+                raise RuntimeError("subspace collapsed: no Ritz pairs")
+            coeff = np.zeros((self.nroots, self.m_max))
+            coeff[:r_eff, act] = coeff_act
+            lam_full = np.zeros((self.nroots, self.nroots))
+            lam_full[:r_eff, :r_eff] = lam
+            shifts_full = np.zeros((self.nroots,))
+            shifts_full[:r_eff] = shifts
+            room = (self.m_max - k_host) // self.nroots
+            inner_now = max(1, min(self.inner, room))
+            v, w, mask, k, h, x, errs_dev = self._chunk_fn(inner_now)(
+                v, w, mask, k,
+                jnp.asarray(coeff, self.dtype),
+                jnp.asarray(lam_full, self.dtype),
+                jnp.asarray(shifts_full, self.dtype),
+                self.operand, self.diag,
+            )
+            self.iterations += inner_now
+            self.matvecs += inner_now * self.nroots
+            k_host += inner_now * self.nroots
+            x_out = x
+            if k_host + self.nroots > self.m_max:
+                # collapse onto the Ritz block (one extra dispatch)
+                v, w, mask, k, h = self._reset(x, self.operand)
+                self.matvecs += self.nroots
+                k_host = self.nroots
+        else:
+            # max_iter exhausted: the final chunk's errors were never
+            # fetched — report the freshest state, not the stale one
+            if errs_dev is not None:
+                errors = np.asarray(jax.device_get(errs_dev),
+                                    dtype=np.float64)[:r_eff]
+        from ._finite import check_finite
+
+        check_finite(errors, "FusedNonSymDavidson")
+        return evals[:r_eff], x_out[:r_eff], errors, self.iterations

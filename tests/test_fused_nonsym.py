@@ -1,0 +1,191 @@
+"""FusedNonSymDavidson — the chunked-dispatch non-hermitian path.
+
+Mirrors the reference's nonhermitian_eigen sweep
+(test_LinearEigensystem.cpp:364-375: hmat = ones, diag i*param, lower
+triangle scaled by 1-strength for strength in {0, 0.1, 0.2}) at fused
+scale, plus a genuinely complex-spectrum operator exercising the real
+2x2 pair blocks end-to-end.
+"""
+
+import numpy as np
+import pytest
+import scipy.linalg
+
+import jax.numpy as jnp
+
+from iterative_solver_tpu.solvers.fused_nonsym import (
+    FusedNonSymDavidson,
+    ritz_nonsym,
+)
+
+
+def reference_matrix(n, param=1.0, strength=0.0):
+    """test_LinearEigensystem.cpp:41-51 construction."""
+    m = np.ones((n, n))
+    np.fill_diagonal(m, np.arange(n) * param)
+    if strength:
+        for i in range(n):
+            m[i, :i] *= 1.0 - strength
+    return m
+
+
+def gapped_nonsym(n, nlow=8, strength=0.1, seed=0):
+    rng = np.random.default_rng(seed)
+    a = rng.standard_normal((n, n)) * (0.05 / np.sqrt(n))
+    d = np.concatenate([np.linspace(-2.0, 0.0, nlow),
+                        np.linspace(2.0, 20.0, n - nlow)])
+    m = a + a.T + np.diag(d)
+    m[np.tril_indices(n, -1)] *= 1.0 - strength
+    return m
+
+
+def dense_matvec(x, op):
+    import jax
+
+    return jnp.matmul(x, op.T, precision=jax.lax.Precision.HIGHEST)
+
+
+def dense_lowest(m, nroots):
+    w = scipy.linalg.eigvals(m)
+    order = np.argsort(w.real, kind="stable")
+    return w[order][:nroots]
+
+
+def guess(m, nroots):
+    v0 = np.zeros((nroots, m.shape[0]))
+    for row, i in enumerate(np.argsort(np.diag(m))[:nroots]):
+        v0[row, i] = 1.0
+    return v0
+
+
+class TestRitzNonsym:
+    def test_real_spectrum_matches_eig(self):
+        rng = np.random.default_rng(0)
+        h = rng.standard_normal((12, 12)) * 0.1 + np.diag(np.arange(12.0))
+        evals, coeff, lam, shifts = ritz_nonsym(h, 4)
+        ref = dense_lowest(h, 4)
+        np.testing.assert_allclose(evals, ref, atol=1e-10)
+        # lam reproduces H-action on the coefficient rows: C H^T = LAM C
+        np.testing.assert_allclose(coeff @ h.T, lam @ coeff, atol=1e-10)
+
+    def test_complex_pair_block(self):
+        # 2x2 rotation block: eigenvalues 1 +- 2i, then separated real tail
+        h = np.diag(np.arange(6.0) + 3.0)
+        h[0, 0] = h[1, 1] = 1.0
+        h[0, 1], h[1, 0] = -2.0, 2.0
+        evals, coeff, lam, shifts = ritz_nonsym(h, 3)
+        assert evals[0] == pytest.approx(1 + 2j)
+        assert evals[1] == pytest.approx(1 - 2j)
+        assert evals[2] == pytest.approx(5.0)  # diag entries are 3..8 with
+                                               # slots 0,1 overwritten to 1
+        np.testing.assert_allclose(coeff @ h.T, lam @ coeff, atol=1e-12)
+        # the 2x2 block carries the pair structure
+        assert lam[0, 0] == pytest.approx(1.0)
+        assert lam[0, 1] * lam[1, 0] == pytest.approx(-4.0)
+
+    def test_pair_straddling_window_shrinks(self):
+        h = np.diag(np.arange(6.0) + 3.0)
+        h[3, 3] = h[4, 4] = 30.0
+        h[3, 4], h[4, 3] = -1.0, 1.0  # pair at positions 4,5 of the order
+        evals, coeff, lam, shifts = ritz_nonsym(h, 2)
+        assert len(evals) == 2  # no straddle at 2
+        evals4, coeff4, _, _ = ritz_nonsym(h, 4)
+        # sorted real parts: 3,4,5,(30 pair straddles beyond) -> full 4 real?
+        assert len(evals4) <= 4
+
+
+class TestFusedNonSymDavidson:
+    @pytest.mark.parametrize("strength", [0.0, 0.1, 0.2])
+    def test_reference_sweep_matrix(self, strength):
+        n, nroots = 64, 3
+        m = reference_matrix(n, param=1.0, strength=strength)
+        solver = FusedNonSymDavidson(
+            dense_matvec, np.diag(m), n, nroots, m_max=16,
+            convergence_threshold=1e-9, max_iter=60, operand=jnp.asarray(m))
+        evals, x, errs, it = solver.solve(guess(m, nroots))
+        ref = dense_lowest(m, nroots)
+        assert np.all(errs <= 1e-8), errs
+        np.testing.assert_allclose(np.sort(evals.real), np.sort(ref.real),
+                                   atol=1e-7)
+        # residuals against the true operator in f64, pair-aware
+        x64 = np.asarray(x, np.float64)
+        ax = x64 @ m.T
+        for i in range(len(evals)):
+            if evals[i].imag == 0:
+                r = ax[i] - evals[i].real * x64[i]
+                assert np.linalg.norm(r) <= 1e-7 * max(np.linalg.norm(x64[i]), 1)
+
+    @pytest.mark.parametrize("strength", [0.1, 0.3])
+    def test_gapped_nonsym(self, strength):
+        n, nroots = 512, 4
+        m = gapped_nonsym(n, strength=strength)
+        solver = FusedNonSymDavidson(
+            dense_matvec, np.diag(m), n, nroots, m_max=16,
+            convergence_threshold=1e-9, max_iter=80, operand=jnp.asarray(m))
+        evals, x, errs, it = solver.solve(guess(m, nroots))
+        ref = dense_lowest(m, nroots)
+        assert np.all(errs <= 1e-8), (errs, it)
+        np.testing.assert_allclose(np.sort(evals.real), np.sort(ref.real),
+                                   atol=1e-8)
+
+    def test_symmetric_matches_eigh(self):
+        n, nroots = 256, 4
+        m = gapped_nonsym(n, strength=0.0, seed=3)
+        solver = FusedNonSymDavidson(
+            dense_matvec, np.diag(m), n, nroots, m_max=16,
+            convergence_threshold=1e-10, max_iter=60, operand=jnp.asarray(m))
+        evals, x, errs, it = solver.solve(guess(m, nroots))
+        ref = np.linalg.eigvalsh(m)[:nroots]
+        np.testing.assert_allclose(evals.real, ref, atol=1e-9)
+        assert np.all(np.abs(evals.imag) == 0)
+
+    def test_complex_pair_invariant_subspace(self):
+        """Lowest eigenvalues form a conjugate pair; the returned real rows
+        span the A-invariant 2D subspace with the 2x2 block structure."""
+        n, nroots = 128, 3
+        rng = np.random.default_rng(5)
+        m = np.diag(np.linspace(5.0, 25.0, n))
+        m += rng.standard_normal((n, n)) * 0.01
+        # plant the pair well below the rest: eigenvalues 1 +- 1.5i
+        m[0, 0] = m[1, 1] = 1.0
+        m[0, 1], m[1, 0] = -1.5, 1.5
+        m[0, 2:] = m[1, 2:] = m[2:, 0] = m[2:, 1] = 0.0
+        solver = FusedNonSymDavidson(
+            dense_matvec, np.diag(m), n, nroots, m_max=16,
+            convergence_threshold=1e-9, max_iter=80, operand=jnp.asarray(m))
+        evals, x, errs, it = solver.solve(guess(m, nroots))
+        assert np.all(errs <= 1e-8), errs
+        pair = sorted(evals[:2], key=lambda z: -z.imag)
+        assert pair[0] == pytest.approx(1 + 1.5j, abs=1e-8)
+        assert pair[1] == pytest.approx(1 - 1.5j, abs=1e-8)
+        # A-invariance of span(x_p, x_q): A X = LAM X for some 2x2 LAM
+        x64 = np.asarray(x, np.float64)[:2]
+        ax = x64 @ m.T
+        lam2, *_ = np.linalg.lstsq(x64.T, ax.T, rcond=None)
+        np.testing.assert_allclose(ax, lam2.T @ x64, atol=1e-7)
+        tr, det = np.trace(lam2), np.linalg.det(lam2)
+        assert tr / 2 == pytest.approx(1.0, abs=1e-7)          # real part
+        assert det == pytest.approx(1.0 + 1.5 ** 2, abs=1e-6)  # |lambda|^2
+
+    def test_iteration_economy_vs_parity(self):
+        """The chunked path must not cost materially more iterations than
+        the host-driven parity solver on the reference sweep matrix."""
+        import iterative_solver_tpu as its
+
+        n, nroots = 64, 2
+        m = reference_matrix(n, strength=0.2)
+        fused = FusedNonSymDavidson(
+            dense_matvec, np.diag(m), n, nroots, m_max=16,
+            convergence_threshold=1e-9, max_iter=60, operand=jnp.asarray(m))
+        _, _, errs, it_fused = fused.solve(guess(m, nroots))
+        assert np.all(errs <= 1e-8)
+
+        solver = its.create_linear_eigensystem(n, nroots, "Davidson",
+                                               "max_size_qspace=16")
+        solver.set_hermiticity(False)
+        solver.verbosity = its.Verbosity.NONE
+        problem = its.models.MatrixProblem(m)
+        conv, _, _ = solver.solve(guess(m, nroots), problem=problem,
+                                  max_iter=60)
+        assert conv
+        assert it_fused <= 3 * max(solver.stats.iterations, 1)
