@@ -276,6 +276,16 @@ class FusedNonSymDavidson:
         errors = np.full((self.nroots,), np.inf)
         k_host = self.nroots  # k tracked on host: every sync is a tunnel RTT
         errs_dev = None
+        # Best-snapshot guard: non-symmetric eig is NOT variational — once
+        # residuals sit at the f32 floor, the preconditioned expansion
+        # appends pure-noise rows, and noise entries in H can move the eig
+        # solutions ANYWHERE (measured: flat at 2.07e-5 for two cycles,
+        # then 0.69 after the next restart collapsed onto contaminated
+        # Ritz vectors). The symmetric families are immune (variational
+        # Rayleigh-Ritz: noise rows only add spurious high roots). Track
+        # the best state and return it if iteration past the floor turns
+        # catastrophic instead of handing the user the explosion.
+        best = None  # (max_err, evals, x, errors, r_eff)
         for _ in range(self.max_iter):
             # ONE batched fetch per outer cycle (h + mask + previous
             # chunk's errors) — separate np.asarray calls each cost a
@@ -287,7 +297,13 @@ class FusedNonSymDavidson:
             else:
                 h_host, mask_host, errs_h = jax.device_get((h, mask, errs_dev))
                 errors = np.asarray(errs_h, dtype=np.float64)[:r_eff]
+                if best is None or errors.max() < best[0]:
+                    best = (errors.max(), evals, x_out, errors, r_eff)
                 if np.all(errors <= self.tol):
+                    break
+                if best is not None and errors.max() > 10.0 * best[0] + 1e-300:
+                    # floor-noise contamination of the non-variational eig:
+                    # stop and return the best state seen
                     break
             h_host = np.asarray(h_host, dtype=np.float64)
             act = np.where(np.asarray(mask_host) > 0.5)[0]
@@ -326,6 +342,8 @@ class FusedNonSymDavidson:
             if errs_dev is not None:
                 errors = np.asarray(jax.device_get(errs_dev),
                                     dtype=np.float64)[:r_eff]
+        if best is not None and best[0] < errors.max():
+            _, evals, x_out, errors, r_eff = best
         from ._finite import check_finite
 
         check_finite(errors, "FusedNonSymDavidson")
