@@ -12,7 +12,11 @@ UN-LOSABLE HARNESS (round-3, after BENCH_r02 recorded nothing at rc=124):
   ``jax.default_backend()`` alone does not detect it. On canary failure the
   bench degrades to a small CPU leg and still records a parseable line.
 - every leg runs under a ``signal.alarm`` budget; a hung or failing leg is
-  recorded in ``legs_skipped`` and the bench moves on.
+  recorded in ``legs_skipped`` and the bench moves on. CAVEAT: the alarm
+  only fires between Python bytecodes — a leg blocked inside a C-level
+  call (remote compile, tunnel fetch) cannot be interrupted, which is why
+  the pre-leg emission below matters: even then, the artifact holds every
+  completed leg when the driver kills the process.
 - a complete JSON line is (re-)printed after EVERY leg, so a driver-side
   timeout can only lose the in-flight leg, never the artifact. The same
   line is mirrored to ``BENCH_partial.json``.
@@ -87,7 +91,7 @@ class _LegTimeout(Exception):
     pass
 
 
-def tpu_canary(timeout_s: float = 240.0):
+def tpu_canary(timeout_s: float = 240.0, retry_sleep_s: float = 15.0):
     """Compile, run AND FETCH a trivial kernel in a subprocess with a hard
     timeout. Returns the backend name on success, None on any failure —
     the only reliable probe of the axon tunnel's real health (PERF.md:
@@ -115,7 +119,7 @@ def tpu_canary(timeout_s: float = 240.0):
         except subprocess.TimeoutExpired:
             detail = f"timeout_{int(timeout_s)}s"
         if attempt == 0:
-            time.sleep(15.0)
+            time.sleep(retry_sleep_s)
     return None, detail
 
 
@@ -331,6 +335,12 @@ def main(big: bool = False, phenol: bool = False):
                 return per_iter, walls[lo], const
         if tag is not None:
             R.setdefault("noisy_measurements", []).append(tag)
+        if per_iter <= 0:
+            # never hand callers a non-positive marginal (negative GFLOP/s
+            # or ZeroDivisionError in the artifact): fall back to the
+            # dispatch-INCLUSIVE rate, a conservative positive lower bound
+            per_iter = walls[hi] / max(got_hi, 1)
+            const = 0.0
         return per_iter, walls[lo], const
 
     def f64_quality(x, nroots):

@@ -184,13 +184,18 @@ class ShardedSymmetric:
         v1, gi, gj, max_p = _interleave_pairs(q1, ii, jj, ndev, sym.b, dtype=np.int8)
         # per-device exact-int32 headroom, enforced over the ACTUAL
         # interleave (symm_int8._check_acc_headroom's escape hatch points
-        # here, so the claimed bound must be checked, not assumed): each
-        # pair (i,j) adds one int8 dot (two for the split lo plane) into
-        # accumulator rows i and j, each bounded by 127^2 * b
+        # here, so the claimed bound must be checked, not assumed): an
+        # off-diagonal pair (i,j) adds one int8 dot (two for the split lo
+        # plane) into accumulator rows i AND j, a diagonal tile only into
+        # row i, each bounded by 127^2 * b. Counted over the REAL pairs
+        # (round-robin device assignment), not the interleave buffer —
+        # the zero pad tiles aimed at block (0,0) contribute nothing and
+        # must not inflate row 0's count.
         counts = np.zeros((ndev, n // sym.b), dtype=np.int64)
-        dev_of = np.repeat(np.arange(ndev), max_p)
-        np.add.at(counts, (dev_of, gi.reshape(-1)), 1)
-        np.add.at(counts, (dev_of, gj.reshape(-1)), 1)
+        dev_of = (np.arange(ii.size) % ndev).astype(np.int64)
+        np.add.at(counts, (dev_of, ii), 1)
+        off = ii != jj
+        np.add.at(counts, (dev_of[off], jj[off]), 1)
         dots = 2 if two_plane else 1
         if dots * int(counts.max()) * 127 * 127 * sym.b >= 2 ** 31:
             raise ValueError(

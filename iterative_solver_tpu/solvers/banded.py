@@ -301,6 +301,10 @@ class BandedEigensolver:
                     self._recent.append(x[i])
                 else:
                     keep.append(i)
+            # only the last W rows ever enter the deflation window — keep
+            # the host copy bounded instead of duplicating the whole
+            # locked history in RAM
+            self._recent = self._recent[-W:]
             active = x[keep]
         if active.shape[0]:
             # budget exhausted: return the leftovers as-is (caller sees the
@@ -312,6 +316,7 @@ class BandedEigensolver:
                 done_res.append(res[i])
                 self._locked_slots.append(self.store.append(active[i]))
                 self._recent.append(active[i])
+            self._recent = self._recent[-W:]
         order = np.argsort(done_vals)
         return (np.asarray(done_vals)[order],
                 np.asarray(done_vecs)[order],

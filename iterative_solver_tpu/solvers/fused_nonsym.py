@@ -77,12 +77,11 @@ def ritz_nonsym(h: np.ndarray, nroots: int):
         if abs(li.imag) > 1e-13 * max(1.0, abs(li)):
             # conjugate partner is adjacent after the stable real-part sort
             if i + 1 >= nroots:
-                # pair straddles the window: take one more root than asked
-                # rather than splitting a conjugate pair (the reference
-                # never tracks half a pair either)
-                nroots_eff = i  # drop the straddling pair from this window
-                return (evals[:nroots_eff], coeff[:nroots_eff],
-                        lam[:nroots_eff, :nroots_eff], np.real(evals[:nroots_eff]))
+                # pair straddles the window boundary: DROP it rather than
+                # split a conjugate pair (the reference never tracks half
+                # a pair either); the caller sees r_eff = i < nroots
+                return (evals[:i], coeff[:i], lam[:i, :i],
+                        np.real(evals[:i]))
             a, b = li.real, abs(li.imag)
             y = vr[:, i] if li.imag > 0 else np.conj(vr[:, i])
             p, q = y.real, y.imag
@@ -127,7 +126,7 @@ def make_nonsym_chunk(matvec: Callable, nroots: int, m_max: int,
     from ..ops.kernels.chain_pallas import whiten_after_chain
 
     @jax.jit
-    def chunk(v, w, mask, k, coeff, lam, shifts, operand, diag):
+    def chunk(v, w, mask, k, h, coeff, lam, shifts, operand, diag):
         vm = v * mask[:, None]
         wm = w * mask[:, None]
         x = jnp.matmul(coeff, vm, precision=_PREC)      # (r, N)
@@ -160,6 +159,7 @@ def make_nonsym_chunk(matvec: Callable, nroots: int, m_max: int,
             mask_new = jnp.where(new_rows & jnp.roll(keep_full, k), 1.0, mask)
             return v_new, w_new, mask_new, k + nroots, tt, w_rows
 
+        k0 = k
         t = r_blk / denom
         v, w, mask, k, t_app, w_rows = append(v, w, mask, k, t)
         for _ in range(inner - 1):
@@ -167,8 +167,21 @@ def make_nonsym_chunk(matvec: Callable, nroots: int, m_max: int,
             # appended, using its already-computed operator image
             t = (w_rows - shifts[:, None] * t_app) / denom
             v, w, mask, k, t_app, w_rows = append(v, w, mask, k, t)
-        h = jnp.matmul(v * mask[:, None], (w * mask[:, None]).T,
-                       precision=_PREC)
+        # TRULY incremental projected matrix: only the appended rows and
+        # columns change (old stack rows are append-only), so two
+        # (inner*r, m_max) @ (m_max, N)-shaped products replace the full
+        # 2*m_max^2*N recompute (~a third of a matvec at r16/m64)
+        vm2 = v * mask[:, None]
+        wm2 = w * mask[:, None]
+        zero = jnp.zeros((), k0.dtype)
+        new_v = jax.lax.dynamic_slice(
+            vm2, (k0, zero), (inner * nroots, v.shape[1]))
+        new_w = jax.lax.dynamic_slice(
+            wm2, (k0, zero), (inner * nroots, w.shape[1]))
+        h = jax.lax.dynamic_update_slice(
+            h, jnp.matmul(new_v, wm2.T, precision=_PREC), (k0, zero))
+        h = jax.lax.dynamic_update_slice(
+            h, jnp.matmul(vm2, new_w.T, precision=_PREC), (zero, k0))
         return v, w, mask, k, h, x, errors
 
     return chunk
@@ -182,14 +195,22 @@ def make_nonsym_reset(matvec: Callable, nroots: int, m_max: int):
     @jax.jit
     def reset(x, operand):
         g = jnp.matmul(x, x.T, precision=_PREC)
-        g = 0.5 * (g + g.T) + chol_jitter(g.dtype) * jnp.eye(
-            nroots, dtype=g.dtype)
+        g = 0.5 * (g + g.T)
+        # a zero row (a straddling-pair window returned r_eff < nroots
+        # rows) must stay DEAD: re-marking it live puts a zero row/column
+        # into H whose spurious eigenvalue 0 can sort below the true
+        # spectrum and come back as a "converged" zero eigenvector
+        gd = jnp.diagonal(g)
+        live = gd > 1e-12 * jnp.maximum(jnp.max(gd), 1e-300)
+        g = g + chol_jitter(g.dtype) * jnp.eye(nroots, dtype=g.dtype)
         l = jnp.linalg.cholesky(g)
         t = jax.scipy.linalg.solve_triangular(l, x, lower=True)
+        t = t * live[:, None].astype(t.dtype)
         w_rows = matvec(t, operand)
         v = jnp.zeros((m_max, x.shape[1]), x.dtype).at[:nroots].set(t)
         w = jnp.zeros((m_max, x.shape[1]), x.dtype).at[:nroots].set(w_rows)
-        mask = jnp.zeros((m_max,), x.dtype).at[:nroots].set(1.0)
+        mask = jnp.zeros((m_max,), x.dtype).at[:nroots].set(
+            live.astype(x.dtype))
         h = jnp.matmul(v * mask[:, None], (w * mask[:, None]).T,
                        precision=_PREC)
         return v, w, mask, jnp.asarray(nroots, jnp.int32), h
@@ -311,7 +332,10 @@ class FusedNonSymDavidson:
             evals, coeff_act, lam, shifts = ritz_nonsym(hm, self.nroots)
             r_eff = coeff_act.shape[0]
             if r_eff == 0:
-                raise RuntimeError("subspace collapsed: no Ritz pairs")
+                raise ValueError(
+                    "the lowest subspace root is a complex conjugate pair "
+                    f"and nroots={self.nroots} cannot hold both members — "
+                    "increase nroots (a pair needs two slots)")
             coeff = np.zeros((self.nroots, self.m_max))
             coeff[:r_eff, act] = coeff_act
             lam_full = np.zeros((self.nroots, self.nroots))
@@ -321,7 +345,7 @@ class FusedNonSymDavidson:
             room = (self.m_max - k_host) // self.nroots
             inner_now = max(1, min(self.inner, room))
             v, w, mask, k, h, x, errs_dev = self._chunk_fn(inner_now)(
-                v, w, mask, k,
+                v, w, mask, k, h,
                 jnp.asarray(coeff, self.dtype),
                 jnp.asarray(lam_full, self.dtype),
                 jnp.asarray(shifts_full, self.dtype),

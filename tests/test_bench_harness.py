@@ -173,5 +173,5 @@ class TestCanary:
         monkeypatch.setattr(sys, "executable", "/bin/sleep")
         # sys.executable is invoked as [exe, '-c', code]; /bin/sleep -c ...
         # exits nonzero immediately -> (None, detail)
-        out, detail = tpu_canary(timeout_s=5)
+        out, detail = tpu_canary(timeout_s=5, retry_sleep_s=0.0)
         assert out is None and detail.startswith("rc=")
