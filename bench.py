@@ -453,7 +453,7 @@ def main(big: bool = False, phenol: bool = False):
     def leg_int8_precise():
         from iterative_solver_tpu.ops.kernels.symm_int8 import make_int8_matvec
 
-        matvec_i8p, op_i8p, _ = make_int8_matvec(matrix, b=512, two_plane=True)
+        matvec_i8p, op_i8p, _ = make_int8_matvec(matrix, b=1024, two_plane=True)
         solver_i8p = FusedDavidson(
             matvec_i8p, diag, N, NROOTS_BLOCK, m_max=M_MAX_BLOCK, dtype=dtype,
             convergence_threshold=tol_prec, max_iter=60, operand=op_i8p,

@@ -664,7 +664,12 @@ class FusedDavidson:
             # and Ritz-vector width every iteration) outweighs the ~13 us
             # grid-step saving.
             b = 512
-            if tier in ("fast", "int8") and -(-n // 1024) * 1024 == -(-n // 512) * 512:
+            if (tier in ("fast", "int8", "int8_precise")
+                    and -(-n // 1024) * 1024 == -(-n // 512) * 512):
+                # int8 tiles are 1/4 the f32 bytes, so even the two-plane
+                # tier's double-buffered VMEM fits at b=1024; measured
+                # (r3): two-plane kernel 108 vs 119 us, whole r16/m64 step
+                # 0.207 vs 0.243 ms/iter (best-of-plausible marginals)
                 b = 1024
 
         if tier in ("int8", "int8_precise"):
