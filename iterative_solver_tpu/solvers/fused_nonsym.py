@@ -266,6 +266,40 @@ class FusedNonSymDavidson:
         self.iterations = 0
         self.matvecs = 0
 
+    @classmethod
+    def from_dense(cls, matrix, nroots: int, tier: str = "precise", **kwargs):
+        """One-call construction from a dense (possibly non-symmetric)
+        matrix. Tiers (no packed-triangle storage here — that trick needs
+        symmetry):
+
+        - ``"precise"`` — f32 storage, Precision.HIGHEST matmuls (6-pass
+          bf16 on the MXU; ~610 us for an 8192^2 16-row action);
+        - ``"fast"`` — bf16 single-pass MXU matmul (~355 us), residual
+          floor ~2e-4 like the symmetric fast tier.
+        """
+        if tier not in ("precise", "fast"):
+            raise ValueError(f"tier must be 'precise' or 'fast', got {tier!r}")
+        matrix = np.asarray(matrix, dtype=np.float64)
+        n = matrix.shape[0]
+        if matrix.shape != (n, n):
+            raise ValueError("operator must be square")
+        dtype = kwargs.pop("dtype", None)
+        if dtype is None:
+            dtype = (jnp.float64 if jax.config.read("jax_enable_x64")
+                     else jnp.float32)
+        prec = (jax.lax.Precision.DEFAULT if tier == "fast"
+                else jax.lax.Precision.HIGHEST)
+        store = jnp.bfloat16 if tier == "fast" and dtype == jnp.float32 else dtype
+
+        def matvec(x, op):
+            return jnp.matmul(x, op.T, precision=prec,
+                              preferred_element_type=x.dtype)
+
+        operand = jnp.asarray(matrix, dtype=store)
+        solver = cls(matvec, np.diag(matrix), n, nroots, dtype=dtype,
+                     operand=operand, **kwargs)
+        return solver
+
     def _chunk_fn(self, inner: int):
         fn = self._chunks.get(inner)
         if fn is None:

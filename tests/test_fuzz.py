@@ -150,3 +150,37 @@ def test_fuzz_packed_symmetric_kernels(seed):
     )[:, :n]
     scale = np.abs(ref).max() + 1e-30
     assert np.abs(ys - ref).max() / scale < 2e-4, msg
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_fused_nonsym(seed):
+    """Random non-hermitian configurations through the chunked path:
+    random strengths, odd sizes, both tiers, inner depths 1-2, eigenvalues
+    checked against scipy dense eig (real-part order)."""
+    import scipy.linalg
+
+    from iterative_solver_tpu.solvers.fused_nonsym import FusedNonSymDavidson
+
+    rng = np.random.default_rng(4000 + seed)
+    n = int(rng.integers(48, 200))
+    nroot = int(rng.integers(1, 5))
+    strength = float(rng.uniform(0.0, 0.35))
+    nlow = max(nroot + 2, n // 16)
+    diag = np.concatenate(
+        [np.linspace(-2.0, 0.0, nlow), np.linspace(2.0, 30.0, n - nlow)])
+    a = rng.standard_normal((n, n)) * (0.05 / np.sqrt(n))
+    mat = a + a.T + np.diag(diag)
+    mat[np.tril_indices(n, -1)] *= 1.0 - strength
+    inner = int(rng.integers(1, 3))
+    solver = FusedNonSymDavidson.from_dense(
+        mat, nroot, m_max=int(rng.integers(2 * nroot + 2, 6 * nroot + 4)),
+        convergence_threshold=1e-9, max_iter=120, inner=inner)
+    v0 = np.zeros((nroot, n))
+    for row, i in enumerate(np.argsort(diag)[:nroot]):
+        v0[row, i] = 1.0
+    evals, x, errs, it = solver.solve(v0)
+    assert np.all(errs <= 1e-8), (seed, errs, it)
+    w = scipy.linalg.eigvals(mat)
+    ref = np.sort(w.real)[:len(evals)]
+    np.testing.assert_allclose(np.sort(evals.real), ref, atol=1e-7,
+                               err_msg=f"seed {seed}")
