@@ -35,7 +35,7 @@ from .solvers.linear_equations import LinearEquationsDavidson
 from .solvers.nonlinear_diis import NonLinearEquationsDIIS
 from .solvers.optimize import OptimizeBFGS, OptimizeSD
 from .solvers.fused_davidson import FusedDavidson, make_batched_davidson_solve
-from .solvers.fused_nonsym import FusedNonSymDavidson
+from .solvers.fused_nonsym import FusedNonSymDavidson, FusedNonSymLinearEquations
 from .solvers.fused_ppcg import FusedPPCG
 from .solvers.fused_cg import FusedBlockCG
 from .solvers.implicit_diff import (
@@ -68,6 +68,7 @@ __all__ = [
     "Interpolate",
     "Point",
     "FusedNonSymDavidson",
+    "FusedNonSymLinearEquations",
     "FusedPPCG",
     "FusedBlockCG",
     "create_linear_eigensystem",

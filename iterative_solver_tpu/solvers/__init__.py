@@ -9,7 +9,7 @@ from .fused_linear import FusedLinearEquations
 from .fused_lbfgs import FusedLBFGS
 from .fused_diis import FusedDIIS
 from .fused_cg import FusedBlockCG
-from .fused_nonsym import FusedNonSymDavidson
+from .fused_nonsym import FusedNonSymDavidson, FusedNonSymLinearEquations
 from .fused_ppcg import FusedPPCG
 from .refine import EigenpairRefiner, RefineResult
 from .banded import BandedEigensolver
@@ -36,6 +36,7 @@ __all__ = [
     "FusedDIIS",
     "FusedBlockCG",
     "FusedNonSymDavidson",
+    "FusedNonSymLinearEquations",
     "FusedPPCG",
     "EigenpairRefiner",
     "RefineResult",

@@ -406,3 +406,231 @@ class FusedNonSymDavidson:
 
         check_finite(errors, "FusedNonSymDavidson")
         return evals[:r_eff], x_out[:r_eff], errors, self.iterations
+
+
+def make_nonsym_lineq_chunk(matvec: Callable, nrhs: int, m_max: int,
+                            null_thresh: float = 1e-10, inner: int = 1):
+    """Linear-equations twin of make_nonsym_chunk: one dispatch holds the
+    reconstruction, residual, preconditioned expansion, GS/whitening,
+    append, and the INCREMENTAL projected matrix + RHS projection. The
+    projected solve itself happens on the host in f64 (np.linalg) — which
+    also sidesteps the TPU f32-eigh accuracy stall the symmetric family
+    needed two refinement passes for (fused_linear.py:68-75)."""
+    from ..ops.kernels.chain_pallas import whiten_after_chain
+
+    @jax.jit
+    def chunk(v, w, mask, k, h, beta, coeff, operand, diag, b, b_norm):
+        vm = v * mask[:, None]
+        wm = w * mask[:, None]
+        x = jnp.matmul(coeff, vm, precision=_PREC)
+        ax = jnp.matmul(coeff, wm, precision=_PREC)
+        r = ax - b
+        errors = jnp.sqrt(jnp.abs(
+            jnp.einsum("in,in->i", r, r, precision=_PREC))) / b_norm
+        d = diag if diag.ndim == 2 else diag[None, :]
+        denom = d + 1e-15 * jnp.max(jnp.abs(d)) + 1e-300
+
+        def append(v, w, mask, k, t):
+            vmm = v * mask[:, None]
+            n0_2 = jnp.einsum("in,in->i", t, t, precision=_PREC)
+            tt = t
+            for _ in range(2):
+                proj = jnp.matmul(tt, vmm.T, precision=_PREC)
+                tt = tt - jnp.matmul(proj, vmm, precision=_PREC)
+            n2 = jnp.einsum("in,in->i", tt, tt, precision=_PREC)
+            tt, keep = whiten_after_chain(tt, n0_2, n2, nrhs, null_thresh)
+            w_rows = matvec(tt, operand).astype(w.dtype)
+            v_new = jax.lax.dynamic_update_slice(
+                v, tt.astype(v.dtype), (k, jnp.zeros((), k.dtype)))
+            w_new = jax.lax.dynamic_update_slice(
+                w, w_rows, (k, jnp.zeros((), k.dtype)))
+            slot_ids = jax.lax.broadcasted_iota(jnp.int32, (m_max, 1), 0)[:, 0]
+            new_rows = (slot_ids >= k) & (slot_ids < k + nrhs)
+            keep_full = jnp.zeros((m_max,), dtype=bool).at[:nrhs].set(keep)
+            mask_new = jnp.where(new_rows & jnp.roll(keep_full, k), 1.0, mask)
+            return v_new, w_new, mask_new, k + nrhs, tt, w_rows
+
+        k0 = k
+        t = r / denom
+        v, w, mask, k, t_app, w_rows = append(v, w, mask, k, t)
+        for _ in range(inner - 1):
+            # Krylov enrichment: precondition the appended block's image
+            # (one matvec already paid by the append)
+            t = w_rows / denom
+            v, w, mask, k, t_app, w_rows = append(v, w, mask, k, t)
+        vm2 = v * mask[:, None]
+        wm2 = w * mask[:, None]
+        zero = jnp.zeros((), k0.dtype)
+        new_v = jax.lax.dynamic_slice(
+            vm2, (k0, zero), (inner * nrhs, v.shape[1]))
+        new_w = jax.lax.dynamic_slice(
+            wm2, (k0, zero), (inner * nrhs, w.shape[1]))
+        h = jax.lax.dynamic_update_slice(
+            h, jnp.matmul(new_v, wm2.T, precision=_PREC), (k0, zero))
+        h = jax.lax.dynamic_update_slice(
+            h, jnp.matmul(vm2, new_w.T, precision=_PREC), (zero, k0))
+        beta = jax.lax.dynamic_update_slice(
+            beta, jnp.matmul(new_v, b.T, precision=_PREC), (k0, zero))
+        return v, w, mask, k, h, beta, x, errors
+
+    return chunk
+
+
+def make_nonsym_lineq_reset(matvec: Callable, nrhs: int, m_max: int):
+    from ..array.vector_ops import chol_jitter
+
+    @jax.jit
+    def reset(x, operand, b):
+        g = jnp.matmul(x, x.T, precision=_PREC)
+        g = 0.5 * (g + g.T)
+        gd = jnp.diagonal(g)
+        live = gd > 1e-12 * jnp.maximum(jnp.max(gd), 1e-300)
+        g = g + chol_jitter(g.dtype) * jnp.eye(nrhs, dtype=g.dtype)
+        l = jnp.linalg.cholesky(g)
+        t = jax.scipy.linalg.solve_triangular(l, x, lower=True)
+        t = t * live[:, None].astype(t.dtype)
+        w_rows = matvec(t, operand)
+        v = jnp.zeros((m_max, x.shape[1]), x.dtype).at[:nrhs].set(t)
+        w = jnp.zeros((m_max, x.shape[1]), x.dtype).at[:nrhs].set(w_rows)
+        mask = jnp.zeros((m_max,), x.dtype).at[:nrhs].set(live.astype(x.dtype))
+        vm = v * mask[:, None]
+        wm = w * mask[:, None]
+        h = jnp.matmul(vm, wm.T, precision=_PREC)
+        beta = jnp.matmul(vm, b.T, precision=_PREC)
+        return v, w, mask, jnp.asarray(nrhs, jnp.int32), h, beta
+
+    return reset
+
+
+class FusedNonSymLinearEquations:
+    """Chunked-dispatch multi-RHS A X = B for NON-symmetric A.
+
+    Petrov-Galerkin projection on the Davidson basis: the (m, m) projected
+    system solves on the host in f64 between device chunks (one chunk per
+    block append, same dispatch economics as FusedNonSymDavidson).
+    Reference twin: LinearEquationsDavidson.h at hermiticity=false; the
+    symmetric production family (fused_linear.py) keeps its one-dispatch
+    while_loop.
+
+    Errors are RELATIVE residuals |A x_i - b_i| / |b_i| like
+    FusedLinearEquations.
+    """
+
+    def __init__(
+        self,
+        matvec: Callable,
+        diagonals,
+        n: int,
+        nrhs: int,
+        m_max: Optional[int] = None,
+        dtype=None,
+        sharding=None,
+        convergence_threshold: float = 1e-8,
+        max_iter: int = 200,
+        operand=None,
+        null_thresh: float = 1e-10,
+        inner: int = 1,
+    ):
+        if dtype is None:
+            dtype = (jnp.float64 if jax.config.read("jax_enable_x64")
+                     else jnp.float32)
+        self.matvec = matvec
+        self.n = n
+        self.nrhs = nrhs
+        self.m_max = m_max if m_max is not None else max(4 * nrhs, min(n, 24))
+        if self.m_max < 2 * nrhs:
+            raise ValueError("m_max must be >= 2*nrhs")
+        self.dtype = dtype
+        self.sharding = sharding
+        self.tol = convergence_threshold
+        self.max_iter = max_iter
+        self.operand = operand
+        self.diag = jnp.asarray(np.asarray(diagonals), dtype=dtype)
+        self.inner = max(1, int(inner))
+        self._null_thresh = null_thresh
+        self._chunks = {}
+        self._reset = make_nonsym_lineq_reset(matvec, nrhs, self.m_max)
+        self.iterations = 0
+        self.matvecs = 0
+
+    def _chunk_fn(self, inner: int):
+        fn = self._chunks.get(inner)
+        if fn is None:
+            fn = make_nonsym_lineq_chunk(self.matvec, self.nrhs, self.m_max,
+                                         self._null_thresh, inner=inner)
+            self._chunks[inner] = fn
+        return fn
+
+    def _put_block(self, x):
+        x = jnp.asarray(np.asarray(x), dtype=self.dtype)
+        if self.sharding is not None:
+            from ..array.vector_ops import adapt_sharding
+
+            x = jax.device_put(x, adapt_sharding(self.sharding, 2))
+        return x
+
+    def solve(self, b, x0=None):
+        """Returns ``(x (nrhs, N), errors (nrhs,), iterations)``."""
+        b_dev = self._put_block(np.atleast_2d(np.asarray(b)))
+        b_norm_host = np.linalg.norm(np.atleast_2d(np.asarray(b)), axis=1)
+        b_norm = jnp.asarray(np.where(b_norm_host > 0, b_norm_host, 1.0),
+                             self.dtype)
+        if x0 is None:
+            d = np.asarray(self.diag, dtype=np.float64)
+            x0 = np.atleast_2d(np.asarray(b)) / np.where(
+                np.abs(d) > 1e-12, d, 1.0)[None, :]
+        v, w, mask, k, h, beta = self._reset(self._put_block(x0),
+                                             self.operand, b_dev)
+        self.matvecs += self.nrhs
+        x_out = None
+        errors = np.full((self.nrhs,), np.inf)
+        k_host = self.nrhs
+        errs_dev = None
+        best = None
+        for _ in range(self.max_iter):
+            if errs_dev is None:
+                h_host, beta_host, mask_host = jax.device_get((h, beta, mask))
+            else:
+                h_host, beta_host, mask_host, errs_h = jax.device_get(
+                    (h, beta, mask, errs_dev))
+                errors = np.asarray(errs_h, dtype=np.float64)
+                if best is None or errors.max() < best[0]:
+                    best = (errors.max(), x_out, errors)
+                if np.all(errors <= self.tol):
+                    break
+                if errors.max() > 10.0 * best[0] + 1e-300:
+                    break
+            act = np.where(np.asarray(mask_host) > 0.5)[0]
+            hm = np.asarray(h_host, np.float64)[np.ix_(act, act)]
+            bm = np.asarray(beta_host, np.float64)[act]
+            # host f64 projected solve (exact: no TPU-eigh refinement dance)
+            try:
+                cm = np.linalg.solve(hm, bm)
+            except np.linalg.LinAlgError:
+                cm = np.linalg.lstsq(hm, bm, rcond=None)[0]
+            coeff = np.zeros((self.nrhs, self.m_max))
+            coeff[:, act] = cm.T
+            room = (self.m_max - k_host) // self.nrhs
+            inner_now = max(1, min(self.inner, room))
+            v, w, mask, k, h, beta, x, errs_dev = self._chunk_fn(inner_now)(
+                v, w, mask, k, h, beta,
+                jnp.asarray(coeff, self.dtype),
+                self.operand, self.diag, b_dev, b_norm,
+            )
+            self.iterations += inner_now
+            self.matvecs += inner_now * self.nrhs
+            k_host += inner_now * self.nrhs
+            x_out = x
+            if k_host + self.nrhs > self.m_max:
+                v, w, mask, k, h, beta = self._reset(x, self.operand, b_dev)
+                self.matvecs += self.nrhs
+                k_host = self.nrhs
+        else:
+            if errs_dev is not None:
+                errors = np.asarray(jax.device_get(errs_dev), dtype=np.float64)
+        if best is not None and best[0] < errors.max():
+            _, x_out, errors = best
+        from ._finite import check_finite
+
+        check_finite(errors, "FusedNonSymLinearEquations")
+        return x_out, errors, self.iterations

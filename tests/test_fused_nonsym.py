@@ -217,3 +217,65 @@ class TestFloorRobustness:
         ref = dense_lowest(m, nroots)
         np.testing.assert_allclose(np.sort(evals.real), np.sort(ref.real),
                                    atol=1e-3)
+
+
+class TestFusedNonSymLinearEquations:
+    def _problem(self, n, strength, seed=0, nrhs=3):
+        rng = np.random.default_rng(seed)
+        a = rng.standard_normal((n, n)) * (0.05 / np.sqrt(n))
+        m = a + a.T + np.diag(np.linspace(1.0, 20.0, n))
+        m[np.tril_indices(n, -1)] *= 1.0 - strength
+        b = rng.standard_normal((nrhs, n))
+        return m, b
+
+    @pytest.mark.parametrize("strength", [0.0, 0.1, 0.3])
+    def test_matches_dense_solve(self, strength):
+        from iterative_solver_tpu.solvers.fused_nonsym import (
+            FusedNonSymLinearEquations,
+        )
+
+        n, nrhs = 384, 3
+        m, b = self._problem(n, strength)
+        solver = FusedNonSymLinearEquations(
+            dense_matvec, np.diag(m), n, nrhs, m_max=18,
+            convergence_threshold=1e-10, max_iter=120, operand=jnp.asarray(m))
+        x, errs, it = solver.solve(b)
+        assert np.all(errs <= 1e-10), (errs, it)
+        ref = np.linalg.solve(m, b.T).T
+        x64 = np.asarray(x, np.float64)
+        rel = np.linalg.norm(x64 - ref) / np.linalg.norm(ref)
+        assert rel <= 1e-9, rel
+
+    def test_inner_enrichment_cuts_dispatches(self):
+        from iterative_solver_tpu.solvers.fused_nonsym import (
+            FusedNonSymLinearEquations,
+        )
+
+        n, nrhs = 384, 2
+        m, b = self._problem(n, 0.2, seed=4, nrhs=nrhs)
+        walls = {}
+        for inner in (1, 2):
+            s = FusedNonSymLinearEquations(
+                dense_matvec, np.diag(m), n, nrhs, m_max=16, inner=inner,
+                convergence_threshold=1e-10, max_iter=120,
+                operand=jnp.asarray(m))
+            x, errs, it = s.solve(b)
+            assert np.all(errs <= 1e-10)
+            walls[inner] = it
+        # enrichment may cost some extra iterations but must stay sane
+        assert walls[2] <= 3 * walls[1]
+
+    def test_singular_rhs_zero_row(self):
+        from iterative_solver_tpu.solvers.fused_nonsym import (
+            FusedNonSymLinearEquations,
+        )
+
+        n, nrhs = 128, 2
+        m, b = self._problem(n, 0.1, seed=2, nrhs=nrhs)
+        b[1] = 0.0  # zero RHS: solution 0, relative error measured vs 1.0
+        solver = FusedNonSymLinearEquations(
+            dense_matvec, np.diag(m), n, nrhs, m_max=12,
+            convergence_threshold=1e-10, max_iter=80, operand=jnp.asarray(m))
+        x, errs, it = solver.solve(b)
+        assert np.all(errs <= 1e-10)
+        assert np.linalg.norm(np.asarray(x)[1]) <= 1e-8
