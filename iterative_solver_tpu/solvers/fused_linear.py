@@ -154,6 +154,41 @@ def make_linear_solve(matvec, nrhs: int, m_max: int, tol: float, max_iter: int,
     return jax.jit(solve)
 
 
+def make_linear_init(matvec, nrhs: int, m_max: int):
+    """Whole initialisation (normalise + whiten the start block, apply the
+    operator, lay out the stacks) as ONE jitted dispatch — the previous
+    host-side preamble cost ~5 tunnel round-trips (~150 ms) per solve,
+    comparable to the entire while_loop for well-conditioned systems."""
+    from ..array.vector_ops import chol_jitter
+
+    @jax.jit
+    def init(b, v0raw, operand):
+        b_norm = jnp.sqrt(jnp.abs(
+            jnp.einsum("in,in->i", b, b, precision=_PREC)))
+        n0 = jnp.sqrt(jnp.abs(
+            jnp.einsum("in,in->i", v0raw, v0raw, precision=_PREC)))
+        v0 = v0raw / jnp.where(n0 > 0, n0, 1.0)[:, None]
+        g = jnp.matmul(v0, v0.T, precision=_PREC)
+        g = 0.5 * (g + g.T) + chol_jitter(g.dtype) * jnp.eye(
+            nrhs, dtype=g.dtype)
+        l = jnp.linalg.cholesky(g)
+        v0 = jax.scipy.linalg.solve_triangular(l, v0, lower=True)
+        w0 = matvec(v0, operand)
+        n = b.shape[1]
+        v = jnp.zeros((m_max, n), b.dtype).at[:nrhs].set(v0.astype(b.dtype))
+        w = jnp.zeros((m_max, n), b.dtype).at[:nrhs].set(w0.astype(b.dtype))
+        mask = jnp.zeros((m_max,), b.dtype).at[:nrhs].set(1.0)
+        state = LinearState(
+            v, w, mask, jnp.asarray(nrhs, jnp.int32),
+            jnp.zeros((nrhs, n), b.dtype),
+            jnp.zeros((nrhs, n), b.dtype),
+            jnp.full((nrhs,), jnp.inf, b.dtype),
+        )
+        return state, b_norm
+
+    return init
+
+
 class FusedLinearEquations:
     """Driver: whole multi-RHS solve in one device dispatch."""
 
@@ -290,12 +325,12 @@ class FusedLinearEquations:
 
     def solve(self, b, x0=None):
         """Returns (x, errors, iterations). b is (nrhs, N)."""
-        b = jnp.asarray(np.asarray(b), dtype=self.dtype)
+        b_host = np.atleast_2d(np.asarray(b))
+        if not np.all(np.linalg.norm(b_host, axis=1) > 0):
+            raise RuntimeError("RHS vector cannot be zero")
+        b = jnp.asarray(b_host, dtype=self.dtype)
         if self.sharding is not None:
             b = jax.device_put(b, self.sharding)
-        b_norm = jnp.sqrt(jnp.abs(jnp.einsum("in,in->i", b, b, precision=_PREC)))
-        if not bool(jnp.all(b_norm > 0)):
-            raise RuntimeError("RHS vector cannot be zero")
         if self.check_symmetric and not getattr(self, "_symmetry_checked", False):
             from ._symmetry import check_symmetric_operator
 
@@ -308,26 +343,15 @@ class FusedLinearEquations:
             )
             self._symmetry_checked = True
         if x0 is None:
-            v0 = b / b_norm[:, None]
+            v0raw = b
         else:
-            x0 = jnp.asarray(np.asarray(x0), dtype=self.dtype)
-            n0 = jnp.sqrt(jnp.abs(jnp.einsum("in,in->i", x0, x0, precision=_PREC)))
-            v0 = x0 / jnp.where(n0 > 0, n0, 1.0)[:, None]
-        g = np.asarray(jnp.matmul(v0, v0.T, precision=_PREC))
-        l = np.linalg.cholesky(g + 1e-30 * np.eye(self.nrhs))
-        v0 = jnp.asarray(np.linalg.solve(l, np.asarray(v0)), dtype=self.dtype)
-        v = jnp.zeros((self.m_max, self.n), dtype=self.dtype).at[: self.nrhs].set(v0)
-        w = jnp.zeros_like(v).at[: self.nrhs].set(self.matvec(v0, self.operand))
-        if self.sharding is not None:
-            v = jax.device_put(v, self.sharding)
-            w = jax.device_put(w, self.sharding)
-        mask = jnp.zeros((self.m_max,), dtype=self.dtype).at[: self.nrhs].set(1.0)
-        state = LinearState(
-            v, w, mask, jnp.asarray(self.nrhs, jnp.int32),
-            jnp.zeros((self.nrhs, self.n), dtype=self.dtype),
-            jnp.zeros((self.nrhs, self.n), dtype=self.dtype),
-            jnp.full((self.nrhs,), jnp.inf, dtype=self.dtype),
-        )
+            v0raw = jnp.asarray(np.asarray(x0), dtype=self.dtype)
+            if self.sharding is not None:
+                v0raw = jax.device_put(v0raw, self.sharding)
+        if getattr(self, "_init_cache", None) is None:
+            self._init_cache = make_linear_init(self.matvec, self.nrhs,
+                                                self.m_max)
+        state, b_norm = self._init_cache(b, v0raw, self.operand)
         final, iters = self._solve(state, self.operand, self.diag, b, b_norm)
         errors = np.asarray(final.errors)
         from ._finite import check_finite
