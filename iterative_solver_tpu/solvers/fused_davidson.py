@@ -799,17 +799,20 @@ class FusedDavidson:
         solve = self._solve_cache
         state = self.init_state(v0)
         final, iters = solve(state, self.operand, self.diag)
-        jax.block_until_ready(final.errors)
-        self.iterations += int(iters)
-        self.matvecs += int(iters) * self.nroots * self.matvecs_per_direction
+        # ONE batched fetch: separate np.asarray calls each cost a ~28 ms
+        # tunnel round-trip (x stays on device — callers fetch if needed)
+        evals_h, errors_h, iters_h = jax.device_get(
+            (final.evals, final.errors, iters))
+        self.iterations += int(iters_h)
+        self.matvecs += int(iters_h) * self.nroots * self.matvecs_per_direction
         from ._finite import check_finite
 
-        check_finite(np.asarray(final.errors), "FusedDavidson")
+        check_finite(np.asarray(errors_h), "FusedDavidson")
         return (
-            np.asarray(final.evals),
+            np.asarray(evals_h),
             final.x,
-            np.asarray(final.errors),
-            int(iters),
+            np.asarray(errors_h),
+            int(iters_h),
         )
 
     def run_fast(self, v0):

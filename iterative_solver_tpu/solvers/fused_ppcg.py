@@ -342,13 +342,16 @@ class FusedPPCG:
         state = self.init_state(v0)
         final, iters = self._solve(state, self.operand, self.diag,
                                    self.tol, self.max_iter)
-        evals = np.asarray(final.evals)
+        # ONE batched fetch (each separate np.asarray costs a tunnel RTT)
+        evals, x, errors, iters_h = jax.device_get(
+            (final.evals, final.x, final.errors, iters))
+        evals = np.asarray(evals)
         order = np.argsort(evals)
-        x = np.asarray(final.x)[order]
-        errors = np.asarray(final.errors)[order]
+        x = np.asarray(x)[order]
+        errors = np.asarray(errors)[order]
         from ._finite import check_finite
 
         check_finite(errors, "FusedPPCG")
-        return evals[order], x, errors, int(iters)
+        return evals[order], x, errors, int(iters_h)
 
     run = run_on_device
