@@ -280,7 +280,10 @@ class FusedLinearEquations:
             # row makes A singular), so the auto choice degrades to the
             # largest power-of-two tile that divides n (down to 128, the
             # lane width); below that the explicit divisibility error fires.
-            start = 1024 if tier in ("fast", "int8") else 512
+            # int8_precise joined the b=1024 group in round 3 (two int8
+            # planes are a quarter of the f32 bytes — measured 108 vs 119
+            # us/matvec), same as FusedDavidson.from_dense_symmetric
+            start = 1024 if tier in ("fast", "int8", "int8_precise") else 512
             b = start
             while b > 128 and n % min(b, n) != 0:
                 b //= 2
@@ -326,7 +329,12 @@ class FusedLinearEquations:
     def solve(self, b, x0=None):
         """Returns (x, errors, iterations). b is (nrhs, N)."""
         b_host = np.atleast_2d(np.asarray(b))
-        if not np.all(np.linalg.norm(b_host, axis=1) > 0):
+        # validate at the SOLVER dtype: a b row that underflows to zero in
+        # f32 would otherwise divide the errors by zero and burn max_iter
+        # before dying in check_finite instead of raising cleanly here
+        b_cast = b_host.astype(np.float32 if self.dtype == jnp.float32
+                               else np.float64)
+        if not np.all(np.linalg.norm(b_cast, axis=1) > 0):
             raise RuntimeError("RHS vector cannot be zero")
         b = jnp.asarray(b_host, dtype=self.dtype)
         if self.sharding is not None:
@@ -352,6 +360,14 @@ class FusedLinearEquations:
             self._init_cache = make_linear_init(self.matvec, self.nrhs,
                                                 self.m_max)
         state, b_norm = self._init_cache(b, v0raw, self.operand)
+        if self.sharding is not None:
+            # pin the stacks' placement explicitly (the jitted init leaves
+            # it to GSPMD propagation, which may replicate the (m_max, N)
+            # stacks on a real mesh)
+            state = state._replace(
+                v=jax.device_put(state.v, self.sharding),
+                w=jax.device_put(state.w, self.sharding),
+            )
         final, iters = self._solve(state, self.operand, self.diag, b, b_norm)
         errors = np.asarray(final.errors)
         from ._finite import check_finite

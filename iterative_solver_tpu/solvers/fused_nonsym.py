@@ -111,6 +111,81 @@ def ritz_nonsym(h: np.ndarray, nroots: int):
     return evals, coeff, lam, evals.real.copy()
 
 
+def _make_append(matvec: Callable, r: int, m_max: int, null_thresh: float):
+    """Shared append stage of both chunked families: two-pass classical GS
+    against the live basis, null-drop + Cholesky whitening, stack append,
+    operator application, roll-based mask update. One definition so the
+    invariants (null test, keep/mask bookkeeping) cannot drift between the
+    eigen and linear-equations twins."""
+    from ..ops.kernels.chain_pallas import whiten_after_chain
+
+    def append(v, w, mask, k, t, operand):
+        vm = v * mask[:, None]
+        n0_2 = jnp.einsum("in,in->i", t, t, precision=_PREC)
+        tt = t
+        for _ in range(2):
+            proj = jnp.matmul(tt, vm.T, precision=_PREC)
+            tt = tt - jnp.matmul(proj, vm, precision=_PREC)
+        n2 = jnp.einsum("in,in->i", tt, tt, precision=_PREC)
+        tt, keep = whiten_after_chain(tt, n0_2, n2, r, null_thresh)
+        w_rows = matvec(tt, operand).astype(w.dtype)
+        v_new = jax.lax.dynamic_update_slice(
+            v, tt.astype(v.dtype), (k, jnp.zeros((), k.dtype)))
+        w_new = jax.lax.dynamic_update_slice(
+            w, w_rows, (k, jnp.zeros((), k.dtype)))
+        slot_ids = jax.lax.broadcasted_iota(jnp.int32, (m_max, 1), 0)[:, 0]
+        new_rows = (slot_ids >= k) & (slot_ids < k + r)
+        keep_full = jnp.zeros((m_max,), dtype=bool).at[:r].set(keep)
+        mask_new = jnp.where(new_rows & jnp.roll(keep_full, k), 1.0, mask)
+        return v_new, w_new, mask_new, k + r, tt, w_rows
+
+    return append
+
+
+def _incremental_update(h, v, w, mask, k0, rows):
+    """Incremental projected-matrix update: only the ``rows`` appended
+    slots change (old stack rows are append-only), so two
+    (rows, m_max) @ (m_max, N)-shaped products replace the full
+    2*m_max^2*N recompute (~a third of a matvec at r16/m64). Returns
+    ``(h, new_v)`` — new_v lets the lineq twin update its RHS projection
+    from the same slice."""
+    vm2 = v * mask[:, None]
+    wm2 = w * mask[:, None]
+    zero = jnp.zeros((), k0.dtype)
+    new_v = jax.lax.dynamic_slice(vm2, (k0, zero), (rows, v.shape[1]))
+    new_w = jax.lax.dynamic_slice(wm2, (k0, zero), (rows, w.shape[1]))
+    h = jax.lax.dynamic_update_slice(
+        h, jnp.matmul(new_v, wm2.T, precision=_PREC), (k0, zero))
+    h = jax.lax.dynamic_update_slice(
+        h, jnp.matmul(vm2, new_w.T, precision=_PREC), (zero, k0))
+    return h, new_v
+
+
+def _reset_core(matvec: Callable, r: int, m_max: int, x, operand):
+    """Shared init/restart core: orthonormalise an (r, N) block with
+    zero rows kept DEAD (a straddling-pair window returns r_eff < r rows;
+    re-marking them live puts a zero row/column into H whose spurious
+    eigenvalue 0 can sort below the true spectrum and come back as a
+    "converged" zero eigenvector), apply the operator, lay out fresh
+    stacks. Returns (v, w, mask, h)."""
+    from ..array.vector_ops import chol_jitter
+
+    g = jnp.matmul(x, x.T, precision=_PREC)
+    g = 0.5 * (g + g.T)
+    gd = jnp.diagonal(g)
+    live = gd > 1e-12 * jnp.maximum(jnp.max(gd), 1e-300)
+    g = g + chol_jitter(g.dtype) * jnp.eye(r, dtype=g.dtype)
+    l = jnp.linalg.cholesky(g)
+    t = jax.scipy.linalg.solve_triangular(l, x, lower=True)
+    t = t * live[:, None].astype(t.dtype)
+    w_rows = matvec(t, operand)
+    v = jnp.zeros((m_max, x.shape[1]), x.dtype).at[:r].set(t)
+    w = jnp.zeros((m_max, x.shape[1]), x.dtype).at[:r].set(w_rows)
+    mask = jnp.zeros((m_max,), x.dtype).at[:r].set(live.astype(x.dtype))
+    h = jnp.matmul(v * mask[:, None], (w * mask[:, None]).T, precision=_PREC)
+    return v, w, mask, h
+
+
 def make_nonsym_chunk(matvec: Callable, nroots: int, m_max: int,
                       null_thresh: float = 1e-10, inner: int = 1):
     """``inner`` appends' worth of O(N) work as a single jitted dispatch.
@@ -123,7 +198,7 @@ def make_nonsym_chunk(matvec: Callable, nroots: int, m_max: int,
     shifts go stale within a chunk, which costs a little iteration
     quality for a ``1/inner`` cut in dispatch count — measured trade in
     docs/PERF.md)."""
-    from ..ops.kernels.chain_pallas import whiten_after_chain
+    append = _make_append(matvec, nroots, m_max, null_thresh)
 
     @jax.jit
     def chunk(v, w, mask, k, h, coeff, lam, shifts, operand, diag):
@@ -139,49 +214,15 @@ def make_nonsym_chunk(matvec: Callable, nroots: int, m_max: int,
         scale_est = jnp.max(jnp.abs(diag)) + jnp.max(jnp.abs(shifts))
         denom = diag[None, :] - shifts[:, None] + 1e-15 * scale_est + 1e-300
 
-        def append(v, w, mask, k, t):
-            vm = v * mask[:, None]
-            n0_2 = jnp.einsum("in,in->i", t, t, precision=_PREC)
-            tt = t
-            for _ in range(2):  # two-pass classical GS against the live basis
-                proj = jnp.matmul(tt, vm.T, precision=_PREC)
-                tt = tt - jnp.matmul(proj, vm, precision=_PREC)
-            n2 = jnp.einsum("in,in->i", tt, tt, precision=_PREC)
-            tt, keep = whiten_after_chain(tt, n0_2, n2, nroots, null_thresh)
-            w_rows = matvec(tt, operand).astype(w.dtype)
-            v_new = jax.lax.dynamic_update_slice(
-                v, tt.astype(v.dtype), (k, jnp.zeros((), k.dtype)))
-            w_new = jax.lax.dynamic_update_slice(
-                w, w_rows, (k, jnp.zeros((), k.dtype)))
-            slot_ids = jax.lax.broadcasted_iota(jnp.int32, (m_max, 1), 0)[:, 0]
-            new_rows = (slot_ids >= k) & (slot_ids < k + nroots)
-            keep_full = jnp.zeros((m_max,), dtype=bool).at[:nroots].set(keep)
-            mask_new = jnp.where(new_rows & jnp.roll(keep_full, k), 1.0, mask)
-            return v_new, w_new, mask_new, k + nroots, tt, w_rows
-
         k0 = k
         t = r_blk / denom
-        v, w, mask, k, t_app, w_rows = append(v, w, mask, k, t)
+        v, w, mask, k, t_app, w_rows = append(v, w, mask, k, t, operand)
         for _ in range(inner - 1):
             # frozen-shift enrichment: residual proxy of the block just
             # appended, using its already-computed operator image
             t = (w_rows - shifts[:, None] * t_app) / denom
-            v, w, mask, k, t_app, w_rows = append(v, w, mask, k, t)
-        # TRULY incremental projected matrix: only the appended rows and
-        # columns change (old stack rows are append-only), so two
-        # (inner*r, m_max) @ (m_max, N)-shaped products replace the full
-        # 2*m_max^2*N recompute (~a third of a matvec at r16/m64)
-        vm2 = v * mask[:, None]
-        wm2 = w * mask[:, None]
-        zero = jnp.zeros((), k0.dtype)
-        new_v = jax.lax.dynamic_slice(
-            vm2, (k0, zero), (inner * nroots, v.shape[1]))
-        new_w = jax.lax.dynamic_slice(
-            wm2, (k0, zero), (inner * nroots, w.shape[1]))
-        h = jax.lax.dynamic_update_slice(
-            h, jnp.matmul(new_v, wm2.T, precision=_PREC), (k0, zero))
-        h = jax.lax.dynamic_update_slice(
-            h, jnp.matmul(vm2, new_w.T, precision=_PREC), (zero, k0))
+            v, w, mask, k, t_app, w_rows = append(v, w, mask, k, t, operand)
+        h, _ = _incremental_update(h, v, w, mask, k0, inner * nroots)
         return v, w, mask, k, h, x, errors
 
     return chunk
@@ -190,29 +231,10 @@ def make_nonsym_chunk(matvec: Callable, nroots: int, m_max: int,
 def make_nonsym_reset(matvec: Callable, nroots: int, m_max: int):
     """Init/restart: orthonormalise an (r, N) block, apply the operator,
     lay out fresh (m_max, N) stacks + projected matrix. One dispatch."""
-    from ..array.vector_ops import chol_jitter
 
     @jax.jit
     def reset(x, operand):
-        g = jnp.matmul(x, x.T, precision=_PREC)
-        g = 0.5 * (g + g.T)
-        # a zero row (a straddling-pair window returned r_eff < nroots
-        # rows) must stay DEAD: re-marking it live puts a zero row/column
-        # into H whose spurious eigenvalue 0 can sort below the true
-        # spectrum and come back as a "converged" zero eigenvector
-        gd = jnp.diagonal(g)
-        live = gd > 1e-12 * jnp.maximum(jnp.max(gd), 1e-300)
-        g = g + chol_jitter(g.dtype) * jnp.eye(nroots, dtype=g.dtype)
-        l = jnp.linalg.cholesky(g)
-        t = jax.scipy.linalg.solve_triangular(l, x, lower=True)
-        t = t * live[:, None].astype(t.dtype)
-        w_rows = matvec(t, operand)
-        v = jnp.zeros((m_max, x.shape[1]), x.dtype).at[:nroots].set(t)
-        w = jnp.zeros((m_max, x.shape[1]), x.dtype).at[:nroots].set(w_rows)
-        mask = jnp.zeros((m_max,), x.dtype).at[:nroots].set(
-            live.astype(x.dtype))
-        h = jnp.matmul(v * mask[:, None], (w * mask[:, None]).T,
-                       precision=_PREC)
+        v, w, mask, h = _reset_core(matvec, nroots, m_max, x, operand)
         return v, w, mask, jnp.asarray(nroots, jnp.int32), h
 
     return reset
@@ -416,7 +438,7 @@ def make_nonsym_lineq_chunk(matvec: Callable, nrhs: int, m_max: int,
     projected solve itself happens on the host in f64 (np.linalg) — which
     also sidesteps the TPU f32-eigh accuracy stall the symmetric family
     needed two refinement passes for (fused_linear.py:68-75)."""
-    from ..ops.kernels.chain_pallas import whiten_after_chain
+    append = _make_append(matvec, nrhs, m_max, null_thresh)
 
     @jax.jit
     def chunk(v, w, mask, k, h, beta, coeff, operand, diag, b, b_norm):
@@ -430,73 +452,28 @@ def make_nonsym_lineq_chunk(matvec: Callable, nrhs: int, m_max: int,
         d = diag if diag.ndim == 2 else diag[None, :]
         denom = d + 1e-15 * jnp.max(jnp.abs(d)) + 1e-300
 
-        def append(v, w, mask, k, t):
-            vmm = v * mask[:, None]
-            n0_2 = jnp.einsum("in,in->i", t, t, precision=_PREC)
-            tt = t
-            for _ in range(2):
-                proj = jnp.matmul(tt, vmm.T, precision=_PREC)
-                tt = tt - jnp.matmul(proj, vmm, precision=_PREC)
-            n2 = jnp.einsum("in,in->i", tt, tt, precision=_PREC)
-            tt, keep = whiten_after_chain(tt, n0_2, n2, nrhs, null_thresh)
-            w_rows = matvec(tt, operand).astype(w.dtype)
-            v_new = jax.lax.dynamic_update_slice(
-                v, tt.astype(v.dtype), (k, jnp.zeros((), k.dtype)))
-            w_new = jax.lax.dynamic_update_slice(
-                w, w_rows, (k, jnp.zeros((), k.dtype)))
-            slot_ids = jax.lax.broadcasted_iota(jnp.int32, (m_max, 1), 0)[:, 0]
-            new_rows = (slot_ids >= k) & (slot_ids < k + nrhs)
-            keep_full = jnp.zeros((m_max,), dtype=bool).at[:nrhs].set(keep)
-            mask_new = jnp.where(new_rows & jnp.roll(keep_full, k), 1.0, mask)
-            return v_new, w_new, mask_new, k + nrhs, tt, w_rows
-
         k0 = k
         t = r / denom
-        v, w, mask, k, t_app, w_rows = append(v, w, mask, k, t)
+        v, w, mask, k, t_app, w_rows = append(v, w, mask, k, t, operand)
         for _ in range(inner - 1):
             # Krylov enrichment: precondition the appended block's image
             # (one matvec already paid by the append)
             t = w_rows / denom
-            v, w, mask, k, t_app, w_rows = append(v, w, mask, k, t)
-        vm2 = v * mask[:, None]
-        wm2 = w * mask[:, None]
-        zero = jnp.zeros((), k0.dtype)
-        new_v = jax.lax.dynamic_slice(
-            vm2, (k0, zero), (inner * nrhs, v.shape[1]))
-        new_w = jax.lax.dynamic_slice(
-            wm2, (k0, zero), (inner * nrhs, w.shape[1]))
-        h = jax.lax.dynamic_update_slice(
-            h, jnp.matmul(new_v, wm2.T, precision=_PREC), (k0, zero))
-        h = jax.lax.dynamic_update_slice(
-            h, jnp.matmul(vm2, new_w.T, precision=_PREC), (zero, k0))
+            v, w, mask, k, t_app, w_rows = append(v, w, mask, k, t, operand)
+        h, new_v = _incremental_update(h, v, w, mask, k0, inner * nrhs)
         beta = jax.lax.dynamic_update_slice(
-            beta, jnp.matmul(new_v, b.T, precision=_PREC), (k0, zero))
+            beta, jnp.matmul(new_v, b.T, precision=_PREC),
+            (k0, jnp.zeros((), k0.dtype)))
         return v, w, mask, k, h, beta, x, errors
 
     return chunk
 
 
 def make_nonsym_lineq_reset(matvec: Callable, nrhs: int, m_max: int):
-    from ..array.vector_ops import chol_jitter
-
     @jax.jit
     def reset(x, operand, b):
-        g = jnp.matmul(x, x.T, precision=_PREC)
-        g = 0.5 * (g + g.T)
-        gd = jnp.diagonal(g)
-        live = gd > 1e-12 * jnp.maximum(jnp.max(gd), 1e-300)
-        g = g + chol_jitter(g.dtype) * jnp.eye(nrhs, dtype=g.dtype)
-        l = jnp.linalg.cholesky(g)
-        t = jax.scipy.linalg.solve_triangular(l, x, lower=True)
-        t = t * live[:, None].astype(t.dtype)
-        w_rows = matvec(t, operand)
-        v = jnp.zeros((m_max, x.shape[1]), x.dtype).at[:nrhs].set(t)
-        w = jnp.zeros((m_max, x.shape[1]), x.dtype).at[:nrhs].set(w_rows)
-        mask = jnp.zeros((m_max,), x.dtype).at[:nrhs].set(live.astype(x.dtype))
-        vm = v * mask[:, None]
-        wm = w * mask[:, None]
-        h = jnp.matmul(vm, wm.T, precision=_PREC)
-        beta = jnp.matmul(vm, b.T, precision=_PREC)
+        v, w, mask, h = _reset_core(matvec, nrhs, m_max, x, operand)
+        beta = jnp.matmul(v * mask[:, None], b.T, precision=_PREC)
         return v, w, mask, jnp.asarray(nrhs, jnp.int32), h, beta
 
     return reset
@@ -571,14 +548,17 @@ class FusedNonSymLinearEquations:
 
     def solve(self, b, x0=None):
         """Returns ``(x (nrhs, N), errors (nrhs,), iterations)``."""
-        b_dev = self._put_block(np.atleast_2d(np.asarray(b)))
-        b_norm_host = np.linalg.norm(np.atleast_2d(np.asarray(b)), axis=1)
+        b_host = np.atleast_2d(np.asarray(b))  # ONE fetch if b is on device
+        b_dev = self._put_block(b_host)
+        b_norm_host = np.linalg.norm(b_host, axis=1)
         b_norm = jnp.asarray(np.where(b_norm_host > 0, b_norm_host, 1.0),
                              self.dtype)
         if x0 is None:
             d = np.asarray(self.diag, dtype=np.float64)
-            x0 = np.atleast_2d(np.asarray(b)) / np.where(
-                np.abs(d) > 1e-12, d, 1.0)[None, :]
+            # diag may be (N,) shared or (nrhs, N) per-RHS shifted; both
+            # broadcast against the (nrhs, N) RHS block
+            d2 = d if d.ndim == 2 else d[None, :]
+            x0 = b_host / np.where(np.abs(d2) > 1e-12, d2, 1.0)
         v, w, mask, k, h, beta = self._reset(self._put_block(x0),
                                              self.operand, b_dev)
         self.matvecs += self.nrhs

@@ -279,3 +279,42 @@ class TestFusedNonSymLinearEquations:
         x, errs, it = solver.solve(b)
         assert np.all(errs <= 1e-10)
         assert np.linalg.norm(np.asarray(x)[1]) <= 1e-8
+
+    def test_per_rhs_2d_diagonals_default_x0(self):
+        """(nrhs, N) per-RHS shifted diagonals must work without an explicit
+        x0 (the chunk supports diag.ndim == 2; the default-guess path once
+        broadcast it to 3-D and crashed in the jitted reset)."""
+        from iterative_solver_tpu.solvers.fused_nonsym import (
+            FusedNonSymLinearEquations,
+        )
+
+        n, nrhs = 128, 2
+        m, b = self._problem(n, 0.1, seed=7, nrhs=nrhs)
+        # (nrhs, N) diagonals tune the PRECONDITIONER per RHS row (the
+        # operator itself is shared — a shared-subspace method cannot
+        # solve per-RHS operators; that is FusedBlockCG's territory)
+        diag2 = np.stack([np.diag(m), np.diag(m) * 1.5])
+        solver = FusedNonSymLinearEquations(
+            dense_matvec, diag2, n, nrhs, m_max=12,
+            convergence_threshold=1e-10, max_iter=80, operand=jnp.asarray(m))
+        x, errs, it = solver.solve(b)
+        assert np.all(errs <= 1e-10), errs
+        ref = np.linalg.solve(m, b.T).T
+        np.testing.assert_allclose(np.asarray(x), ref, atol=1e-7)
+
+    def test_zero_rhs_f32_underflow_raises_cleanly(self):
+        """A b row that underflows to zero at the solver dtype must raise
+        the clean zero-RHS error, not burn max_iter (symmetric family)."""
+        from iterative_solver_tpu.solvers.fused_linear import (
+            FusedLinearEquations,
+        )
+
+        n = 64
+        m, b = self._problem(n, 0.0, seed=9, nrhs=2)
+        b[1] = 1e-60  # nonzero in f64, zero in f32
+        solver = FusedLinearEquations(
+            dense_matvec, np.diag(m), n, 2, m_max=12, dtype=jnp.float32,
+            convergence_threshold=1e-5, max_iter=40,
+            operand=jnp.asarray(m, jnp.float32))
+        with pytest.raises(RuntimeError, match="cannot be zero"):
+            solver.solve(b)
