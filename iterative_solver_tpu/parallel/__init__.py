@@ -7,7 +7,7 @@ from .mesh import (
     vector_sharding,
 )
 from . import collectives
-from .sharded_bsr import ShardedBSR
+from .sharded_bsr import ShardedBSR, ShardedBSRInt8
 from .sharded_symm import ShardedSymmetric
 
 __all__ = [
@@ -19,5 +19,6 @@ __all__ = [
     "replicated",
     "collectives",
     "ShardedBSR",
+    "ShardedBSRInt8",
     "ShardedSymmetric",
 ]

@@ -81,3 +81,89 @@ def test_synthetic_generator_properties():
     np.testing.assert_allclose(
         np.asarray(bsr_matmat(jnp.asarray(x), bsr)), x @ dense2.T, atol=1e-10
     )
+
+
+class TestShardedBSRInt8:
+    def _setup(self, n=1024, block=128, seed=3):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        from benchmarks.phenol_scale import synthetic_int8_bsr_direct
+        from iterative_solver_tpu.parallel.sharded_bsr import ShardedBSRInt8
+        from iterative_solver_tpu.parallel.mesh import make_mesh
+
+        bsr_q, diag, s = synthetic_int8_bsr_direct(n, block=block, n_low=16,
+                                                   seed=seed)
+        mesh = make_mesh()
+        sq = ShardedBSRInt8.from_int8(bsr_q, mesh)
+        return bsr_q, diag, s, sq, mesh
+
+    def test_matches_unsharded_int8_action(self):
+        """Sharded int8 action == single-device bsr_matmat_int8 exactly up
+        to activation-quantization determinism (same global row scales)."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from benchmarks.phenol_scale import make_device_int8_matvec
+
+        n = 1024
+        bsr_q, diag, s, sq, mesh = self._setup(n)
+        x = np.random.default_rng(0).standard_normal((4, n))
+
+        mv_ref = make_device_int8_matvec(bsr_q.bm, bsr_q.bn, n // bsr_q.bm)
+        op_ref = (jnp.asarray(bsr_q.q), jnp.asarray(bsr_q.rq),
+                  jnp.asarray(bsr_q.cq), jnp.asarray(bsr_q.diagonal),
+                  jnp.asarray(bsr_q.col_idx), jnp.asarray(bsr_q.row_idx))
+        want = np.asarray(mv_ref(jnp.asarray(x, jnp.float32), op_ref),
+                          dtype=np.float64)
+
+        mv, operand = sq.matvec_fn()
+        xs = jax.device_put(jnp.asarray(x, jnp.float32),
+                            NamedSharding(mesh, P(None, "data")))
+        got = np.asarray(mv(xs, operand), dtype=np.float64)
+        # same int8 operator, same global activation scale -> identical
+        # int32 accumulation; only f32 dequant rounding differs
+        np.testing.assert_allclose(got, want, atol=1e-5 * np.abs(want).max())
+
+    def test_matches_exact_f64_within_activation_error(self):
+        from benchmarks.phenol_scale import host_f64_action
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n = 1024
+        bsr_q, diag, s, sq, mesh = self._setup(n, seed=5)
+        x = np.random.default_rng(1).standard_normal((4, n))
+        want = host_f64_action(bsr_q, diag, s)(x)
+        mv, operand = sq.matvec_fn()
+        xs = jax.device_put(jnp.asarray(x, jnp.float32),
+                            NamedSharding(mesh, P(None, "data")))
+        got = np.asarray(mv(xs, operand), dtype=np.float64)
+        scale = np.abs(want).max()
+        assert np.abs(got - want).max() <= 2e-4 * max(scale, 1.0)
+
+    def test_fused_davidson_over_sharded_int8(self):
+        """Whole fused solve through the sharded quantized sparse action."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from iterative_solver_tpu.solvers.fused_davidson import FusedDavidson
+
+        n, nroots = 1024, 4
+        bsr_q, diag, s, sq, mesh = self._setup(n, seed=7)
+        mv, operand = sq.matvec_fn()
+        solver = FusedDavidson(
+            mv, diag, n, nroots, m_max=16,
+            sharding=NamedSharding(mesh, P(None, "data")), operand=operand,
+            convergence_threshold=5e-4, max_iter=80, dtype=jnp.float32,
+            check_symmetric=True,
+        )
+        v0 = np.zeros((nroots, n))
+        for row, i in enumerate(np.argsort(diag)[:nroots]):
+            v0[row, i] = 1.0
+        evals, x, errs, it = solver.run_on_device(v0)
+        assert np.all(np.asarray(errs) <= 5e-4), errs
+        # eigenvalues vs the dense f64 reconstruction of the SAME operator
+        from test_phenol_scale import dense_from_int8_bsr
+
+        dense = dense_from_int8_bsr(bsr_q, diag, s)
+        ref = np.linalg.eigvalsh(dense)[:nroots]
+        assert np.abs(np.asarray(evals) - ref).max() <= 5e-3
