@@ -94,7 +94,33 @@ def main() -> None:
     packed_err = float(np.max(np.abs(y - x @ mat)))
     assert packed_err < 1e-10, packed_err
 
-    print(f"RESULT {int(iters)} {err:.3e} {errors.max():.3e} {packed_err:.3e}",
+    # phase 3: the quantized sharded sparse action — the int8 halo
+    # exchange + (m,) pmax activation scale riding the inter-process
+    # fabric, partial int32 sums exact across processes
+    from iterative_solver_tpu.ops.kernels.spmv_pallas import (
+        BSRMatrix,
+        BSRMatrixInt8,
+        bsr_matmat_int8,
+    )
+    from iterative_solver_tpu.parallel.sharded_bsr import ShardedBSRInt8
+
+    bsr = BSRMatrix.from_dense(mat, bm=16, bn=16, tol=0.0)
+    bsr_q = BSRMatrixInt8.from_bsr(bsr)
+    sq = ShardedBSRInt8.from_int8(bsr_q, mesh)
+    q_matvec, q_operand = sq.matvec_fn()
+    xq = jax.device_put(jnp.asarray(x, jnp.float32),
+                        NamedSharding(mesh, P(None, sq.axis)))
+    yq_sharded = jax.jit(q_matvec)(xq, q_operand)
+    yq = np.asarray(multihost_utils.process_allgather(yq_sharded, tiled=True),
+                    dtype=np.float64)
+    y_ref = np.asarray(bsr_matmat_int8(jnp.asarray(x, jnp.float32), bsr_q),
+                       dtype=np.float64)
+    int8_err = float(np.max(np.abs(yq - y_ref)))
+    int8_scale = max(float(np.max(np.abs(y_ref))), 1.0)
+    assert int8_err <= 1e-4 * int8_scale, (int8_err, int8_scale)
+
+    print(f"RESULT {int(iters)} {err:.3e} {errors.max():.3e} {packed_err:.3e} "
+          f"{int8_err:.3e}",
           flush=True)
 
 
