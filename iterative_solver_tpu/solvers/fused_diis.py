@@ -254,8 +254,11 @@ class FusedDIIS:
         )
         final, iters = self._solve(state, self.operand, self._dinv,
                                    self.convergence_threshold, self.max_iter)
-        err = float(np.asarray(final.err))  # host fetch = true sync (CLAUDE.md)
+        # ONE batched fetch (a host fetch is the only true tunnel sync,
+        # and each separate np.asarray costs a ~28 ms round-trip)
+        x_h, err_h, it_h = jax.device_get((final.x, final.err, iters))
+        err = float(np.asarray(err_h))
         from ._finite import check_finite
 
         check_finite(err, "FusedDIIS")
-        return np.asarray(final.x), err, int(iters)
+        return np.asarray(x_h), err, int(it_h)

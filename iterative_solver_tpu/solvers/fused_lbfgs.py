@@ -169,8 +169,11 @@ class FusedLBFGS:
             jnp.sqrt(jnp.matmul(g0, g0, precision=jax.lax.Precision.HIGHEST)),
         )
         final, iters = self._solve(state, self.operand)
-        jax.block_until_ready(final.x)
+        # ONE batched fetch — separate float()/np.asarray() calls each cost
+        # a ~28 ms tunnel round-trip
+        x_h, f_h, g_h, it_h = jax.device_get(
+            (final.x, final.f, final.gnorm, iters))
         from ._finite import check_finite
 
-        check_finite([float(final.f), float(final.gnorm)], "FusedLBFGS")
-        return np.asarray(final.x), float(final.f), float(final.gnorm), int(iters)
+        check_finite([float(f_h), float(g_h)], "FusedLBFGS")
+        return np.asarray(x_h), float(f_h), float(g_h), int(it_h)
