@@ -1028,7 +1028,7 @@ def main(big: bool = False, phenol: bool = False):
         runner.run("banded_stream", leg_banded_stream, budget_s=300)
         runner.run("nonsym", leg_nonsym, budget_s=420)
     if big and backend == "tpu":
-        runner.run("n32768", leg_big, budget_s=900)
+        runner.run("n32768", leg_big, budget_s=1800)  # 8.6 GB host packing alone can cost ~10 min on a slow-memory host
     if phenol and backend == "tpu":
         from benchmarks.phenol_scale import leg_phenol_scale
 
