@@ -399,7 +399,11 @@ class FusedNonSymDavidson:
             shifts_full = np.zeros((self.nroots,))
             shifts_full[:r_eff] = shifts
             room = (self.m_max - k_host) // self.nroots
-            inner_now = max(1, min(self.inner, room))
+            # keep at least one residual-driven append before the next
+            # restart: letting enrichment fill the basis in one chunk makes
+            # every cycle collapse-and-refill with stale-shift directions
+            # only (measured stall at m_max=3r with inner=2)
+            inner_now = max(1, min(self.inner, room - 1 if room > 1 else 1))
             v, w, mask, k, h, x, errs_dev = self._chunk_fn(inner_now)(
                 v, w, mask, k, h,
                 jnp.asarray(coeff, self.dtype),
@@ -591,7 +595,9 @@ class FusedNonSymLinearEquations:
             coeff = np.zeros((self.nrhs, self.m_max))
             coeff[:, act] = cm.T
             room = (self.m_max - k_host) // self.nrhs
-            inner_now = max(1, min(self.inner, room))
+            # same rule as the eigen family: keep one residual-driven
+            # append before the next restart
+            inner_now = max(1, min(self.inner, room - 1 if room > 1 else 1))
             v, w, mask, k, h, beta, x, errs_dev = self._chunk_fn(inner_now)(
                 v, w, mask, k, h, beta,
                 jnp.asarray(coeff, self.dtype),

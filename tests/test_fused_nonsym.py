@@ -318,3 +318,26 @@ class TestFusedNonSymLinearEquations:
             operand=jnp.asarray(m, jnp.float32))
         with pytest.raises(RuntimeError, match="cannot be zero"):
             solver.solve(b)
+
+
+class TestNonSymSoak:
+    def test_200_cycles_at_the_floor_stay_sane(self):
+        """Long iteration at an unreachable tolerance: the best-snapshot
+        guard must hold the returned state at the floor through many
+        contamination/restart cycles (f32, 200 outer iterations)."""
+        n, nroots = 256, 3
+        rng = np.random.default_rng(11)
+        a = rng.standard_normal((n, n)) * (0.03 / np.sqrt(n))
+        d = np.concatenate([np.linspace(-2.0, 0.0, 8),
+                            np.linspace(2.0, 15.0, n - 8)])
+        m = a + a.T + np.diag(d)
+        m[np.tril_indices(n, -1)] *= 0.85
+        solver = FusedNonSymDavidson(
+            dense_matvec, np.diag(m), n, nroots, m_max=12,
+            dtype=jnp.float32, convergence_threshold=1e-13, max_iter=200,
+            operand=jnp.asarray(m, jnp.float32))
+        evals, x, errs, it = solver.solve(guess(m, nroots))
+        assert errs.max() < 1e-3, errs
+        ref = dense_lowest(m, nroots)
+        np.testing.assert_allclose(np.sort(evals.real), np.sort(ref.real),
+                                   atol=1e-3)

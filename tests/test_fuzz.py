@@ -184,3 +184,34 @@ def test_fuzz_fused_nonsym(seed):
     ref = np.sort(w.real)[:len(evals)]
     np.testing.assert_allclose(np.sort(evals.real), ref, atol=1e-7,
                                err_msg=f"seed {seed}")
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_fused_nonsym_lineq(seed):
+    """Random non-symmetric multi-RHS systems through the chunked path."""
+    from iterative_solver_tpu.solvers.fused_nonsym import (
+        FusedNonSymLinearEquations,
+    )
+
+    rng = np.random.default_rng(5000 + seed)
+    n = int(rng.integers(64, 300))
+    nrhs = int(rng.integers(1, 4))
+    strength = float(rng.uniform(0.0, 0.4))
+    a = rng.standard_normal((n, n)) * (0.05 / np.sqrt(n))
+    mat = a + a.T + np.diag(np.linspace(1.0, 15.0, n))
+    mat[np.tril_indices(n, -1)] *= 1.0 - strength
+    b = rng.standard_normal((nrhs, n))
+
+    def mv(x, op):
+        return jnp.matmul(x, op.T, precision=jax.lax.Precision.HIGHEST)
+
+    solver = FusedNonSymLinearEquations(
+        mv, np.diag(mat), n, nrhs,
+        m_max=int(rng.integers(2 * nrhs + 2, 5 * nrhs + 6)),
+        convergence_threshold=1e-10, max_iter=150,
+        inner=int(rng.integers(1, 3)), operand=jnp.asarray(mat))
+    x, errs, it = solver.solve(b)
+    assert np.all(errs <= 1e-10), (seed, errs, it)
+    ref = np.linalg.solve(mat, b.T).T
+    rel = np.linalg.norm(np.asarray(x) - ref) / np.linalg.norm(ref)
+    assert rel <= 1e-8, (seed, rel)
