@@ -1044,6 +1044,8 @@ if __name__ == "__main__":
                     help="add the n=32768 r64 peak leg (8.6 GB host setup)")
     ap.add_argument("--phenol", action="store_true",
                     help="add the phenol-scale composition leg (n>=2^20 "
-                         "int8 BSR + streamed tier + refine to 1e-8)")
+                         "int8 BSR + streamed tier + refine to 1e-8); "
+                         "raise BENCH_BUDGET_S to >=3000 — the leg alone "
+                         "measured 732 s on the tunneled chip")
     args = ap.parse_args()
     main(big=args.big, phenol=args.phenol)
