@@ -51,7 +51,10 @@ def synthetic_int8_bsr_direct(n: int, block: int = 128,
     Returns ``(bsr_q_host, diag_f64, s_scale)`` where ``bsr_q_host`` is a
     BSRMatrixInt8 with NUMPY fields (ship to device selectively) and the
     true operator is  A = diag + (s/127) * Q  on the stored topology."""
-    from iterative_solver_tpu.ops.kernels.spmv_pallas import BSRMatrixInt8
+    from iterative_solver_tpu.ops.kernels.spmv_pallas import (
+        BSRMatrixInt8,
+        check_int8_accum_headroom,
+    )
 
     rng = np.random.default_rng(seed)
     assert n % block == 0
@@ -94,6 +97,8 @@ def synthetic_int8_bsr_direct(n: int, block: int = 128,
     # 1/sqrt(127) factors folded into rq/cq -> rq=cq=sqrt(s)/sqrt(127)
     # gives a_ij = q_ij * s / 127 in [-s, s]
     v = np.full(n, np.sqrt(s) / sqrt127, dtype=np.float32)
+    # direct construction bypasses from_bsr — run its headroom guard here
+    check_int8_accum_headroom(rows, block, context="phenol_scale")
     bsr_q = BSRMatrixInt8(
         q=q_all, rq=v, cq=v.copy(), col_idx=cols, row_idx=rows,
         row_ptr=row_ptr, shape=(n, n), bm=block, bn=block,

@@ -240,6 +240,26 @@ def _bsr_matmat_pallas_impl(row_ptr, col_idx, x, values, *, m, n, bm, bn, n_rb, 
 # winning path.
 
 
+def check_int8_accum_headroom(row_idx, bn: int,
+                              context: str = "BSRMatrixInt8") -> None:
+    """Exact-int32 accumulation headroom guard (same hazard as
+    symm_int8._check_acc_headroom): each output entry receives one int8 dot
+    per block in its row, each bounded by 127*127*bn — int32 wraparound
+    would be silent finite garbage, so refuse loudly. Shared by every
+    int8-BSR construction path (from_bsr, ShardedBSRInt8.from_int8, and
+    direct-constructor callers like benchmarks/phenol_scale.py)."""
+    rows = np.asarray(row_idx)
+    max_bpr = int(np.bincount(rows).max()) if rows.size else 0
+    if max_bpr * 127 * 127 * bn >= 2 ** 31:
+        limit = 2 ** 31 // (127 * 127)
+        raise ValueError(
+            f"{context}: densest block row has {max_bpr} blocks x "
+            f"bn={bn} (effective {max_bpr * bn} columns) — exceeds the "
+            f"exact-int32 accumulation headroom (~{limit} effective "
+            "columns); split the operator over a mesh or use a float "
+            "tier")
+
+
 @dataclasses.dataclass
 class BSRMatrixInt8:
     """Quantized BSR: one int8 plane + row/col equilibration + exact diag."""
@@ -272,19 +292,7 @@ class BSRMatrixInt8:
         cols = np.asarray(bsr.col_idx)
         bm, bn = bsr.bm, bsr.bn
         n_pad, m_pad = bsr.shape
-        # exact-int32 accumulation headroom (same hazard as
-        # symm_int8._check_acc_headroom): each output entry receives one
-        # int8 dot per block in its row, each bounded by 127*127*bn —
-        # wraparound would be silent finite garbage, so refuse loudly
-        max_bpr = int(np.bincount(rows).max()) if rows.size else 0
-        if max_bpr * 127 * 127 * bn >= 2 ** 31:
-            limit = 2 ** 31 // (127 * 127)
-            raise ValueError(
-                f"BSRMatrixInt8: densest block row has {max_bpr} blocks x "
-                f"bn={bn} (effective {max_bpr * bn} columns) — exceeds the "
-                f"exact-int32 accumulation headroom (~{limit} effective "
-                "columns); split the operator over a mesh or use a float "
-                "tier")
+        check_int8_accum_headroom(rows, bn)
         # the diagonal split needs the matrix diagonal to align with the
         # diagonal BLOCKS — square matrix and square blocks only
         square = n_pad == m_pad and bm == bn and bsr.diagonal is not None

@@ -30,7 +30,7 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.kernels.spmv_pallas import BSRMatrix
+from ..ops.kernels.spmv_pallas import BSRMatrix, check_int8_accum_headroom
 from .mesh import DATA_AXIS
 
 Array = jax.Array
@@ -226,6 +226,10 @@ class ShardedBSRInt8:
         row_idx = np.asarray(bsr_q.row_idx)
         col_idx = np.asarray(bsr_q.col_idx)
         q = np.asarray(bsr_q.q)
+        # per-device segment_sum accumulates the same way the single-device
+        # path does — the guard must hold here too (a direct-constructor
+        # BSRMatrixInt8 never passed through from_bsr's check)
+        check_int8_accum_headroom(row_idx, bn, context="ShardedBSRInt8")
         owners = row_idx // rb_per_dev
         col_owner = col_idx // rb_per_dev
         loc_groups, rem_groups = [], []

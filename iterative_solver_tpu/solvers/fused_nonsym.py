@@ -75,7 +75,34 @@ def ritz_nonsym(h: np.ndarray, nroots: int):
     while i < nroots:
         li = w[i]
         if abs(li.imag) > 1e-13 * max(1.0, abs(li)):
-            # conjugate partner is adjacent after the stable real-part sort
+            # For a REAL h, LAPACK returns exact conjugate pairs adjacent
+            # and the stable real-part sort keeps them adjacent (pair
+            # members share an exactly equal key). Still, verify before
+            # consuming slot i+1: a distinct root with near-equal real
+            # part must not be silently overwritten with the synthesized
+            # conjugate. If the partner sits elsewhere, swap it in.
+            d = np.abs(w[i + 1:] - np.conj(li))
+            if d.size:
+                j = i + 1 + int(np.argmin(d))
+                if d[j - (i + 1)] <= 1e-8 * max(1.0, abs(li)) and j != i + 1:
+                    w[[i + 1, j]] = w[[j, i + 1]]
+                    vr[:, [i + 1, j]] = vr[:, [j, i + 1]]
+            if (d.size == 0
+                    or abs(w[i + 1] - np.conj(li)) > 1e-8 * max(1.0, abs(li))):
+                # no conjugate partner anywhere (cannot happen for real h;
+                # defensive for near-degenerate f32-noise spectra): treat
+                # the root independently at its real part rather than
+                # fabricating a partner
+                y = vr[:, i].real
+                nrm = np.linalg.norm(y)
+                mx = int(np.argmax(np.abs(y)))
+                if y[mx] < 0:
+                    y = -y
+                coeff[i] = y / (nrm if nrm > 0 else 1.0)
+                lam[i, i] = li.real
+                evals[i] = li.real
+                i += 1
+                continue
             if i + 1 >= nroots:
                 # pair straddles the window boundary: DROP it rather than
                 # split a conjugate pair (the reference never tracks half
@@ -275,6 +302,10 @@ class FusedNonSymDavidson:
         self.m_max = m_max if m_max is not None else max(4 * nroots, 2 * nroots + 2)
         if self.m_max < 2 * nroots:
             raise ValueError("m_max must be >= 2*nroots")
+        if max_iter < 1:
+            # the loop body must run at least once or solve() has no
+            # x_out to return (None slicing -> opaque TypeError)
+            raise ValueError("max_iter must be >= 1")
         self.dtype = dtype
         self.sharding = sharding
         self.tol = convergence_threshold
@@ -363,6 +394,8 @@ class FusedNonSymDavidson:
         # the best state and return it if iteration past the floor turns
         # catastrophic instead of handing the user the explosion.
         best = None  # (max_err, evals, x, errors, r_eff)
+        spikes = 0   # consecutive 10x-best cycles (a single spike can be a
+                     # benign post-restart transient — require persistence)
         for _ in range(self.max_iter):
             # ONE batched fetch per outer cycle (h + mask + previous
             # chunk's errors) — separate np.asarray calls each cost a
@@ -378,10 +411,16 @@ class FusedNonSymDavidson:
                     best = (errors.max(), evals, x_out, errors, r_eff)
                 if np.all(errors <= self.tol):
                     break
-                if best is not None and errors.max() > 10.0 * best[0] + 1e-300:
+                if errors.max() > 10.0 * best[0] + 1e-300:
                     # floor-noise contamination of the non-variational eig:
-                    # stop and return the best state seen
-                    break
+                    # stop and return the best state seen — but only after
+                    # TWO consecutive spike cycles (one can be a benign
+                    # transient right after a restart)
+                    spikes += 1
+                    if spikes >= 2:
+                        break
+                else:
+                    spikes = 0
             h_host = np.asarray(h_host, dtype=np.float64)
             act = np.where(np.asarray(mask_host) > 0.5)[0]
             hm = h_host[np.ix_(act, act)]
@@ -521,6 +560,8 @@ class FusedNonSymLinearEquations:
         self.m_max = m_max if m_max is not None else max(4 * nrhs, min(n, 24))
         if self.m_max < 2 * nrhs:
             raise ValueError("m_max must be >= 2*nrhs")
+        if max_iter < 1:
+            raise ValueError("max_iter must be >= 1")
         self.dtype = dtype
         self.sharding = sharding
         self.tol = convergence_threshold
@@ -571,6 +612,7 @@ class FusedNonSymLinearEquations:
         k_host = self.nrhs
         errs_dev = None
         best = None
+        spikes = 0
         for _ in range(self.max_iter):
             if errs_dev is None:
                 h_host, beta_host, mask_host = jax.device_get((h, beta, mask))
@@ -583,7 +625,13 @@ class FusedNonSymLinearEquations:
                 if np.all(errors <= self.tol):
                     break
                 if errors.max() > 10.0 * best[0] + 1e-300:
-                    break
+                    # same 2-consecutive-cycle persistence rule as the
+                    # eigen family (single spikes can be restart transients)
+                    spikes += 1
+                    if spikes >= 2:
+                        break
+                else:
+                    spikes = 0
             act = np.where(np.asarray(mask_host) > 0.5)[0]
             hm = np.asarray(h_host, np.float64)[np.ix_(act, act)]
             bm = np.asarray(beta_host, np.float64)[act]

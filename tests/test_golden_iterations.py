@@ -22,7 +22,7 @@ import sys
 import numpy as np
 import pytest
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 if __name__ == "__main__":  # script mode (--regen): no conftest ran
     import jax

@@ -85,8 +85,10 @@ def test_synthetic_generator_properties():
 
 class TestShardedBSRInt8:
     def _setup(self, n=1024, block=128, seed=3):
+        import os
         import sys
-        sys.path.insert(0, "/root/repo")
+        sys.path.insert(0, os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
         from benchmarks.phenol_scale import synthetic_int8_bsr_direct
         from iterative_solver_tpu.parallel.sharded_bsr import ShardedBSRInt8
         from iterative_solver_tpu.parallel.mesh import make_mesh
