@@ -4,25 +4,33 @@ Runs on whatever backend the environment provides (the driver supplies one
 real TPU chip). Measurements, one JSON line per completed leg (the LAST
 line is always the most complete record — the driver parses that).
 
-UN-LOSABLE HARNESS (round-3, after BENCH_r02 recorded nothing at rc=124):
+UN-LOSABLE HARNESS (round-3, after BENCH_r02 recorded nothing at rc=124;
+round-4 compact contract, after BENCH_r03 ran 16/16 legs yet parsed null):
 
 - a trivial-compile CANARY runs first in a subprocess with a hard timeout:
   it must jit, execute and FETCH a kernel result through the tunnel. The
   known axon degradation mode is compiles hanging entirely (PERF.md), and
   ``jax.default_backend()`` alone does not detect it. On canary failure the
   bench degrades to a small CPU leg and still records a parseable line.
+- stdout carries ONLY compact summary lines (<= ~1.4 KB, leading keys
+  metric/value/vs_baseline always intact): the driver parses the LAST
+  line out of a ~2000-char stdout tail, and round 3's full-record line
+  (3.6 KB by leg 16) overflowed that window. The FULL record mirrors to
+  ``BENCH_partial.json`` (git-tracked) after every leg.
 - every leg runs under a ``signal.alarm`` budget; a hung or failing leg is
   recorded in ``legs_skipped`` and the bench moves on. CAVEAT: the alarm
   only fires between Python bytecodes — a leg blocked inside a C-level
-  call (remote compile, tunnel fetch) cannot be interrupted, which is why
-  the pre-leg emission below matters: even then, the artifact holds every
-  completed leg when the driver kills the process.
-- a complete JSON line is (re-)printed after EVERY leg, so a driver-side
-  timeout can only lose the in-flight leg, never the artifact. The same
-  line is mirrored to ``BENCH_partial.json``.
-- two consecutive leg timeouts mark the tunnel dead and skip the remaining
-  TPU legs instead of burning the global budget (``BENCH_BUDGET_S``,
-  default 1500 s) one alarm at a time.
+  call (remote compile, tunnel fetch) cannot be interrupted. Two defences:
+  the pre-leg emission bounds the loss to one leg when the driver kills a
+  wedged process, and heavy legs run their FIRST (compiling) invocation
+  out-of-process (``benchmarks/warm_compile.py``) under a hard subprocess
+  timeout, so a compile hang is killable and feeds the breaker.
+- two consecutive leg/warm timeouts mark the tunnel dead and skip the
+  remaining TPU legs instead of burning the global budget
+  (``BENCH_BUDGET_S``, default 2700 s) one alarm at a time.
+- the phenol-scale composition and the n32768 peak AUTO-ENABLE when the
+  tunnel is alive and the remaining budget clears their measured cold
+  cost (they shrink or skip honestly otherwise).
 
 Methodology (unchanged from rounds 1-2):
 
@@ -125,38 +133,133 @@ def tpu_canary(timeout_s: float = 240.0, retry_sleep_s: float = 15.0):
 
 class LegRunner:
     """Run bench legs with per-leg SIGALRM budgets, a global deadline, and
-    a full JSON emission after every leg (last stdout line = most complete
-    record; mirrored to ``partial_path``)."""
+    an emission after every leg.
+
+    EMISSION CONTRACT (round 4 — BENCH_r02 AND r03 both reached the driver
+    unparsed): the driver keeps only a ~2000-char stdout tail and parses
+    the LAST line. Round 3's full-record line grew to 3.6 KB by leg 16 and
+    its LEADING keys (metric/value/vs_baseline) fell outside the window.
+    So stdout now carries ONLY a compact summary line (hard-capped at
+    ``MAX_COMPACT_BYTES`` — core keys + one headline scalar per leg,
+    trailing per-leg fields dropped first if ever over). The FULL record
+    is mirrored to ``partial_path`` (tracked in git) after every leg.
+    """
+
+    # core keys always present in the compact line, in emission order
+    COMPACT_CORE = ("metric", "value", "unit", "vs_baseline", "backend",
+                    "canary", "status", "elapsed_s")
+    # one-scalar-per-leg whitelist (ordered by importance: later entries
+    # are dropped first if the line ever exceeds MAX_COMPACT_BYTES)
+    COMPACT_LEG_FIELDS = (
+        "block_iter_time_ms",
+        "fast_converged",
+        "fast_max_residual_f64",
+        "turbo_int8_gflops",
+        "int8_precise_gflops",
+        "int8_precise_converged",
+        "precise_tier_gflops",
+        "r32_gflops",
+        "r4_gflops",
+        "eigenvalue_error_vs_dense_f64",
+        "precise_1e8_max_residual_f64",
+        "n16384_r64_gflops",
+        "n16384_r64_int8_gflops",
+        "hard_ppcg_iterations",
+        "hard_ppcg_converged",
+        "hard_window_iterations",
+        "spmv_gnnz_per_s",
+        "spmv_int8_gnnz_per_s",
+        "nonsym_vs_sym_factor",
+        "nonsym_converged",
+        "banded_stream_wall_s",
+        "banded_stream_converged",
+        "offload_overlap_factor_med",
+        "offload_h2d_MBps",
+        "n32768_r64_gflops",
+        "n32768_r64_int8_gflops",
+        "n32768_r64_converged",
+        "phenol_n",
+        "phenol_nnz",
+        "phenol_wall_s",
+        "phenol_max_residual_f64",
+        "phenol_converged",
+        "dispatch_constant_ms",
+        "solve_iterations",
+    )
+    MAX_COMPACT_BYTES = 1400  # driver tail window is ~2000 chars
 
     def __init__(self, result: dict, budget_s: float | None = None,
                  partial_path: str | None = "BENCH_partial.json"):
         self.result = result
         self.t0 = time.time()
         self.budget = (budget_s if budget_s is not None
-                       else float(os.environ.get("BENCH_BUDGET_S", "1500")))
+                       else float(os.environ.get("BENCH_BUDGET_S", "2700")))
         self.partial_path = partial_path
         self.consecutive_timeouts = 0
         self.dead = False
         result.setdefault("legs_done", [])
         result.setdefault("legs_skipped", {})
 
+    def compact(self) -> dict:
+        """Compact summary: guaranteed to serialize under
+        MAX_COMPACT_BYTES with the leading keys intact."""
+        r = self.result
+        out = {k: r[k] for k in self.COMPACT_CORE if k in r}
+        out["legs_done"] = len(r.get("legs_done", []))
+        sk = r.get("legs_skipped", {})
+        if sk:
+            out["legs_skipped"] = {k: str(v)[:48] for k, v in sk.items()}
+        fields = [k for k in self.COMPACT_LEG_FIELDS if k in r]
+        for k in fields:
+            out[k] = r[k]
+        while fields and len(json.dumps(out)) > self.MAX_COMPACT_BYTES:
+            out.pop(fields.pop())
+        return out
+
     def emit(self, status: str = "running") -> None:
         self.result["status"] = status
         self.result["elapsed_s"] = round(time.time() - self.t0, 1)
-        line = json.dumps(self.result)
-        print(line, flush=True)
+        print(json.dumps(self.compact()), flush=True)
         if self.partial_path:
             try:
                 with open(self.partial_path, "w") as fh:
-                    fh.write(line + "\n")
+                    fh.write(json.dumps(self.result) + "\n")
             except OSError:
                 pass
 
     def remaining(self) -> float:
         return self.budget - (time.time() - self.t0)
 
+    def warm(self, name: str, warm_cmd, timeout_s: float) -> bool:
+        """Run a leg's first (compiling) invocation OUT-OF-PROCESS with a
+        hard timeout. SIGALRM cannot interrupt a C-level hang (a wedged
+        remote compile blocks the whole bench until the driver kills it);
+        a subprocess can always be killed, and the persistent compile
+        cache makes the in-process re-compile cheap. A warm TIMEOUT is
+        evidence of the uninterruptible-hang mode and counts toward the
+        dead-tunnel breaker; a fast nonzero exit means the tunnel answers
+        (no hang risk) so the leg still runs."""
+        try:
+            probe = subprocess.run(warm_cmd, capture_output=True, text=True,
+                                   timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            self.result["legs_skipped"][name] = f"warm_timeout_{int(timeout_s)}s"
+            self.consecutive_timeouts += 1
+            if self.consecutive_timeouts >= 2:
+                self.dead = True
+            self.emit()
+            return False
+        if probe.returncode != 0:
+            # record but do not skip: failing fast is not hanging
+            self.result.setdefault("warm_failures", {})[name] = (
+                f"rc={probe.returncode}:{probe.stderr.strip()[-120:]}")
+        else:
+            self.consecutive_timeouts = 0
+        return True
+
     def run(self, name: str, fn, budget_s: float = 300.0,
-            needs: tuple = ()) -> bool:
+            needs: tuple = (), warm_cmd=None,
+            warm_timeout_s: float | None = None) -> bool:
         done = self.result["legs_done"]
         skipped = self.result["legs_skipped"]
         missing = [p for p in needs if p not in done]
@@ -172,6 +275,11 @@ class LegRunner:
             skipped[name] = "deadline"
             self.emit()
             return False
+        if warm_cmd is not None:
+            wt = warm_timeout_s if warm_timeout_s is not None else min(
+                budget_s, 300.0)
+            if not self.warm(name, warm_cmd, wt):
+                return False
         budget = max(1, int(min(budget_s, max(self.remaining(), 60.0))))
 
         def _handler(signum, frame):
@@ -989,11 +1097,18 @@ def main(big: bool = False, phenol: bool = False):
             "n32768_r64_int8_converged": bool(res_n32q <= 5e-3),
         })
 
-    R["n32768_enabled"] = bool(big and backend == "tpu")
+    def warm_cmd(leg):
+        """First-compile subprocess command (benchmarks/warm_compile.py) —
+        a C-level compile hang becomes a killable subprocess timeout that
+        feeds the dead-tunnel breaker. TPU only (CPU compiles locally)."""
+        if backend != "tpu":
+            return None
+        return [sys.executable, "-m", "benchmarks.warm_compile", leg]
 
     # ---- schedule: most important first, so a driver-side kill loses the
     # least valuable tail, never the headline ----
-    runner.run("headline", leg_headline, budget_s=480)
+    runner.run("headline", leg_headline, budget_s=480,
+               warm_cmd=warm_cmd("headline"))
     if backend == "tpu":
         runner.run("turbo_int8", leg_turbo_int8, budget_s=300)
         runner.run("int8_precise", leg_int8_precise, budget_s=300)
@@ -1004,7 +1119,8 @@ def main(big: bool = False, phenol: bool = False):
         runner.run("r32", leg_r32, budget_s=240)
     runner.run("precise_1e8", leg_precise_1e8, budget_s=300, needs=("precise16",))
     if backend == "tpu":
-        runner.run("n16384", leg_n16384, budget_s=480)
+        runner.run("n16384", leg_n16384, budget_s=480,
+                   warm_cmd=warm_cmd("n16384"))
         runner.run("n16384_int8", leg_n16384_int8, budget_s=300, needs=("n16384",))
         runner.run("hard_spectrum", leg_hard_spectrum, budget_s=420)
     runner.run("spmv", leg_spmv, budget_s=300)
@@ -1027,12 +1143,29 @@ def main(big: bool = False, phenol: bool = False):
         runner.run("offload", leg_offload, budget_s=300)
         runner.run("banded_stream", leg_banded_stream, budget_s=300)
         runner.run("nonsym", leg_nonsym, budget_s=420)
-    if big and backend == "tpu":
-        runner.run("n32768", leg_big, budget_s=1800)  # 8.6 GB host packing alone can cost ~10 min on a slow-memory host
-    if phenol and backend == "tpu":
+
+    # ---- big legs: AUTO-ENABLE when the tunnel is alive and the budget
+    # clears a measured cold-cost guard (VERDICT r3 #2/#6 — these were
+    # opt-in and never reached a driver artifact). Explicit flags force. --
+    run_phenol = backend == "tpu" and not runner.dead and (
+        phenol or runner.remaining() > 600)
+    if run_phenol:
         from benchmarks.phenol_scale import leg_phenol_scale
 
-        runner.run("phenol_scale", lambda: leg_phenol_scale(R), budget_s=1200)
+        # measured: n=2^20 costs ~730 s cold / ~145 s warm-cache; fall
+        # back to n=2^19 when the window is tight (the scale is recorded
+        # in phenol_n either way)
+        n_phenol = 1 << 20 if (phenol or runner.remaining() > 900) else 1 << 19
+        runner.run("phenol_scale", lambda: leg_phenol_scale(R, n=n_phenol),
+                   budget_s=1200, warm_cmd=warm_cmd("phenol"),
+                   warm_timeout_s=300)
+    run_big = backend == "tpu" and not runner.dead and (
+        big or runner.remaining() > 700)
+    R["n32768_enabled"] = bool(run_big)
+    if run_big:
+        # 8.6 GB host packing alone can cost ~10 min on a slow-memory host
+        runner.run("n32768", leg_big, budget_s=1500,
+                   warm_cmd=warm_cmd("n32768"))
     runner.emit(status="complete")
 
 
