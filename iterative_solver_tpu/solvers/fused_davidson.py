@@ -48,6 +48,40 @@ class DavidsonState(NamedTuple):
     cm: Optional[Array] = None  # (m_max, nroots) momentum block (rr="window3")
 
 
+def densify_p_space(p_space, n: int) -> np.ndarray:
+    """(n_p, n) f64 dense rows from sparse P vectors.
+
+    Accepts the parity tier's representation (a sequence of
+    ``{index: value}`` dicts, subspace/xspace.py::update_pspace /
+    reference Pvector = std::map<size_t, double>,
+    IterativeSolver.h:131-151), ``(indices, values)`` pairs, or an
+    already-dense (n_p, <=n) array (right-padded with zeros — the
+    from_dense_symmetric tile padding case)."""
+    if hasattr(p_space, "shape") or (
+            len(p_space) and hasattr(p_space[0], "shape")
+            and np.asarray(p_space[0]).ndim >= 1
+            and not isinstance(p_space[0], (tuple, list))):
+        arr = np.atleast_2d(np.asarray(p_space, dtype=np.float64))
+        if arr.ndim != 2 or arr.shape[1] > n:
+            raise ValueError(
+                f"dense p_space must be (n_p, <=n), got {arr.shape}")
+        out = np.zeros((arr.shape[0], n))
+        out[:, : arr.shape[1]] = arr
+        return out
+    rows = np.zeros((len(p_space), n))
+    for i, p in enumerate(p_space):
+        if isinstance(p, dict):
+            for j, val in p.items():
+                rows[i, int(j)] = float(val)
+        else:
+            idx, vals = p
+            rows[i, np.asarray(idx, dtype=np.int64)] = np.asarray(
+                vals, dtype=np.float64)
+    if not rows.size or not np.all(np.any(rows != 0.0, axis=1)):
+        raise ValueError("every P vector must be nonzero")
+    return rows
+
+
 def _masked_eigh(v, w, mask):
     """Rayleigh matrix over active slots; inactive diagonals pushed just above
     the active spectrum so their eigenpairs sort last. The pad value tracks
@@ -73,7 +107,20 @@ def _masked_eigh(v, w, mask):
     return jnp.linalg.eigh(h)
 
 
-def _window_rr(v, w, mask, k, c_prev, nroots, m_max, c_mom=None):
+def _eigh_whiten_cols(p, thresh: float = 1e-8):
+    """Orthonormalise the columns of a coefficient block via its Gram
+    eigendecomposition, dropping null directions (columns go collinear as
+    roots converge — Cholesky jitter would amplify the null directions).
+    Returns ``(p_white, keep)``."""
+    g = jnp.matmul(p.T, p, precision=_PREC)
+    g = 0.5 * (g + g.T)
+    gw, gu = jnp.linalg.eigh(g)
+    keep = gw > thresh
+    scale = jnp.where(keep, 1.0 / jnp.sqrt(jnp.where(keep, gw, 1.0)), 0.0)
+    return jnp.matmul(p, gu * scale[None, :], precision=_PREC), keep
+
+
+def _window_rr(v, w, mask, k, c_prev, nroots, m_max, c_mom=None, n_p=0):
     """Locally-optimal window Rayleigh-Ritz: diagonalise H over the 2r-dim
     subspace span[c_prev | newest appended block] instead of the full m-dim
     basis. The newest block's slots are orthonormal to everything older (the
@@ -87,7 +134,17 @@ def _window_rr(v, w, mask, k, c_prev, nroots, m_max, c_mom=None):
     from the step before, rr="window3") appends an eigh-whitened momentum
     group, restoring full LOBPCG three-term recursion at a (3r, 3r) eigh.
     The basis stack still provides full-history orthogonalisation either
-    way, so stagnation-by-reintroduction cannot occur."""
+    way, so stagnation-by-reintroduction cannot occur.
+
+    ``n_p > 0`` prepends the frozen P-space slots [0, n_p) as an exact
+    one-hot group, so every window RR spans the full P space plus the
+    carried Ritz block plus the newest appends — the reference's P-space
+    is in every subspace solve (IterativeSolverTemplate.h:353-376) and
+    this keeps that exactness inside the windowed production path at an
+    (n_p + 2r) eigh instead of the full (m, m) one. The carried block is
+    projected against P (zeroing its first n_p rows — P slots are unit
+    coordinates) and eigh-whitened, since Ritz vectors can develop
+    dominant P components as they converge."""
     dtype = v.dtype
     h = jnp.matmul(v, w.T, precision=_PREC)
     h = 0.5 * (h + h.T)
@@ -95,34 +152,43 @@ def _window_rr(v, w, mask, k, c_prev, nroots, m_max, c_mom=None):
     h = h * m2
 
     slot = jax.lax.broadcasted_iota(jnp.int32, (m_max, 1), 0)[:, 0]
+    groups = []
+    keeps = []
+    if n_p:
+        e_p = jnp.zeros((m_max, n_p), dtype=dtype).at[:n_p, :n_p].set(
+            jnp.eye(n_p, dtype=dtype))
+        groups.append(e_p)
+        keeps.append(jnp.ones((n_p,), dtype=bool))
+        # project the carried block against P: P slots are unit
+        # coordinates, so the projection is exactly zeroing those rows
+        cp = c_prev.at[:n_p].set(0.0)
+        cp, keep_c = _eigh_whiten_cols(cp)
+    else:
+        cp, keep_c = c_prev, jnp.ones((nroots,), dtype=bool)
     # one-hot columns for the newest block's slots [k-r, k), masked by slot
-    # validity (appends dropped as null keep mask 0 and must not enter W)
+    # validity (appends dropped as null keep mask 0 and must not enter W).
+    # With n_p > 0 these slots are always >= n_p (k >= n_p + r), so the
+    # group is exactly orthogonal to e_p by construction.
     col = jax.lax.broadcasted_iota(jnp.int32, (m_max, nroots), 1)
     e = jnp.where((slot[:, None] == (k - nroots) + col), 1.0, 0.0).astype(dtype)
     e = e * mask[:, None]
-    # project out c_prev (exactly zero overlap except degenerate first step
-    # / post-restart, where the newest block IS the carried block)
-    e = e - jnp.matmul(c_prev, jnp.matmul(c_prev.T, e, precision=_PREC), precision=_PREC)
+    # project out the carried block (exactly zero overlap except degenerate
+    # first step / post-restart, where the newest block IS the carried block)
+    e = e - jnp.matmul(cp, jnp.matmul(cp.T, e, precision=_PREC), precision=_PREC)
     n2 = jnp.sum(e * e, axis=0)
     keep = n2 > 0.5  # columns are one-hots: either ~1 or projected to ~0
     e = e * jnp.where(keep, 1.0 / jnp.sqrt(jnp.where(keep, n2, 1.0)), 0.0)[None, :]
-    groups = [c_prev, e]
-    keeps = [jnp.ones((nroots,), dtype=bool), keep]
+    groups += [cp, e]
+    keeps += [keep_c, keep]
 
     if c_mom is not None:
         # momentum group: previous-step Ritz block, projected against the
-        # first two groups then eigh-whitened (columns go collinear as roots
-        # converge — Cholesky jitter would amplify the null directions)
-        p = c_mom
-        p = p - jnp.matmul(c_prev, jnp.matmul(c_prev.T, p, precision=_PREC),
+        # earlier groups then eigh-whitened
+        p = c_mom if n_p == 0 else c_mom.at[:n_p].set(0.0)
+        p = p - jnp.matmul(cp, jnp.matmul(cp.T, p, precision=_PREC),
                            precision=_PREC)
         p = p - jnp.matmul(e, jnp.matmul(e.T, p, precision=_PREC), precision=_PREC)
-        g = jnp.matmul(p.T, p, precision=_PREC)
-        g = 0.5 * (g + g.T)
-        gw, gu = jnp.linalg.eigh(g)
-        keep_p = gw > 1e-8
-        scale = jnp.where(keep_p, 1.0 / jnp.sqrt(jnp.where(keep_p, gw, 1.0)), 0.0)
-        p = jnp.matmul(p, gu * scale[None, :], precision=_PREC)
+        p, keep_p = _eigh_whiten_cols(p)
         groups.append(p)
         keeps.append(keep_p)
 
@@ -152,18 +218,19 @@ def _window_rr(v, w, mask, k, c_prev, nroots, m_max, c_mom=None):
     return evals_all[:nroots], c_new, padded
 
 
-def _validate_rr(rr: str, nroots: int, m_max: int) -> None:
+def _validate_rr(rr: str, nroots: int, m_max: int, n_p: int = 0) -> None:
     width = {"full": 1, "window": 2, "window3": 3}.get(rr)
     if width is None:
         raise ValueError(f"unknown rr mode {rr!r}: use 'full', 'window' or 'window3'")
-    # every mode needs room for the carried block PLUS one full append:
-    # with m_max < 2*nroots the post-restart append's dynamic_update_slice
-    # CLAMPS its offset and silently overwrites live basis rows — the solve
-    # then cycles without converging instead of erroring
-    if max(2, width) * nroots > m_max:
+    # every mode needs room for the carried block PLUS one full append
+    # (PLUS the frozen P slots): with less the post-restart append's
+    # dynamic_update_slice CLAMPS its offset and silently overwrites live
+    # basis rows — the solve then cycles without converging instead of
+    # erroring
+    if max(2, width) * nroots + n_p > m_max:
         raise ValueError(
-            f"rr={rr!r} needs m_max >= {max(2, width)}*nroots "
-            f"({max(2, width) * nroots}), got {m_max}")
+            f"rr={rr!r} needs m_max >= {max(2, width)}*nroots + n_p "
+            f"({max(2, width) * nroots + n_p}), got {m_max}")
 
 
 def _step_body(
@@ -174,8 +241,14 @@ def _step_body(
     expand: Optional[Callable] = None,
     rr: str = "full",
     fuse_chain: bool = False,
+    n_p: int = 0,
 ):
     """Raw (unjitted) single-iteration body shared by step and sweep.
+
+    ``n_p > 0`` marks the leading n_p stack slots as a frozen, densified
+    P space (IterativeSolver.h:131-151): appends and restarts never touch
+    them, the GS/RR machinery sees them through the ordinary mask, and
+    the window RR carries them as an exact group (_window_rr).
 
     ``expand(x, r, evals, evals_all, mask, diag, operand) -> t`` produces the
     new direction block; the default is the Jacobi/Davidson preconditioner
@@ -194,14 +267,14 @@ def _step_body(
     the ~5 us per-op floor. Single-device only (do not combine with a
     mesh-sharded basis) and the stacks must fit VMEM (fits_vmem guard);
     FusedDavidson auto-enables it when safe."""
-    _validate_rr(rr, nroots, m_max)
+    _validate_rr(rr, nroots, m_max, n_p)
 
     def step(state: DavidsonState, operand, diag: Array) -> DavidsonState:
         v, w, mask, k = state.v, state.w, state.mask, state.k
         if rr in ("window", "window3"):
             evals, c_new, evals_all = _window_rr(
                 v, w, mask, k, state.c, nroots, m_max,
-                c_mom=state.cm if rr == "window3" else None,
+                c_mom=state.cm if rr == "window3" else None, n_p=n_p,
             )
             coeff = c_new.T  # (nroots, m_max)
         else:
@@ -275,25 +348,25 @@ def _step_body(
 
 def make_davidson_step(matvec, nroots: int, m_max: int, null_thresh: float = 1e-10,
                        expand: Optional[Callable] = None, rr: str = "full",
-                       fuse_chain: bool = False):
+                       fuse_chain: bool = False, n_p: int = 0):
     """Jitted single iteration: state, operand, diag -> state. The operator
     data and diagonals are traced ARGUMENTS, not closed-over constants, so
     multi-GB operators never get baked into the HLO (essential for
     remote-compile paths and donation)."""
     return jax.jit(_step_body(matvec, nroots, m_max, null_thresh, expand, rr,
-                              fuse_chain),
+                              fuse_chain, n_p),
                    donate_argnums=(0,))
 
 
 def make_davidson_sweep(matvec, nroots: int, m_max: int, steps: int, null_thresh: float = 1e-10,
                         expand: Optional[Callable] = None, rr: str = "full",
-                        fuse_chain: bool = False):
+                        fuse_chain: bool = False, n_p: int = 0):
     """Jitted multi-iteration sweep: ``steps`` Davidson iterations in ONE
     dispatch (lax.fori_loop), amortising host/tunnel launch latency — the
     analogue of the reference's batched BufferManager passes, but for control
     overhead instead of IO."""
     body = _step_body(matvec, nroots, m_max, null_thresh, expand, rr,
-                      fuse_chain)
+                      fuse_chain, n_p)
 
     def sweep(state: DavidsonState, operand, diag: Array) -> DavidsonState:
         return jax.lax.fori_loop(0, steps, lambda i, s: body(s, operand, diag), state)
@@ -303,11 +376,50 @@ def make_davidson_sweep(matvec, nroots: int, m_max: int, steps: int, null_thresh
     return jax.jit(sweep)
 
 
-def _restart_body(matvec: Callable[..., Array], nroots: int, m_max: int):
-    """Collapse the basis onto the current Ritz vectors (DSpaceResetter analogue)."""
+def _restart_body(matvec: Callable[..., Array], nroots: int, m_max: int,
+                  n_p: int = 0):
+    """Collapse the basis onto the current Ritz vectors (DSpaceResetter
+    analogue). With ``n_p > 0`` the frozen P slots [0, n_p) survive the
+    collapse untouched (basis AND action rows — no operator re-application)
+    and the Ritz block is orthogonalised against them; a Ritz vector that
+    has converged INTO the P span projects to (near) zero and its slot
+    restarts dead (eigh-whitening with null-drop — Cholesky would NaN on
+    the rank deficiency)."""
 
     def restart(state: DavidsonState, operand) -> DavidsonState:
         x = state.x
+        if n_p:
+            pv = state.v[:n_p]
+            pw = state.w[:n_p]
+            pc = jnp.matmul(x, pv.T, precision=_PREC)  # (r, n_p) P coords
+            for _ in range(2):
+                x = x - jnp.matmul(jnp.matmul(x, pv.T, precision=_PREC), pv,
+                                   precision=_PREC)
+            xo_t, keep = _eigh_whiten_cols(x.T, thresh=1e-10)
+            xo = xo_t.T
+            live = keep.astype(state.mask.dtype)
+            v = jnp.zeros_like(state.v).at[:n_p].set(pv)
+            v = jax.lax.dynamic_update_slice(v, xo.astype(v.dtype),
+                                             (n_p, 0))
+            w = jnp.zeros_like(state.w).at[:n_p].set(pw)
+            w = jax.lax.dynamic_update_slice(
+                w, (matvec(xo, operand) * live[:, None]).astype(w.dtype),
+                (n_p, 0))
+            mask = jnp.zeros_like(state.mask).at[:n_p].set(1.0)
+            mask = jax.lax.dynamic_update_slice(mask, live, (n_p,))
+            if state.c is not None:
+                # exact coordinates of the outgoing Ritz block in the fresh
+                # basis: P components + whitened-complement components
+                cx = jnp.matmul(xo, x.T, precision=_PREC)  # (r, r)
+                c0 = jnp.zeros_like(state.c)
+                c0 = c0.at[:n_p, :].set(pc.T)
+                c0 = jax.lax.dynamic_update_slice(c0, cx, (n_p, 0))
+            else:
+                c0 = None
+            cm0 = None if state.cm is None else jnp.zeros_like(state.cm)
+            return DavidsonState(
+                v, w, mask, jnp.asarray(n_p + nroots, dtype=state.k.dtype),
+                state.evals, state.x, state.r, state.errors, c0, cm0)
         g = jnp.matmul(x, x.T, precision=_PREC)
         l = jnp.linalg.cholesky(g + 1e-30 * jnp.eye(nroots, dtype=g.dtype))
         xo = jax.scipy.linalg.solve_triangular(l, x, lower=True)
@@ -327,16 +439,79 @@ def _restart_body(matvec: Callable[..., Array], nroots: int, m_max: int):
     return restart
 
 
-def make_restart(matvec: Callable[..., Array], nroots: int, m_max: int):
-    return jax.jit(_restart_body(matvec, nroots, m_max), donate_argnums=(0,))
+def make_restart(matvec: Callable[..., Array], nroots: int, m_max: int,
+                 n_p: int = 0):
+    return jax.jit(_restart_body(matvec, nroots, m_max, n_p),
+                   donate_argnums=(0,))
 
 
-def _init_body(matvec: Callable[..., Array], nroots: int, m_max: int):
+def _init_body(matvec: Callable[..., Array], nroots: int, m_max: int,
+               n_p: int = 0, p_actions: bool = False):
     """Whole state initialisation as ONE device computation: orthonormalise
     the guess block, run its action, and lay out the fixed-capacity stacks.
     The host version of this (matmul, host Cholesky, scatter, matvec) costs
     ~4-6 dispatches — ~110 ms through the tunnel before the solve even
-    starts; fused it is a single dispatch."""
+    starts; fused it is a single dispatch.
+
+    ``n_p > 0``: the init takes two extra arguments — ``p`` (n_p, N)
+    densified P rows and ``wp`` their action rows. The P block is whitened
+    (Cholesky — the reference requires linearly independent P vectors,
+    IterativeSolverTemplate.h:353-376) and frozen into slots [0, n_p);
+    the guess block is Gram-Schmidted against it. With ``p_actions=True``
+    ``wp`` holds USER-SUPPLIED exact action rows (the fused analogue of
+    pp_action_matrix + p_action, IterativeSolver.h:131-151 — supplying
+    A·p_i exactly makes every PP and PQ block of the projected matrix
+    exact regardless of the operator tier's quantisation); otherwise
+    ``wp`` is ignored and the device operator computes the actions."""
+
+    def init_p(v0: Array, operand, p: Array, wp: Array) -> DavidsonState:
+        _, n = v0.shape
+        gp = jnp.matmul(p, p.T, precision=_PREC)
+        lp = jnp.linalg.cholesky(gp + 1e-30 * jnp.eye(n_p, dtype=gp.dtype))
+        pw = jax.scipy.linalg.solve_triangular(lp, p, lower=True)
+        if p_actions:
+            # the whitening transform is linear: exact user actions map
+            # through the same triangular solve
+            wpw = jax.scipy.linalg.solve_triangular(lp, wp, lower=True)
+        else:
+            wpw = matvec(pw, operand)
+        for _ in range(2):
+            v0 = v0 - jnp.matmul(jnp.matmul(v0, pw.T, precision=_PREC), pw,
+                                 precision=_PREC)
+        # guesses fully inside the P span project to zero: eigh-whitening
+        # drops them as dead slots instead of NaN-ing a Cholesky
+        v0o_t, keep = _eigh_whiten_cols(v0.T, thresh=1e-10)
+        v0o = v0o_t.T
+        live = keep.astype(v0.dtype)
+        w0 = matvec(v0o, operand) * live[:, None]
+        v = jnp.zeros((m_max, n), dtype=v0.dtype).at[:n_p].set(
+            pw.astype(v0.dtype))
+        v = jax.lax.dynamic_update_slice(v, v0o.astype(v0.dtype), (n_p, 0))
+        w = jnp.zeros((m_max, n), dtype=v0.dtype).at[:n_p].set(
+            wpw.astype(v0.dtype))
+        w = jax.lax.dynamic_update_slice(w, w0.astype(v0.dtype), (n_p, 0))
+        mask = jnp.zeros((m_max,), dtype=v0.dtype).at[:n_p].set(1.0)
+        mask = jax.lax.dynamic_update_slice(mask, live, (n_p,))
+        xx = jnp.einsum("in,in->i", v0o, v0o, precision=_PREC)
+        rho = jnp.einsum("in,in->i", v0o, w0, precision=_PREC) / jnp.where(
+            xx > 0, xx, 1.0)
+        r0 = w0 - rho[:, None] * v0o
+        errors = jnp.sqrt(jnp.abs(
+            jnp.einsum("in,in->i", r0, r0, precision=_PREC)))
+        # a guess swallowed by the P span has a ZERO seed residual — that
+        # is "untested", not "converged": the whole-solve while_loop would
+        # exit before its first RR. Dead slots seed at inf; the first step
+        # replaces them with honest windowed-RR residuals.
+        errors = jnp.where(live > 0, errors, jnp.inf)
+        c0 = jnp.zeros((m_max, nroots), dtype=v0.dtype)
+        c0 = jax.lax.dynamic_update_slice(
+            c0, jnp.eye(nroots, dtype=v0.dtype) * live[:, None], (n_p, 0))
+        cm0 = jnp.zeros((m_max, nroots), dtype=v0.dtype)
+        return DavidsonState(v, w, mask, jnp.asarray(n_p + nroots, jnp.int32),
+                             rho, v0o, r0, errors, c0, cm0)
+
+    if n_p:
+        return init_p
 
     def init(v0: Array, operand) -> DavidsonState:
         _, n = v0.shape
@@ -366,8 +541,9 @@ def _init_body(matvec: Callable[..., Array], nroots: int, m_max: int):
     return init
 
 
-def make_davidson_init(matvec: Callable[..., Array], nroots: int, m_max: int):
-    return jax.jit(_init_body(matvec, nroots, m_max))
+def make_davidson_init(matvec: Callable[..., Array], nroots: int, m_max: int,
+                       n_p: int = 0, p_actions: bool = False):
+    return jax.jit(_init_body(matvec, nroots, m_max, n_p, p_actions))
 
 
 def make_davidson_solve(
@@ -381,6 +557,7 @@ def make_davidson_solve(
     rr: str = "full",
     history: int = 0,
     fuse_chain: bool = False,
+    n_p: int = 0,
 ):
     """The whole solve in ONE dispatch: a lax.while_loop that steps until
     convergence or ``max_iter``, restarting on-device whenever the basis
@@ -403,8 +580,8 @@ def make_davidson_solve(
     from per-iteration report() printing, IterativeSolverTemplate.h:273-287,
     without breaking the fused loop)."""
     step = _step_body(matvec, nroots, m_max, null_thresh, expand, rr,
-                      fuse_chain)
-    restart = _restart_body(matvec, nroots, m_max)
+                      fuse_chain, n_p)
+    restart = _restart_body(matvec, nroots, m_max, n_p)
 
     def solve(state: DavidsonState, operand, diag: Array, tol_, max_iter_):
         hist0 = (
@@ -455,6 +632,7 @@ def make_davidson_solve_chunked(
     expand: Optional[Callable] = None,
     rr: str = "full",
     fuse_chain: bool = False,
+    n_p: int = 0,
 ):
     """Whole solve in one dispatch with the convergence check hoisted to
     restart boundaries: the outer lax.while_loop runs one basis-fill sweep
@@ -468,9 +646,12 @@ def make_davidson_solve_chunked(
     sync on a sharded mesh. Iteration counts are quantised up to the sweep
     length."""
     step = _step_body(matvec, nroots, m_max, null_thresh, expand, rr,
-                      fuse_chain)
-    restart = _restart_body(matvec, nroots, m_max)
-    fill_steps = max(1, (m_max - nroots) // nroots)
+                      fuse_chain, n_p)
+    restart = _restart_body(matvec, nroots, m_max, n_p)
+    # with P slots the post-restart basis already holds n_p + nroots rows —
+    # a sweep sized without them would append past capacity (DUS clamp =
+    # silent corruption)
+    fill_steps = max(1, (m_max - n_p - nroots) // nroots)
 
     def solve(state: DavidsonState, operand, diag: Array, tol_, max_iter_):
         def cond(carry):
@@ -554,11 +735,33 @@ class FusedDavidson:
         rr: str = "full",
         fuse_chain: Optional[bool] = None,
         check_symmetric: bool = True,
+        p_space=None,
+        p_actions=None,
     ):
         if dtype is None:
             dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
-        eff_m_max = m_max if m_max is not None else max(4 * nroots, min(n, 24))
-        _validate_rr(rr, nroots, eff_m_max)
+        if p_space is not None:
+            self.p_dense = densify_p_space(p_space, n)
+            self.n_p = self.p_dense.shape[0]
+            if p_actions is not None:
+                pa = np.asarray(p_actions, dtype=np.float64)
+                if pa.shape[0] != self.n_p or pa.shape[1] > n:
+                    raise ValueError(
+                        f"p_actions must be (n_p, <=n) action rows, got "
+                        f"{pa.shape} for n_p={self.n_p}, n={n}")
+                self.p_action_rows = np.zeros((self.n_p, n))
+                self.p_action_rows[:, :pa.shape[1]] = pa
+            else:
+                self.p_action_rows = None
+        else:
+            if p_actions is not None:
+                raise ValueError("p_actions requires p_space")
+            self.p_dense = None
+            self.n_p = 0
+            self.p_action_rows = None
+        eff_m_max = m_max if m_max is not None else max(
+            4 * nroots + self.n_p, min(n, 24))
+        _validate_rr(rr, nroots, eff_m_max, self.n_p)
         self.matvec = matvec
         self.n = n
         self.nroots = nroots
@@ -596,8 +799,8 @@ class FusedDavidson:
             )
         self.fuse_chain = fuse_chain
         self.step = make_davidson_step(matvec, nroots, self.m_max, expand=expand, rr=rr,
-                                       fuse_chain=fuse_chain)
-        self.restart = make_restart(matvec, nroots, self.m_max)
+                                       fuse_chain=fuse_chain, n_p=self.n_p)
+        self.restart = make_restart(matvec, nroots, self.m_max, n_p=self.n_p)
         self.iterations = 0
         self.check_symmetric = check_symmetric
         self._symmetry_checked = False
@@ -742,8 +945,22 @@ class FusedDavidson:
             )
             self._symmetry_checked = True
         if getattr(self, "_init_cache", None) is None:
-            self._init_cache = make_davidson_init(self.matvec, self.nroots, self.m_max)
-        state = self._init_cache(v0, self.operand)
+            self._init_cache = make_davidson_init(
+                self.matvec, self.nroots, self.m_max, n_p=self.n_p,
+                p_actions=self.n_p > 0 and self.p_action_rows is not None)
+        if self.n_p:
+            if getattr(self, "_p_dev", None) is None:
+                p = jnp.asarray(self.p_dense, dtype=self.dtype)
+                wp = (jnp.asarray(self.p_action_rows, dtype=self.dtype)
+                      if self.p_action_rows is not None
+                      else jnp.zeros((self.n_p, self.n), dtype=self.dtype))
+                if self.sharding is not None:
+                    p = jax.device_put(p, self.sharding)
+                    wp = jax.device_put(wp, self.sharding)
+                self._p_dev = (p, wp)
+            state = self._init_cache(v0, self.operand, *self._p_dev)
+        else:
+            state = self._init_cache(v0, self.operand)
         if self.sharding is not None:
             state = state._replace(
                 v=jax.device_put(state.v, self.sharding),
@@ -786,7 +1003,7 @@ class FusedDavidson:
             if chunked:
                 chunk_fn = make_davidson_solve_chunked(
                     self.matvec, self.nroots, self.m_max, expand=self.expand,
-                    rr=self.rr, fuse_chain=self.fuse_chain,
+                    rr=self.rr, fuse_chain=self.fuse_chain, n_p=self.n_p,
                 )
                 tol_, max_iter_ = self.tol, self.max_iter
                 self._solve_cache = lambda st, op, dg: chunk_fn(st, op, dg, tol_, max_iter_)
@@ -794,6 +1011,7 @@ class FusedDavidson:
                 self._solve_cache = make_davidson_solve(
                     self.matvec, self.nroots, self.m_max, self.tol, self.max_iter,
                     expand=self.expand, rr=self.rr, fuse_chain=self.fuse_chain,
+                    n_p=self.n_p,
                 )
             self._solve_cache_key = key
         solve = self._solve_cache
@@ -819,11 +1037,11 @@ class FusedDavidson:
         """Sweep-based driver: fills the basis to capacity in one dispatch per
         sweep, checking convergence only at restart boundaries. Same math as
         ``run`` with far fewer host round-trips — the production TPU path."""
-        steps = max(1, (self.m_max - self.nroots) // self.nroots)
+        steps = max(1, (self.m_max - self.n_p - self.nroots) // self.nroots)
         if getattr(self, "_sweep_cache", None) is None:
             self._sweep_cache = make_davidson_sweep(
                 self.matvec, self.nroots, self.m_max, steps, expand=self.expand,
-                rr=self.rr, fuse_chain=self.fuse_chain,
+                rr=self.rr, fuse_chain=self.fuse_chain, n_p=self.n_p,
             )
         sweep = self._sweep_cache
         state = self.init_state(v0)

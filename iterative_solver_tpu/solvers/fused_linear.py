@@ -114,9 +114,35 @@ def _step_body(matvec: Callable[..., Array], nrhs: int, m_max: int, null_thresh:
     return step
 
 
-def _restart_body(matvec, nrhs: int, m_max: int):
+def _restart_body(matvec, nrhs: int, m_max: int, n_p: int = 0):
     def restart(state: LinearState, operand) -> LinearState:
         x = state.x
+        if n_p:
+            # frozen P slots survive the collapse (basis AND action rows);
+            # the solution block is orthogonalised against them and
+            # eigh-whitened with null-drop (a solution converged INTO the
+            # P span projects to zero — Cholesky would NaN)
+            from .fused_davidson import _eigh_whiten_cols
+
+            pv = state.v[:n_p]
+            pw = state.w[:n_p]
+            for _ in range(2):
+                x = x - jnp.matmul(jnp.matmul(x, pv.T, precision=_PREC), pv,
+                                   precision=_PREC)
+            xo_t, keep = _eigh_whiten_cols(x.T, thresh=1e-10)
+            xo = xo_t.T
+            live = keep.astype(state.mask.dtype)
+            v = jnp.zeros_like(state.v).at[:n_p].set(pv)
+            v = jax.lax.dynamic_update_slice(v, xo.astype(v.dtype), (n_p, 0))
+            w = jnp.zeros_like(state.w).at[:n_p].set(pw)
+            w = jax.lax.dynamic_update_slice(
+                w, (matvec(xo, operand) * live[:, None]).astype(w.dtype),
+                (n_p, 0))
+            mask = jnp.zeros_like(state.mask).at[:n_p].set(1.0)
+            mask = jax.lax.dynamic_update_slice(mask, live, (n_p,))
+            return LinearState(v, w, mask,
+                               jnp.asarray(n_p + nrhs, state.k.dtype),
+                               state.x, state.r, state.errors)
         g = jnp.matmul(x, x.T, precision=_PREC)
         l = jnp.linalg.cholesky(g + 1e-30 * jnp.eye(nrhs, dtype=g.dtype))
         xo = jax.scipy.linalg.solve_triangular(l, x, lower=True)
@@ -129,10 +155,17 @@ def _restart_body(matvec, nrhs: int, m_max: int):
 
 
 def make_linear_solve(matvec, nrhs: int, m_max: int, tol: float, max_iter: int,
-                      fuse_chain: bool = False):
-    """Whole A X = B solve in one dispatch (cf. make_davidson_solve)."""
+                      fuse_chain: bool = False, n_p: int = 0):
+    """Whole A X = B solve in one dispatch (cf. make_davidson_solve). The
+    step needs no P-awareness at all: the projected solve runs over every
+    masked slot, so frozen P rows [0, n_p) enter H, beta and the solution
+    reconstruction through the ordinary mask (the design win of the
+    masked-stack layout)."""
+    if m_max < 2 * nrhs + n_p:
+        raise ValueError(
+            f"m_max must be >= 2*nrhs + n_p ({2 * nrhs + n_p}), got {m_max}")
     step = _step_body(matvec, nrhs, m_max, fuse_chain=fuse_chain)
-    restart = _restart_body(matvec, nrhs, m_max)
+    restart = _restart_body(matvec, nrhs, m_max, n_p)
 
     def solve(state: LinearState, operand, diag: Array, b: Array, b_norm: Array):
         def cond(carry):
@@ -154,12 +187,59 @@ def make_linear_solve(matvec, nrhs: int, m_max: int, tol: float, max_iter: int,
     return jax.jit(solve)
 
 
-def make_linear_init(matvec, nrhs: int, m_max: int):
+def make_linear_init(matvec, nrhs: int, m_max: int, n_p: int = 0,
+                     p_actions: bool = False):
     """Whole initialisation (normalise + whiten the start block, apply the
     operator, lay out the stacks) as ONE jitted dispatch — the previous
     host-side preamble cost ~5 tunnel round-trips (~150 ms) per solve,
-    comparable to the entire while_loop for well-conditioned systems."""
+    comparable to the entire while_loop for well-conditioned systems.
+
+    ``n_p > 0`` adds two traced arguments (densified P rows + their action
+    rows) and freezes the whitened P block into slots [0, n_p) — cf.
+    fused_davidson._init_body; with ``p_actions`` the user-supplied exact
+    action rows ride the same whitening transform."""
     from ..array.vector_ops import chol_jitter
+
+    @jax.jit
+    def init_p(b, v0raw, operand, p, wp):
+        from .fused_davidson import _eigh_whiten_cols
+
+        b_norm = jnp.sqrt(jnp.abs(
+            jnp.einsum("in,in->i", b, b, precision=_PREC)))
+        gp = jnp.matmul(p, p.T, precision=_PREC)
+        lp = jnp.linalg.cholesky(gp + 1e-30 * jnp.eye(n_p, dtype=gp.dtype))
+        pwhite = jax.scipy.linalg.solve_triangular(lp, p, lower=True)
+        if p_actions:
+            wpw = jax.scipy.linalg.solve_triangular(lp, wp, lower=True)
+        else:
+            wpw = matvec(pwhite, operand)
+        n0 = jnp.sqrt(jnp.abs(
+            jnp.einsum("in,in->i", v0raw, v0raw, precision=_PREC)))
+        v0 = v0raw / jnp.where(n0 > 0, n0, 1.0)[:, None]
+        for _ in range(2):
+            v0 = v0 - jnp.matmul(jnp.matmul(v0, pwhite.T, precision=_PREC),
+                                 pwhite, precision=_PREC)
+        v0o_t, keep = _eigh_whiten_cols(v0.T, thresh=1e-10)
+        v0o = v0o_t.T
+        live = keep.astype(b.dtype)
+        w0 = matvec(v0o, operand) * live[:, None]
+        n = b.shape[1]
+        v = jnp.zeros((m_max, n), b.dtype).at[:n_p].set(pwhite.astype(b.dtype))
+        v = jax.lax.dynamic_update_slice(v, v0o.astype(b.dtype), (n_p, 0))
+        w = jnp.zeros((m_max, n), b.dtype).at[:n_p].set(wpw.astype(b.dtype))
+        w = jax.lax.dynamic_update_slice(w, w0.astype(b.dtype), (n_p, 0))
+        mask = jnp.zeros((m_max,), b.dtype).at[:n_p].set(1.0)
+        mask = jax.lax.dynamic_update_slice(mask, live, (n_p,))
+        state = LinearState(
+            v, w, mask, jnp.asarray(n_p + nrhs, jnp.int32),
+            jnp.zeros((nrhs, n), b.dtype),
+            jnp.zeros((nrhs, n), b.dtype),
+            jnp.full((nrhs,), jnp.inf, b.dtype),
+        )
+        return state, b_norm
+
+    if n_p:
+        return init_p
 
     @jax.jit
     def init(b, v0raw, operand):
@@ -206,6 +286,8 @@ class FusedLinearEquations:
         operand=None,
         fuse_chain: Optional[bool] = None,
         check_symmetric: bool = True,
+        p_space=None,
+        p_actions=None,
     ):
         if dtype is None:
             dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
@@ -214,7 +296,29 @@ class FusedLinearEquations:
         self.nrhs = nrhs
         self.check_symmetric = check_symmetric
         self._symmetry_checked = False
-        self.m_max = m_max if m_max is not None else max(4 * nrhs, min(n, 24))
+        if p_space is not None:
+            from .fused_davidson import densify_p_space
+
+            self.p_dense = densify_p_space(p_space, n)
+            self.n_p = self.p_dense.shape[0]
+            if p_actions is not None:
+                pa = np.asarray(p_actions, dtype=np.float64)
+                if pa.shape[0] != self.n_p or pa.shape[1] > n:
+                    raise ValueError(
+                        f"p_actions must be (n_p, <=n) action rows, got "
+                        f"{pa.shape} for n_p={self.n_p}, n={n}")
+                self.p_action_rows = np.zeros((self.n_p, n))
+                self.p_action_rows[:, :pa.shape[1]] = pa
+            else:
+                self.p_action_rows = None
+        else:
+            if p_actions is not None:
+                raise ValueError("p_actions requires p_space")
+            self.p_dense = None
+            self.n_p = 0
+            self.p_action_rows = None
+        self.m_max = m_max if m_max is not None else max(
+            4 * nrhs + self.n_p, min(n, 24))
         self.dtype = dtype
         self.sharding = sharding
         self.tol = convergence_threshold
@@ -241,7 +345,7 @@ class FusedLinearEquations:
             )
         self.fuse_chain = fuse_chain
         self._solve = make_linear_solve(matvec, nrhs, self.m_max, self.tol, self.max_iter,
-                                        fuse_chain=fuse_chain)
+                                        fuse_chain=fuse_chain, n_p=self.n_p)
 
     @classmethod
     def from_dense_symmetric(cls, matrix, nrhs: int, tier: str = None,
@@ -357,9 +461,23 @@ class FusedLinearEquations:
             if self.sharding is not None:
                 v0raw = jax.device_put(v0raw, self.sharding)
         if getattr(self, "_init_cache", None) is None:
-            self._init_cache = make_linear_init(self.matvec, self.nrhs,
-                                                self.m_max)
-        state, b_norm = self._init_cache(b, v0raw, self.operand)
+            self._init_cache = make_linear_init(
+                self.matvec, self.nrhs, self.m_max, n_p=self.n_p,
+                p_actions=self.n_p > 0 and self.p_action_rows is not None)
+        if self.n_p:
+            if getattr(self, "_p_dev", None) is None:
+                p = jnp.asarray(self.p_dense, dtype=self.dtype)
+                wp = (jnp.asarray(self.p_action_rows, dtype=self.dtype)
+                      if self.p_action_rows is not None
+                      else jnp.zeros((self.n_p, self.n), dtype=self.dtype))
+                if self.sharding is not None:
+                    p = jax.device_put(p, self.sharding)
+                    wp = jax.device_put(wp, self.sharding)
+                self._p_dev = (p, wp)
+            state, b_norm = self._init_cache(b, v0raw, self.operand,
+                                             *self._p_dev)
+        else:
+            state, b_norm = self._init_cache(b, v0raw, self.operand)
         if self.sharding is not None:
             # pin the stacks' placement explicitly (the jitted init leaves
             # it to GSPMD propagation, which may replicate the (m_max, N)

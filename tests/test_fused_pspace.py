@@ -1,0 +1,307 @@
+"""P-space on the FUSED production tier (VERDICT r3 #3).
+
+The reference treats P-space as a first-class production feature: auto
+selection inside the one-call driver (IterativeSolverTemplate.h:353-376),
+add_p (IterativeSolver.h:219-239) and sparse P vectors with
+pp_action_matrix/p_action callbacks (IterativeSolver.h:131-151). Rounds
+1-3 carried it only on the host-driven parity solvers; these tests pin the
+fused design:
+
+- densified P rows live as FROZEN leading stack slots (whitened once at
+  init), appends/restarts never touch them, and the window RR carries
+  them as an exact one-hot group so every subspace solve spans P;
+- user-supplied exact action rows (the fused analogue of
+  pp_action_matrix + p_action) ride the init whitening transform;
+- eigenvalues match the parity solver / dense reference on the bh and hf
+  reference hamiltonians at np in {3, 6} (the sweep grid of
+  test_LinearEigensystem.cpp:244-345);
+- P spanned by exact eigenvectors converges immediately; guesses inside
+  the P span restart dead instead of corrupting the basis; restarts
+  preserve P; FusedLinearEquations gets the same treatment.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from iterative_solver_tpu.solvers.fused_davidson import (
+    FusedDavidson,
+    densify_p_space,
+)
+from iterative_solver_tpu.solvers.fused_linear import FusedLinearEquations
+
+
+def _dense_setup(matrix, dtype=jnp.float64):
+    mat = jnp.asarray(matrix, dtype=dtype)
+
+    def matvec(x, op):
+        return jnp.matmul(x, op.T, precision="highest")
+
+    return matvec, mat
+
+
+def _p_lowest_diag(matrix, n_p):
+    """Unit P vectors on the n_p smallest diagonal coordinates — the same
+    selection rule the parity tier's suggest_p applies (core.py:231)."""
+    idx = np.argsort(np.diag(matrix))[:n_p]
+    return [{int(i): 1.0} for i in idx]
+
+
+def _guess(matrix, nroots):
+    n = matrix.shape[0]
+    idx = np.argsort(np.diag(matrix))[:nroots]
+    v0 = np.zeros((nroots, n))
+    for row, i in enumerate(idx):
+        v0[row, i] = 1.0
+    return v0
+
+
+class TestDensify:
+    def test_dict_pairs_dense_agree(self):
+        n = 8
+        d = [{1: 2.0, 3: -1.0}, {0: 1.0}]
+        pairs = [([1, 3], [2.0, -1.0]), ([0], [1.0])]
+        dense = np.zeros((2, n))
+        dense[0, 1], dense[0, 3], dense[1, 0] = 2.0, -1.0, 1.0
+        out_d = densify_p_space(d, n)
+        out_p = densify_p_space(pairs, n)
+        out_a = densify_p_space(dense, n)
+        np.testing.assert_array_equal(out_d, dense)
+        np.testing.assert_array_equal(out_p, dense)
+        np.testing.assert_array_equal(out_a, dense)
+
+    def test_dense_right_padded(self):
+        out = densify_p_space(np.ones((2, 4)), 6)
+        assert out.shape == (2, 6)
+        assert np.all(out[:, 4:] == 0)
+
+    def test_zero_p_vector_rejected(self):
+        with pytest.raises(ValueError, match="nonzero"):
+            densify_p_space([{0: 1.0}, {}], 4)
+
+    def test_too_wide_rejected(self):
+        with pytest.raises(ValueError):
+            densify_p_space(np.ones((1, 9)), 4)
+
+
+@pytest.mark.parametrize("rr", ["full", "window", "window3"])
+@pytest.mark.parametrize("np_", [3, 6])
+def test_fused_pspace_matches_dense_bh(hamiltonians, rr, np_):
+    matrix = hamiltonians["bh"]
+    n = matrix.shape[0]
+    nroots = 3
+    matvec, mat = _dense_setup(matrix)
+    solver = FusedDavidson(
+        matvec, np.diag(matrix), n, nroots,
+        m_max=4 * nroots + np_, operand=mat, rr=rr,
+        convergence_threshold=1e-9, max_iter=120,
+        p_space=_p_lowest_diag(matrix, np_),
+    )
+    evals, x, errs, iters = solver.run_on_device(_guess(matrix, nroots))
+    ref = np.linalg.eigvalsh(matrix)[:nroots]
+    assert np.max(errs) <= 1e-9
+    np.testing.assert_allclose(evals, ref, atol=2e-9)
+    # solutions live in the full space: true residuals via the dense matrix
+    x64 = np.asarray(x, dtype=np.float64)
+    for i in range(nroots):
+        xi = x64[i] / np.linalg.norm(x64[i])
+        assert np.linalg.norm(matrix @ xi - ref[i] * xi) <= 1e-7
+
+
+@pytest.mark.parametrize("np_", [3, 6])
+def test_fused_pspace_matches_parity_hf(hamiltonians, np_):
+    """Same eigenvalues as the PARITY P-space solver on hf (the asymmetry
+    VERDICT r3 flagged: P-space users were exiled to the host loop)."""
+    import iterative_solver_tpu as its
+
+    matrix = hamiltonians["hf"]
+    n = matrix.shape[0]
+    nroots = 2
+    problem = its.models.MatrixProblem(matrix)
+    parity = its.create_linear_eigensystem(
+        n, nroots, "Davidson", f"max_size_qspace=12,max_p={np_}")
+    parity.set_hermiticity(True)
+    conv, _, _ = parity.solve(np.zeros((nroots, n)), problem=problem,
+                              generate_initial_guess=True, max_iter=200)
+    assert conv
+    matvec, mat = _dense_setup(matrix)
+    fused = FusedDavidson(
+        matvec, np.diag(matrix), n, nroots, m_max=12 + np_, operand=mat,
+        rr="window", convergence_threshold=1e-9, max_iter=200,
+        p_space=_p_lowest_diag(matrix, np_),
+    )
+    evals, _, errs, _ = fused.run_on_device(_guess(matrix, nroots))
+    np.testing.assert_allclose(
+        evals, parity.eigenvalues()[:nroots], atol=2e-9)
+
+
+def test_exact_eigenvector_pspace_converges_immediately(hamiltonians):
+    """P spanning the exact lowest eigenvectors: the very first RR solves
+    the problem — the fused path must expose that exactness (the
+    reference's P-space promise) instead of iterating past it."""
+    matrix = hamiltonians["bh"]
+    n = matrix.shape[0]
+    nroots = 3
+    w, v = np.linalg.eigh(matrix)
+    matvec, mat = _dense_setup(matrix)
+    solver = FusedDavidson(
+        matvec, np.diag(matrix), n, nroots, m_max=4 * nroots + nroots,
+        operand=mat, rr="window", convergence_threshold=1e-9, max_iter=50,
+        p_space=v[:, :nroots].T.copy(),
+    )
+    evals, _, errs, iters = solver.run_on_device(_guess(matrix, nroots))
+    assert iters <= 2
+    np.testing.assert_allclose(evals, w[:nroots], atol=1e-10)
+
+
+def test_guess_inside_p_span_restarts_dead(hamiltonians):
+    """Guess rows identical to P vectors project to zero at init — they
+    must become dead slots (not NaNs, not spurious zero eigenpairs) and
+    the solve still converges through the window's P group."""
+    matrix = hamiltonians["bh"]
+    n = matrix.shape[0]
+    nroots = 2
+    p_vecs = _p_lowest_diag(matrix, 3)
+    matvec, mat = _dense_setup(matrix)
+    solver = FusedDavidson(
+        matvec, np.diag(matrix), n, nroots, m_max=11, operand=mat,
+        rr="window", convergence_threshold=1e-9, max_iter=150,
+        p_space=p_vecs,
+    )
+    v0 = densify_p_space(p_vecs, n)[:nroots]  # guess == first P rows
+    evals, _, errs, _ = solver.run_on_device(v0)
+    ref = np.linalg.eigvalsh(matrix)[:nroots]
+    assert np.max(errs) <= 1e-9
+    np.testing.assert_allclose(evals, ref, atol=2e-9)
+
+
+def test_restarts_preserve_pspace(hamiltonians):
+    """m_max small enough to force many restarts: the frozen P rows must
+    survive every collapse (convergence would stall or go wrong if a
+    restart dropped or mangled them)."""
+    matrix = hamiltonians["bh"]
+    n = matrix.shape[0]
+    nroots = 2
+    np_ = 3
+    matvec, mat = _dense_setup(matrix)
+    solver = FusedDavidson(
+        matvec, np.diag(matrix), n, nroots,
+        # two appends per restart cycle — restart-heavy but above the
+        # (pre-existing, P-independent) one-append-per-cycle stall: at the
+        # exact minimum capacity even the P-less window stalls at ~0.16 on
+        # bh because every restart discards the single new direction
+        m_max=2 * nroots + np_ + 2,
+        operand=mat, rr="window", convergence_threshold=1e-9, max_iter=300,
+        p_space=_p_lowest_diag(matrix, np_),
+    )
+    evals, _, errs, iters = solver.run_on_device(_guess(matrix, nroots))
+    assert np.max(errs) <= 1e-9
+    np.testing.assert_allclose(evals, np.linalg.eigvalsh(matrix)[:nroots],
+                               atol=2e-9)
+
+
+def test_p_actions_exact_rows(hamiltonians):
+    """User-supplied exact action rows (fused pp_action_matrix/p_action
+    analogue): same converged answer, and the PP block of the projected
+    matrix is exact even when supplied actions differ from the device
+    operator's output at floor level."""
+    matrix = hamiltonians["bh"]
+    n = matrix.shape[0]
+    nroots = 2
+    np_ = 4
+    p_vecs = _p_lowest_diag(matrix, np_)
+    p_dense = densify_p_space(p_vecs, n)
+    wp = p_dense @ matrix.T  # exact f64 action rows
+    matvec, mat = _dense_setup(matrix)
+    solver = FusedDavidson(
+        matvec, np.diag(matrix), n, nroots, m_max=12, operand=mat,
+        rr="full", convergence_threshold=1e-9, max_iter=120,
+        p_space=p_vecs, p_actions=wp,
+    )
+    evals, _, errs, _ = solver.run_on_device(_guess(matrix, nroots))
+    assert np.max(errs) <= 1e-9
+    np.testing.assert_allclose(evals, np.linalg.eigvalsh(matrix)[:nroots],
+                               atol=2e-9)
+
+
+def test_run_fast_sweep_with_pspace(hamiltonians):
+    matrix = hamiltonians["bh"]
+    n = matrix.shape[0]
+    nroots = 2
+    matvec, mat = _dense_setup(matrix)
+    solver = FusedDavidson(
+        matvec, np.diag(matrix), n, nroots, m_max=12, operand=mat,
+        rr="full", convergence_threshold=1e-9, max_iter=200,
+        p_space=_p_lowest_diag(matrix, 3),
+    )
+    evals, _, errs, _ = solver.run_fast(_guess(matrix, nroots))
+    assert np.max(errs) <= 1e-9
+    np.testing.assert_allclose(evals, np.linalg.eigvalsh(matrix)[:nroots],
+                               atol=2e-9)
+
+
+def test_validation_errors(hamiltonians):
+    matrix = hamiltonians["bh"]
+    n = matrix.shape[0]
+    matvec, mat = _dense_setup(matrix)
+    with pytest.raises(ValueError, match="m_max"):
+        FusedDavidson(matvec, np.diag(matrix), n, 4, m_max=8, operand=mat,
+                      p_space=_p_lowest_diag(matrix, 3))
+    with pytest.raises(ValueError, match="p_actions requires"):
+        FusedDavidson(matvec, np.diag(matrix), n, 2, operand=mat,
+                      p_actions=np.ones((3, n)))
+    with pytest.raises(ValueError, match="p_actions must be"):
+        FusedDavidson(matvec, np.diag(matrix), n, 2, operand=mat,
+                      p_space=_p_lowest_diag(matrix, 3),
+                      p_actions=np.ones((2, n)))
+
+
+class TestLinearEquationsPSpace:
+    def test_solve_matches_dense(self, hamiltonians):
+        matrix = hamiltonians["bh"]
+        n = matrix.shape[0]
+        nrhs = 2
+        # shift to make it safely nonsingular / positive definite
+        a = matrix + (abs(np.linalg.eigvalsh(matrix)[0]) + 1.0) * np.eye(n)
+        rng = np.random.default_rng(0)
+        b = rng.standard_normal((nrhs, n))
+        matvec, mat = _dense_setup(a)
+        solver = FusedLinearEquations(
+            matvec, np.diag(a), n, nrhs, m_max=12, operand=mat,
+            convergence_threshold=1e-10, max_iter=200,
+            p_space=_p_lowest_diag(a, 3),
+        )
+        x, errs, iters = solver.solve(b)
+        xref = np.linalg.solve(a, b.T).T
+        assert np.max(errs) <= 1e-10
+        np.testing.assert_allclose(np.asarray(x), xref, atol=1e-7)
+
+    def test_p_actions_and_restarts(self, hamiltonians):
+        matrix = hamiltonians["bh"]
+        n = matrix.shape[0]
+        nrhs = 1
+        a = matrix + (abs(np.linalg.eigvalsh(matrix)[0]) + 1.0) * np.eye(n)
+        p_vecs = _p_lowest_diag(a, 3)
+        p_dense = densify_p_space(p_vecs, n)
+        matvec, mat = _dense_setup(a)
+        solver = FusedLinearEquations(
+            matvec, np.diag(a), n, nrhs,
+            m_max=2 * nrhs + 3 + 1,  # restart-heavy
+            operand=mat, convergence_threshold=1e-10, max_iter=400,
+            p_space=p_vecs, p_actions=p_dense @ a.T,
+        )
+        b = np.ones((nrhs, n))
+        x, errs, _ = solver.solve(b)
+        assert np.max(errs) <= 1e-10
+        np.testing.assert_allclose(np.asarray(x),
+                                   np.linalg.solve(a, b.T).T, atol=1e-7)
+
+    def test_m_max_validation(self, hamiltonians):
+        matrix = hamiltonians["bh"]
+        n = matrix.shape[0]
+        matvec, mat = _dense_setup(matrix)
+        with pytest.raises(ValueError, match="m_max"):
+            FusedLinearEquations(matvec, np.diag(matrix), n, 2, m_max=6,
+                                 operand=mat,
+                                 p_space=_p_lowest_diag(matrix, 3))
