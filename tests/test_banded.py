@@ -50,6 +50,52 @@ def test_banded_matches_dense(deflate):
         assert solver.n_locked == nroots
 
 
+def make_clustered_matrix(n, seed=11):
+    """Spectrum with tight low-end CLUSTERS (pairs split by ~1e-3) whose
+    members straddle band boundaries — the configuration where streamed
+    soft-locking without windowed hard deflation converged the last row
+    of a band into the WRONG cluster (eigenvalue off by 3.7 at n=512,
+    docs/PERF.md round-3 'windowed hard deflation')."""
+    rng = np.random.default_rng(seed)
+    a = rng.standard_normal((n, n)) * (0.05 / np.sqrt(n))
+    clusters = []
+    for c in range(6):  # six pairs: -3.0/-2.999, -2.4/-2.399, ...
+        base = -3.0 + 0.6 * c
+        clusters += [base, base + 1e-3]
+    d = np.concatenate([np.asarray(clusters),
+                        np.linspace(2.0, 20.0, n - len(clusters))])
+    return a + a.T + np.diag(d)
+
+
+def test_streamed_clustered_spectrum_n512():
+    """Regression for the windowed-hard-deflation fix at the scale it
+    failed: n=512, clustered pairs, band=3 so every band boundary falls
+    INSIDE a cluster. Without the device-resident deflation window the
+    last active row of each band seeds from a purged direction and locks
+    onto the wrong cluster member."""
+    n, nroots, band = 512, 8, 3
+    m = make_clustered_matrix(n)
+    ref = np.linalg.eigvalsh(m)[:nroots]
+    solver = BandedEigensolver(
+        dense_matvec, np.diag(m), n, band=band, m_max=16,
+        convergence_threshold=1e-9, max_iter=400,
+        operand=jnp.asarray(m), deflate="streamed", store_block_rows=3)
+    vals, vecs, errs = solver.solve(nroots)
+    # the historical failure was eigenvalue error ~3.7 (wrong cluster);
+    # assert f64-class agreement with the dense spectrum
+    np.testing.assert_allclose(vals, ref, atol=1e-7)
+    for i in range(nroots):
+        xi = vecs[i] / np.linalg.norm(vecs[i])
+        res = np.linalg.norm(m @ xi - vals[i] * xi)
+        # individual vectors inside a 1e-3-split pair are ill-conditioned
+        # (residual ~ splitting x mixing angle); 1e-4 still sits 4.5
+        # orders below the wrong-cluster failure this test pins
+        assert res < 1e-4, f"root {i}: residual {res}"
+    g = vecs @ vecs.T
+    np.testing.assert_allclose(g, np.eye(nroots), atol=1e-8)
+    assert solver.n_locked == nroots
+
+
 def test_deflated_matvec_moves_locked_roots():
     n = 64
     m = make_matrix(n, nlow=4, seed=3)
