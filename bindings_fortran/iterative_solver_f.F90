@@ -105,6 +105,21 @@ module iterative_solver
       integer(c_int), value :: sync
     end subroutine
 
+    !> Suggest P-space indices (0-based) from the current solution and
+    !> residual blocks; returns the count written into ``indices``
+    !> (IterativeSolverC.h:47-48 — here backed by the real top-k
+    !> |solution_i * residual_i| selection, not the reference's {} stub).
+    function IterativeSolverSuggestP(solution, residual, maximum_number, &
+        threshold, indices) result(np_found) &
+        bind(C, name='IterativeSolverSuggestP')
+      use iso_c_binding
+      real(c_double) :: solution(*), residual(*)
+      integer(c_size_t), value :: maximum_number
+      real(c_double), value :: threshold
+      integer(c_size_t) :: indices(*)
+      integer(c_size_t) :: np_found
+    end function
+
     subroutine IterativeSolverErrors(errors) bind(C, name='IterativeSolverErrors')
       use iso_c_binding
       real(c_double) :: errors(*)

@@ -30,6 +30,8 @@ int IterativeSolverEndIterationNeeded();
 size_t IterativeSolverAddP(size_t buffer_size, size_t nP, const size_t* offsets, const size_t* indices,
                            const double* coefficients, const double* pp, double* parameters, double* action,
                            int sync, void (*func)(const double*, double*, size_t, const size_t*));
+size_t IterativeSolverSuggestP(const double* solution, const double* residual, size_t maximum_number,
+                               double threshold, size_t* indices);
 void IterativeSolverErrors(double* errors);
 void IterativeSolverEigenvalues(double* eigenvalues);
 void IterativeSolverWorkingSetEigenvalues(double* eigenvalues);

@@ -42,6 +42,8 @@ int IterativeSolverEndIterationNeeded();
 size_t IterativeSolverAddP(size_t buffer_size, size_t nP, const size_t* offsets, const size_t* indices,
                            const double* coefficients, const double* pp, double* parameters, double* action,
                            int sync, void (*func)(const double*, double*, size_t, const size_t*));
+size_t IterativeSolverSuggestP(const double* solution, const double* residual, size_t maximum_number,
+                               double threshold, size_t* indices);
 void IterativeSolverErrors(double* errors);
 void IterativeSolverEigenvalues(double* eigenvalues);
 void IterativeSolverWorkingSetEigenvalues(double* eigenvalues);
@@ -224,6 +226,18 @@ def IterativeSolverAddP(buffer_size, nP, offsets, indices, coefficients, pp,
         buffer_size, nP, offs, idx, coeffs, pp_arr, p, a, sync, func=apply_p
     )
     return max(int(nwork), 0)
+
+
+@ffi.def_extern()
+def IterativeSolverSuggestP(solution, residual, maximum_number, threshold, indices):
+    n = _dim()
+    nroot = _nroot()
+    sol = _buf(solution, nroot * n)
+    res = _buf(residual, nroot * n)
+    mx = max(int(maximum_number), 1)
+    idx = np.frombuffer(ffi.buffer(indices, mx * 8), dtype=np.uint64)
+    cnt = _api().IterativeSolverSuggestP(sol, res, maximum_number, threshold, idx)
+    return int(cnt)
 
 
 @ffi.def_extern()

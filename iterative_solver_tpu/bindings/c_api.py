@@ -230,7 +230,24 @@ def IterativeSolverWorkingSetEigenvalues(eigenvalues):
 
 
 def IterativeSolverSuggestP(solution, residual, maximum_number, threshold, indices):
-    return 0  # parity: the reference's suggest_p returns {} (IterativeSolverTemplate.h:458-461)
+    """Suggest P-space indices from the current solution/residual blocks
+    (IterativeSolverC.h:47-48). The reference's template leaves suggest_p
+    unimplemented (IterativeSolverTemplate.h:458-461, returns {}); here it
+    runs the solver's real top-|solution_i * residual_i| selection
+    (core.py suggest_p). Writes 0-based indices into ``indices`` and
+    returns the count."""
+    inst = _top()
+    if not hasattr(inst.solver, "suggest_p"):
+        return 0
+    nroot, dim = inst.nroot, inst.dimension
+    sol = np.asarray(solution, dtype=np.float64).reshape(-1)[: nroot * dim]
+    res = np.asarray(residual, dtype=np.float64).reshape(-1)[: nroot * dim]
+    idx = inst.solver.suggest_p(
+        sol.reshape(nroot, dim), res.reshape(nroot, dim),
+        int(maximum_number), float(threshold))
+    out = np.asarray(indices).reshape(-1)
+    out[: len(idx)] = idx
+    return len(idx)
 
 
 def IterativeSolverPrintStatistics():

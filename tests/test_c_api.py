@@ -138,3 +138,29 @@ def test_linear_equations_through_c_api():
     r = np.zeros((1, n))
     c_api.IterativeSolverSolution(1, np.asarray([0], dtype=np.int32), p, r)
     np.testing.assert_allclose(matrix @ p[0], rhs[0], atol=1e-7)
+
+
+def test_suggest_p_through_c_api():
+    """IterativeSolverSuggestP (IterativeSolverC.h:47-48) backed by the real
+    top-|solution_i * residual_i| selection (core.py suggest_p), not the
+    reference's {} stub: 0-based indices written into the caller's buffer,
+    count returned, threshold respected."""
+    n = 12
+    matrix = np.diag(np.arange(1.0, n + 1.0))
+    c_api.IterativeSolverLinearEigensystemInitialize(n, 2)
+    solution = np.zeros((2, n))
+    residual = np.zeros((2, n))
+    solution[0, 3] = 1.0
+    residual[0, 3] = 0.5    # contribution 0.5 at index 3
+    solution[1, 7] = 0.6
+    residual[1, 7] = 0.5    # contribution 0.3 at index 7
+    solution[0, 1] = 1e-4
+    residual[0, 1] = 1e-4   # below threshold
+    idx = np.zeros(4, dtype=np.uint64)
+    cnt = c_api.IterativeSolverSuggestP(solution, residual, 4, 1e-3, idx)
+    assert cnt == 2
+    assert set(int(i) for i in idx[:cnt]) == {3, 7}
+    # max_number caps the suggestions
+    idx1 = np.zeros(1, dtype=np.uint64)
+    cnt1 = c_api.IterativeSolverSuggestP(solution, residual, 1, 1e-3, idx1)
+    assert cnt1 == 1 and int(idx1[0]) == 3
