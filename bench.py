@@ -982,9 +982,14 @@ def main(big: bool = False, phenol: bool = False):
         for row, i in enumerate(np.argsort(diag_n)[:rn]):
             vn[row, i] = 1.0
         tol_n = 2e-4
+        # PRODUCTION path (round 4): rr="device" — single-dispatch loop,
+        # simultaneous Rayleigh-shifted inverse iteration replaces the
+        # per-append host eig (no TPU eig lowering needed); host LAPACK
+        # runs once on the final (r, r) G. Measured: 44.7 ms vs the
+        # chunked host-eig path's 136 ms in the same window.
         s_ns = FusedNonSymDavidson(mv, diag_n, nn, rn, m_max=mn, dtype=dtype,
                                    convergence_threshold=tol_n, max_iter=60,
-                                   operand=op_n)
+                                   operand=op_n, rr="device")
         s_ns.solve(vn)  # warm compile
         best = float("inf")
         for _ in range(3):
@@ -992,6 +997,17 @@ def main(big: bool = False, phenol: bool = False):
             t0 = time.perf_counter()
             _, _, errs_ns, it_ns = s_ns.solve(vn)
             best = min(best, time.perf_counter() - t0)
+        # chunked host-eig mode (the round-3 path) for the secondary factor
+        s_host = FusedNonSymDavidson(mv, diag_n, nn, rn, m_max=mn,
+                                     dtype=dtype, convergence_threshold=tol_n,
+                                     max_iter=60, operand=op_n)
+        s_host.solve(vn)
+        best_h = float("inf")
+        for _ in range(3):
+            s_host.iterations = 0
+            t0 = time.perf_counter()
+            _, _, errs_h, _ = s_host.solve(vn)
+            best_h = min(best_h, time.perf_counter() - t0)
         # symmetric control: SAME tier/shape through the fused while_loop
         mat_s = 0.5 * (mat_n + mat_n.T)
         op_s = jnp.asarray(mat_s, dtype)
@@ -1012,6 +1028,9 @@ def main(big: bool = False, phenol: bool = False):
             "nonsym_converged": bool(np.max(errs_ns) <= tol_n),
             "nonsym_sym_control_wall_s": round(best_s, 4),
             "nonsym_vs_sym_factor": round(best / best_s, 2),
+            "nonsym_host_wall_s": round(best_h, 4),
+            "nonsym_host_vs_sym_factor": round(best_h / best_s, 2),
+            "nonsym_host_converged": bool(np.max(errs_h) <= tol_n),
         })
 
     # ---- BIG peak config (opt-in, --big): n=32768, 64 roots ----

@@ -267,6 +267,166 @@ def make_nonsym_reset(matvec: Callable, nroots: int, m_max: int):
     return reset
 
 
+@jax.jit
+def _rotate_x(bx, coeff):
+    """Final device-side pair rotation of the best snapshot's rows —
+    dispatched WITHOUT a fetch (the result stays a device array; errors
+    come from the host-rotated (r, r) residual Gram instead), so the
+    solve wall pays no O(N) transfer."""
+    return jnp.matmul(coeff, bx, precision=_PREC)
+
+
+def make_nonsym_device_loop(matvec: Callable, r: int, m_max: int,
+                            null_thresh: float = 1e-10, rr_steps: int = 1):
+    """Single-dispatch non-hermitian Davidson loop: the whole solve as ONE
+    jitted ``while_loop`` with NO host eig inside.
+
+    ``jnp.linalg.eig`` has no TPU lowering, but the iteration never needs
+    an explicit eigendecomposition — only the invariant SUBSPACE of the
+    leftmost eigenvalues, which inverse subspace iteration reaches with
+    ops that DO lower on TPU (`lu`-backed solve, Cholesky):
+
+        C' <- (H_m - sigma I)^{-1} C^T         (right-eigvec directions)
+        C  <- chol-whiten(C')                  (orthonormal rows)
+        G  =  C H_m^T C^T                      (small Galerkin matrix)
+
+    With basis rows V, action rows W, and projected H[i,j] = <v_i, A v_j>,
+    the Ritz block is X = C V, AX = C W, and the residual of the
+    invariant-subspace equation is R = C W - G (C V) in REAL arithmetic —
+    a complex-conjugate pair is tracked as its real 2D invariant subspace,
+    so no step ever forms complex numbers; the one host LAPACK ``eig``
+    runs on the FINAL (r, r) G to extract pairs/eigenvalues/rotations
+    (ritz_nonsym), after the dispatch returns.
+
+    sigma sits below the smallest Rayleigh quotient (leftmost tracking);
+    dead stack slots get a large diagonal so the solve decouples them.
+    Divergence guards (the non-variational-eig contamination mode) are
+    carried IN the loop: best-snapshot (x, ax, G) under jnp.where.
+
+    Dispatch economics vs the chunked path: ~1 round-trip per chunk of
+    ``it_budget`` iterations instead of ~1 per append — the tunnel-RTT
+    serial floor (docs/PERF.md round-3 nonsym section) disappears.
+    Reference semantics twin: LinearEigensystemDavidson.h:130-184 at
+    hermiticity=false (same expansion/restart policy, different RR).
+    """
+    from ..array.vector_ops import chol_jitter
+
+    append = _make_append(matvec, r, m_max, null_thresh)
+
+    def _refine(C, h, mask):
+        mm = mask[:, None] * mask[None, :]
+        scale = jnp.max(jnp.abs(h)) + 1.0
+        hm = h * mm + jnp.diag((1.0 - mask) * 10.0 * scale)
+        eye = jnp.eye(m_max, dtype=h.dtype)
+        eye_r = jnp.eye(r, dtype=h.dtype)
+        G = jnp.matmul(jnp.matmul(C, hm.T, precision=_PREC), C.T,
+                       precision=_PREC)
+        for _ in range(rr_steps):
+            # simultaneous Rayleigh-quotient inverse iteration: each row
+            # refines through its OWN shifted solve (batched LU) — the
+            # near-singularity at a converged shift amplifies exactly the
+            # wanted direction; the slight left bias prefers the lower
+            # member of a tie. Re-orthonormalisation (chol-whitening)
+            # restores independence when neighbouring rows contract onto
+            # the same eigenvector.
+            shifts = jnp.diagonal(G)
+            scale_s = jnp.max(jnp.abs(shifts)) + 1.0
+            sigmas = shifts - 1e-5 * scale_s
+            a_b = hm[None, :, :] - sigmas[:, None, None] * eye[None, :, :]
+            ct = jnp.linalg.solve(a_b, C[:, :, None])[..., 0]   # (r, m_max)
+            # bound amplification before the Gram (PPCG f32 rule: carried
+            # normalisations must not compound)
+            ct = ct / jnp.maximum(
+                jnp.max(jnp.abs(ct), axis=1, keepdims=True), 1e-30)
+            g = jnp.matmul(ct, ct.T, precision=_PREC)
+            g = 0.5 * (g + g.T) + chol_jitter(g.dtype) * eye_r
+            l = jnp.linalg.cholesky(g)
+            C = jax.scipy.linalg.solve_triangular(l, ct, lower=True)
+            G = jnp.matmul(jnp.matmul(C, hm.T, precision=_PREC), C.T,
+                           precision=_PREC)
+        return C, G, jnp.diagonal(G)
+
+    def _loop(v, w, mask, k, h, C, tol, it0, it_end,
+              best_err, bx, bG, bR, operand, diag):
+        def cond(state):
+            (_v, _w, _mask, _k, _h, _C, _x, errs, it,
+             _be, _bx, _bG, _bR, _rs) = state
+            return (it < it_end) & (jnp.max(errs) > tol)
+
+        def body(state):
+            (v, w, mask, k, h, C, x, errs, it,
+             best_err, bx, bG, bR, restarts) = state
+            C, G, shifts = _refine(C, h, mask)
+            vm = v * mask[:, None]
+            wm = w * mask[:, None]
+            x = jnp.matmul(C, vm, precision=_PREC)
+            ax = jnp.matmul(C, wm, precision=_PREC)
+            rblk = ax - jnp.matmul(G, x, precision=_PREC)
+            # (r, r) residual Gram: diag -> row-norm errors; rotated by the
+            # final host eig as coeff R_gram coeff^T with no O(N) fetch
+            r_gram = jnp.matmul(rblk, rblk.T, precision=_PREC)
+            errs = jnp.sqrt(jnp.abs(jnp.diagonal(r_gram)))
+            maxe = jnp.max(errs)
+            better = maxe < best_err
+            best_err = jnp.where(better, maxe, best_err)
+            bx = jnp.where(better, x, bx)
+            bG = jnp.where(better, G, bG)
+            bR = jnp.where(better, r_gram, bR)
+            scale_est = jnp.max(jnp.abs(diag)) + jnp.max(jnp.abs(shifts))
+            denom = diag[None, :] - shifts[:, None] + 1e-15 * scale_est + 1e-300
+            t = rblk / denom
+            k0 = k
+            v, w, mask, k, _t_app, _w_rows = append(v, w, mask, k, t, operand)
+            h, _ = _incremental_update(h, v, w, mask, k0, r)
+
+            def restart(args):
+                v, w, mask, k, h, C, restarts = args
+                # collapse onto the pre-append Ritz block; matvec re-anchors
+                # AX exactly (carried-quantity rule — a whitening-transform
+                # shortcut would accumulate f32 drift across restarts)
+                rv, rw, rmask, rh = _reset_core(matvec, r, m_max, x, operand)
+                rC = jnp.zeros((r, m_max), C.dtype).at[:, :r].set(
+                    jnp.eye(r, dtype=C.dtype))
+                return (rv, rw, rmask, jnp.asarray(r, k.dtype), rh, rC,
+                        restarts + 1)
+
+            def keep(args):
+                return args
+
+            v, w, mask, k, h, C, restarts = jax.lax.cond(
+                k + r > m_max, restart, keep,
+                (v, w, mask, k, h, C, restarts))
+            return (v, w, mask, k, h, C, x, errs, it + 1,
+                    best_err, bx, bG, bR, restarts)
+
+        x0 = jnp.zeros((r, v.shape[1]), v.dtype)
+        init = (v, w, mask, k, h, C, x0, jnp.full((r,), jnp.inf, v.dtype),
+                it0, best_err, bx, bG, bR, jnp.zeros((), jnp.int32))
+        return jax.lax.while_loop(cond, body, init)
+
+    def run_init(x0, operand, diag, tol, it_end):
+        """First (usually only) dispatch: init/orthonormalise INSIDE the
+        jit — no separate reset round-trip — then the whole loop."""
+        v, w, mask, h = _reset_core(matvec, r, m_max, x0, operand)
+        k = jnp.asarray(r, jnp.int32)
+        C = jnp.zeros((r, m_max), x0.dtype).at[:, :r].set(
+            jnp.eye(r, dtype=x0.dtype))
+        best_err = jnp.asarray(jnp.inf, x0.dtype)
+        z = jnp.zeros((r, x0.shape[1]), x0.dtype)
+        zr = jnp.zeros((r, r), x0.dtype)
+        return _loop(v, w, mask, k, h, C, tol,
+                     jnp.zeros((), jnp.int32), it_end,
+                     best_err, z, zr, zr, operand, diag)
+
+    def run_cont(v, w, mask, k, h, C, operand, diag, tol, it0, it_end,
+                 best_err, bx, bG, bR):
+        """Continuation chunks (only for solves longer than chunk_iters)."""
+        return _loop(v, w, mask, k, h, C, tol, it0, it_end,
+                     best_err, bx, bG, bR, operand, diag)
+
+    return jax.jit(run_init), jax.jit(run_cont)
+
+
 class FusedNonSymDavidson:
     """Chunked-dispatch Davidson for non-hermitian operators.
 
@@ -292,10 +452,15 @@ class FusedNonSymDavidson:
         operand=None,
         null_thresh: float = 1e-10,
         inner: int = 1,
+        rr: str = "host",
+        rr_steps: int = 1,
+        chunk_iters: int = 64,
     ):
         if dtype is None:
             dtype = (jnp.float64 if jax.config.read("jax_enable_x64")
                      else jnp.float32)
+        if rr not in ("host", "device"):
+            raise ValueError(f"rr must be 'host' or 'device', got {rr!r}")
         self.matvec = matvec
         self.n = n
         self.nroots = nroots
@@ -313,8 +478,12 @@ class FusedNonSymDavidson:
         self.operand = operand
         self.diag = jnp.asarray(np.asarray(diagonals), dtype=dtype)
         self.inner = max(1, int(inner))
+        self.rr = rr
+        self.rr_steps = max(1, int(rr_steps))
+        self.chunk_iters = max(1, int(chunk_iters))
         self._null_thresh = null_thresh
         self._chunks = {}
+        self._device_loop = None
         self._reset = make_nonsym_reset(matvec, nroots, self.m_max)
         self.iterations = 0
         self.matvecs = 0
@@ -376,6 +545,8 @@ class FusedNonSymDavidson:
         conjugate pair straddles the window boundary at convergence the
         returned set shrinks by one instead of splitting the pair (the
         reference never tracks half a pair either)."""
+        if self.rr == "device":
+            return self._solve_device_rr(v0)
         v, w, mask, k, h = self._reset(self._put_block(v0), self.operand)
         self.matvecs += self.nroots
         evals = np.zeros((self.nroots,), dtype=np.complex128)
@@ -467,6 +638,86 @@ class FusedNonSymDavidson:
                                     dtype=np.float64)[:r_eff]
         if best is not None and best[0] < errors.max():
             _, evals, x_out, errors, r_eff = best
+        from ._finite import check_finite
+
+        check_finite(errors, "FusedNonSymDavidson")
+        return evals[:r_eff], x_out[:r_eff], errors, self.iterations
+
+    def _solve_device_rr(self, v0):
+        """Single-dispatch path (rr="device"): chunks of ``chunk_iters``
+        whole Davidson iterations per round-trip through
+        ``make_nonsym_device_loop``; between chunks the host fetches ONLY
+        (errors, it, best_err, restarts) — one device_get — for the
+        convergence/divergence decision. The final (r, r) G is
+        diagonalised ONCE by host LAPACK (ritz_nonsym) to recover complex
+        pairs and rotate the real invariant-subspace rows into pair form.
+        """
+        r, m_max = self.nroots, self.m_max
+        if self._device_loop is None:
+            self._device_loop = make_nonsym_device_loop(
+                self.matvec, r, m_max, self._null_thresh, self.rr_steps)
+        run_init, run_cont = self._device_loop
+        tol = jnp.asarray(self.tol, self.dtype)
+        it_end = min(self.chunk_iters, self.max_iter)
+        # ONE dispatch carries init + the whole loop (usually the entire
+        # solve: chunk_iters >= typical iteration counts)
+        state = run_init(self._put_block(v0), self.operand, self.diag, tol,
+                         jnp.asarray(it_end, jnp.int32))
+        self.matvecs += r
+        it_host = 0
+        spikes = 0
+        bG_h = None
+        while True:
+            (v, w, mask, k, h, C, _x, errs_dev, it_dev,
+             best_err, bx, bG, bR, restarts_dev) = state
+            # ONE batched small fetch per chunk (bG + residual Gram ride
+            # along so the final rotation needs no O(N) round-trip)
+            errs_h, it_h, be_h, rs_h, bG_h, bR_h = jax.device_get(
+                (errs_dev, it_dev, best_err, restarts_dev, bG, bR))
+            n_iters = int(it_h) - it_host
+            it_host = int(it_h)
+            self.iterations = it_host
+            self.matvecs += n_iters * r + int(rs_h) * r
+            errors = np.asarray(errs_h, dtype=np.float64)
+            if np.all(errors <= self.tol) or it_host >= self.max_iter:
+                break
+            # contamination guard across chunks (same persistence rule as
+            # the chunked family, at chunk granularity)
+            if errors.max() > 10.0 * float(be_h):
+                spikes += 1
+                if spikes >= 2:
+                    break
+            else:
+                spikes = 0
+            it_end = min(it_host + self.chunk_iters, self.max_iter)
+            state = run_cont(
+                v, w, mask, k, h, C, self.operand, self.diag, tol,
+                jnp.asarray(it_host, jnp.int32), jnp.asarray(it_end, jnp.int32),
+                best_err, bx, bG, bR)
+        # host LAPACK eig of the tiny (r, r) G (already fetched with the
+        # chunk); per-root errors from the rotated residual GRAM — the
+        # O(N) best snapshot never crosses the tunnel (an (r, N) fetch at
+        # tunnel rates dominated the whole solve wall before this).
+        # TRANSPOSE is load-bearing: rotated rows y = z X satisfy
+        # y A^T = z G X + z R, so z must be a LEFT eigenvector of G
+        # (z G = lam z); ritz_nonsym(h) returns rows with coeff h^T =
+        # lam coeff, hence pass G^T. Feeding G instead leaves a
+        # (z G - lam z) X term the Gram-based errors cannot see — true
+        # residual 5e-4 at reported 1e-10 on a 12-iteration solve.
+        evals, coeff, lam, _shifts = ritz_nonsym(
+            np.asarray(bG_h, dtype=np.float64).T, r)
+        r_eff = coeff.shape[0]
+        if r_eff == 0:
+            raise ValueError(
+                "the lowest subspace root is a complex conjugate pair "
+                f"and nroots={r} cannot hold both members — increase "
+                "nroots (a pair needs two slots)")
+        bR_h = np.asarray(bR_h, dtype=np.float64)
+        errors = np.sqrt(np.abs(np.diag(coeff @ bR_h @ coeff.T)))[:r_eff]
+        coeff_full = np.zeros((r, r))
+        coeff_full[:r_eff] = coeff
+        # fetch-free async dispatch: x_out stays a device array
+        x_out = _rotate_x(bx, jnp.asarray(coeff_full, self.dtype))
         from ._finite import check_finite
 
         check_finite(errors, "FusedNonSymDavidson")

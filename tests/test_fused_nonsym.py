@@ -191,6 +191,121 @@ class TestFusedNonSymDavidson:
         assert it_fused <= 3 * max(solver.stats.iterations, 1)
 
 
+class TestDeviceRR:
+    """rr="device": the single-dispatch loop (make_nonsym_device_loop) —
+    simultaneous Rayleigh-shifted inverse iteration replaces the per-cycle
+    host eig; host LAPACK runs once at the end on the (r, r) G."""
+
+    @pytest.mark.parametrize("strength", [0.1, 0.2])
+    def test_matches_host_mode(self, strength):
+        n, nroots = 512, 4
+        m = gapped_nonsym(n, strength=strength)
+        ref = dense_lowest(m, nroots)
+        results = {}
+        for mode in ("host", "device"):
+            s = FusedNonSymDavidson(
+                dense_matvec, np.diag(m), n, nroots, m_max=16,
+                convergence_threshold=1e-9, max_iter=120,
+                operand=jnp.asarray(m), rr=mode)
+            evals, x, errs, it = s.solve(guess(m, nroots))
+            assert np.all(errs <= 1e-8), (mode, errs)
+            np.testing.assert_allclose(np.sort(evals.real),
+                                       np.sort(ref.real), atol=1e-8)
+            results[mode] = it
+            if mode == "device":
+                # the REPORTED errors must BE the true per-root residuals
+                # (regression: rotating with right instead of LEFT
+                # eigenvectors of G left a (zG - lam z)X term the
+                # Gram-based errors cannot see — true residual 5e-4 at
+                # reported 1e-10)
+                x64 = np.asarray(x, np.float64)
+                for i in range(len(evals)):
+                    if evals[i].imag == 0:
+                        true_r = np.linalg.norm(
+                            x64[i] @ m.T - evals[i].real * x64[i])
+                        assert true_r <= 10 * max(errs[i], 1e-12), (
+                            i, true_r, errs[i])
+        # RQI tracking must not cost materially more iterations than
+        # exact per-cycle RR (measured: identical on these spectra)
+        assert results["device"] <= 2 * results["host"] + 2, results
+
+    def test_complex_pair_device_mode(self):
+        n, nroots = 128, 3
+        rng = np.random.default_rng(5)
+        m = np.diag(np.linspace(5.0, 25.0, n))
+        m += rng.standard_normal((n, n)) * 0.01
+        m[0, 0] = m[1, 1] = 1.0
+        m[0, 1], m[1, 0] = -1.5, 1.5
+        m[0, 2:] = m[1, 2:] = m[2:, 0] = m[2:, 1] = 0.0
+        solver = FusedNonSymDavidson(
+            dense_matvec, np.diag(m), n, nroots, m_max=16,
+            convergence_threshold=1e-9, max_iter=160,
+            operand=jnp.asarray(m), rr="device", rr_steps=2)
+        evals, x, errs, it = solver.solve(guess(m, nroots))
+        assert np.all(errs <= 1e-8), errs
+        pair = sorted(evals[:2], key=lambda z: -z.imag)
+        assert pair[0] == pytest.approx(1 + 1.5j, abs=1e-7)
+        assert pair[1] == pytest.approx(1 - 1.5j, abs=1e-7)
+        # true-operator invariance of the returned real rows
+        x64 = np.asarray(x, np.float64)[:2]
+        ax = x64 @ m.T
+        lam2, *_ = np.linalg.lstsq(x64.T, ax.T, rcond=None)
+        np.testing.assert_allclose(ax, lam2.T @ x64, atol=1e-7)
+
+    def test_multi_chunk_continuation(self):
+        """chunk_iters smaller than the iteration count exercises run_cont
+        (state threading across dispatch boundaries)."""
+        n, nroots = 300, 4
+        m = gapped_nonsym(n, strength=0.1, seed=2)
+        ref = dense_lowest(m, nroots)
+        s = FusedNonSymDavidson(
+            dense_matvec, np.diag(m), n, nroots, m_max=16,
+            convergence_threshold=1e-9, max_iter=120,
+            operand=jnp.asarray(m), rr="device", chunk_iters=2)
+        evals, x, errs, it = s.solve(guess(m, nroots))
+        assert np.all(errs <= 1e-8), errs
+        np.testing.assert_allclose(np.sort(evals.real), np.sort(ref.real),
+                                   atol=1e-8)
+
+    def test_tight_m_max_restarts_in_loop(self):
+        """m_max=3r forces the in-loop lax.cond restart every second
+        iteration; device mode must converge like host mode does.
+        (m_max=2r stalls IDENTICALLY in both modes — restart-every-append
+        Davidson is weak by construction, measured resid 7.1e-2 at 300
+        iters for host AND device on this operator.)"""
+        n, nroots = 256, 4
+        m = gapped_nonsym(n, strength=0.1, seed=4)
+        ref = dense_lowest(m, nroots)
+        s = FusedNonSymDavidson(
+            dense_matvec, np.diag(m), n, nroots, m_max=3 * nroots,
+            convergence_threshold=1e-7, max_iter=300,
+            operand=jnp.asarray(m), rr="device")
+        evals, x, errs, it = s.solve(guess(m, nroots))
+        assert np.all(errs <= 1e-7), (errs, it)
+        assert it <= 40, it  # host mode: 16 iters; device measured 14
+        np.testing.assert_allclose(np.sort(evals.real), np.sort(ref.real),
+                                   atol=1e-6)
+
+    def test_f32_floor_returns_best(self):
+        """Unreachable tolerance in f32: the in-loop best-snapshot guard
+        returns floor-class residuals, not a contaminated state."""
+        n, nroots = 512, 3
+        m = gapped_nonsym(n, nlow=8, strength=0.1, seed=6)
+        s = FusedNonSymDavidson(
+            dense_matvec, np.diag(m), n, nroots, m_max=12,
+            dtype=jnp.float32, convergence_threshold=1e-12,
+            max_iter=40, operand=jnp.asarray(m, jnp.float32), rr="device")
+        evals, x, errs, it = s.solve(guess(m, nroots))
+        assert errs.max() < 1e-3, errs
+        ref = dense_lowest(m, nroots)
+        np.testing.assert_allclose(np.sort(evals.real), np.sort(ref.real),
+                                   atol=1e-3)
+
+    def test_rejects_bad_rr(self):
+        with pytest.raises(ValueError, match="rr must be"):
+            FusedNonSymDavidson(dense_matvec, np.zeros(8), 8, 2, rr="wat")
+
+
 class TestFloorRobustness:
     def test_iterating_past_the_floor_returns_best_not_explosion(self):
         """Non-symmetric eig is not variational: noise appends at the
