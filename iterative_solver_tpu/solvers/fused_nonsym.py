@@ -724,6 +724,113 @@ class FusedNonSymDavidson:
         return evals[:r_eff], x_out[:r_eff], errors, self.iterations
 
 
+def make_nonsym_lineq_device_loop(matvec: Callable, nrhs: int, m_max: int,
+                                  null_thresh: float = 1e-10,
+                                  refine_passes: int = 2):
+    """Single-dispatch non-symmetric A X = B: the whole Petrov-Galerkin
+    Davidson loop as ONE jitted ``while_loop`` with NO host stage at all.
+
+    Unlike the eigen twin (which needs inverse-iteration tracking because
+    ``eig`` has no TPU lowering), the projected (m, m) SOLVE lowers fine —
+    the only hazard is f32 solve accuracy, handled by ``refine_passes``
+    rounds of iterative refinement (error e -> e^2 per pass; the same rule
+    that fixed FusedLinearEquations' TPU stall, fused_linear.py:68-75).
+    Dead stack slots get a large diagonal and zero RHS, so their
+    coefficients vanish. In-loop lax.cond restarts collapse onto the
+    current solution block and recompute the RHS projection. Best-snapshot
+    (x, per-RHS errors) carried under jnp.where.
+    Reference semantics twin: LinearEquationsDavidson.h at
+    hermiticity=false."""
+    append = _make_append(matvec, nrhs, m_max, null_thresh)
+
+    def _proj_solve(hm, beta):
+        # LU once, refinement passes reuse it
+        lu, piv = jax.scipy.linalg.lu_factor(hm)
+        cm = jax.scipy.linalg.lu_solve((lu, piv), beta)
+        for _ in range(refine_passes):
+            resid = beta - jnp.matmul(hm, cm, precision=_PREC)
+            cm = cm + jax.scipy.linalg.lu_solve((lu, piv), resid)
+        return cm
+
+    def _loop(v, w, mask, k, h, beta, tol, it0, it_end, best_err, bx, berrs,
+              operand, diag, b, b_norm):
+        def cond(state):
+            (_v, _w, _mask, _k, _h, _beta, _x, errs, it,
+             _be, _bx, _berrs, _rs) = state
+            return (it < it_end) & (jnp.max(errs) > tol)
+
+        def body(state):
+            (v, w, mask, k, h, beta, x, errs, it,
+             best_err, bx, berrs, restarts) = state
+            mm = mask[:, None] * mask[None, :]
+            scale = jnp.max(jnp.abs(h)) + 1.0
+            hm = h * mm + jnp.diag((1.0 - mask) * 10.0 * scale)
+            bm = beta * mask[:, None]
+            cm = _proj_solve(hm, bm)                     # (m_max, nrhs)
+            coeff = cm.T                                  # (nrhs, m_max)
+            vm = v * mask[:, None]
+            wm = w * mask[:, None]
+            x = jnp.matmul(coeff, vm, precision=_PREC)
+            ax = jnp.matmul(coeff, wm, precision=_PREC)
+            rblk = ax - b
+            errs = jnp.sqrt(jnp.abs(
+                jnp.einsum("in,in->i", rblk, rblk, precision=_PREC))) / b_norm
+            maxe = jnp.max(errs)
+            better = maxe < best_err
+            best_err = jnp.where(better, maxe, best_err)
+            bx = jnp.where(better, x, bx)
+            berrs = jnp.where(better, errs, berrs)
+            d = diag if diag.ndim == 2 else diag[None, :]
+            denom = d + 1e-15 * jnp.max(jnp.abs(d)) + 1e-300
+            t = rblk / denom
+            k0 = k
+            v, w, mask, k, _t_app, _w_rows = append(v, w, mask, k, t, operand)
+            h, new_v = _incremental_update(h, v, w, mask, k0, nrhs)
+            beta = jax.lax.dynamic_update_slice(
+                beta, jnp.matmul(new_v, b.T, precision=_PREC),
+                (k0, jnp.zeros((), k0.dtype)))
+
+            def restart(args):
+                v, w, mask, k, h, beta, restarts = args
+                rv, rw, rmask, rh = _reset_core(matvec, nrhs, m_max, x, operand)
+                rbeta = jnp.matmul(rv * rmask[:, None], b.T, precision=_PREC)
+                return (rv, rw, rmask, jnp.asarray(nrhs, k.dtype), rh, rbeta,
+                        restarts + 1)
+
+            def keep(args):
+                return args
+
+            v, w, mask, k, h, beta, restarts = jax.lax.cond(
+                k + nrhs > m_max, restart, keep,
+                (v, w, mask, k, h, beta, restarts))
+            return (v, w, mask, k, h, beta, x, errs, it + 1,
+                    best_err, bx, berrs, restarts)
+
+        x0 = jnp.zeros((nrhs, v.shape[1]), v.dtype)
+        init = (v, w, mask, k, h, beta, x0,
+                jnp.full((nrhs,), jnp.inf, v.dtype), it0, best_err, bx, berrs,
+                jnp.zeros((), jnp.int32))
+        return jax.lax.while_loop(cond, body, init)
+
+    def run_init(x0, operand, diag, b, b_norm, tol, it_end):
+        v, w, mask, h = _reset_core(matvec, nrhs, m_max, x0, operand)
+        k = jnp.asarray(nrhs, jnp.int32)
+        beta = jnp.matmul(v * mask[:, None], b.T, precision=_PREC)
+        best_err = jnp.asarray(jnp.inf, x0.dtype)
+        z = jnp.zeros((nrhs, x0.shape[1]), x0.dtype)
+        binf = jnp.full((nrhs,), jnp.inf, x0.dtype)
+        return _loop(v, w, mask, k, h, beta, tol,
+                     jnp.zeros((), jnp.int32), it_end, best_err, z, binf,
+                     operand, diag, b, b_norm)
+
+    def run_cont(v, w, mask, k, h, beta, operand, diag, b, b_norm, tol,
+                 it0, it_end, best_err, bx, berrs):
+        return _loop(v, w, mask, k, h, beta, tol, it0, it_end,
+                     best_err, bx, berrs, operand, diag, b, b_norm)
+
+    return jax.jit(run_init), jax.jit(run_cont)
+
+
 def make_nonsym_lineq_chunk(matvec: Callable, nrhs: int, m_max: int,
                             null_thresh: float = 1e-10, inner: int = 1):
     """Linear-equations twin of make_nonsym_chunk: one dispatch holds the
@@ -801,10 +908,15 @@ class FusedNonSymLinearEquations:
         operand=None,
         null_thresh: float = 1e-10,
         inner: int = 1,
+        rr: str = "host",
+        refine_passes: int = 2,
+        chunk_iters: int = 64,
     ):
         if dtype is None:
             dtype = (jnp.float64 if jax.config.read("jax_enable_x64")
                      else jnp.float32)
+        if rr not in ("host", "device"):
+            raise ValueError(f"rr must be 'host' or 'device', got {rr!r}")
         self.matvec = matvec
         self.n = n
         self.nrhs = nrhs
@@ -820,8 +932,12 @@ class FusedNonSymLinearEquations:
         self.operand = operand
         self.diag = jnp.asarray(np.asarray(diagonals), dtype=dtype)
         self.inner = max(1, int(inner))
+        self.rr = rr
+        self.refine_passes = max(0, int(refine_passes))
+        self.chunk_iters = max(1, int(chunk_iters))
         self._null_thresh = null_thresh
         self._chunks = {}
+        self._device_loop = None
         self._reset = make_nonsym_lineq_reset(matvec, nrhs, self.m_max)
         self.iterations = 0
         self.matvecs = 0
@@ -855,6 +971,8 @@ class FusedNonSymLinearEquations:
             # broadcast against the (nrhs, N) RHS block
             d2 = d if d.ndim == 2 else d[None, :]
             x0 = b_host / np.where(np.abs(d2) > 1e-12, d2, 1.0)
+        if self.rr == "device":
+            return self._solve_device(x0, b_dev, b_norm)
         v, w, mask, k, h, beta = self._reset(self._put_block(x0),
                                              self.operand, b_dev)
         self.matvecs += self.nrhs
@@ -919,3 +1037,52 @@ class FusedNonSymLinearEquations:
 
         check_finite(errors, "FusedNonSymLinearEquations")
         return x_out, errors, self.iterations
+
+    def _solve_device(self, x0, b_dev, b_norm):
+        """Single-dispatch path (rr="device"): the whole Petrov-Galerkin
+        loop in one while_loop via make_nonsym_lineq_device_loop — no host
+        stage at all; between chunks (and at the end) the host fetches
+        only small scalars/vectors. Returns the best-snapshot solution as
+        a fetch-free device array."""
+        nrhs = self.nrhs
+        if self._device_loop is None:
+            self._device_loop = make_nonsym_lineq_device_loop(
+                self.matvec, nrhs, self.m_max, self._null_thresh,
+                self.refine_passes)
+        run_init, run_cont = self._device_loop
+        tol = jnp.asarray(self.tol, self.dtype)
+        it_end = min(self.chunk_iters, self.max_iter)
+        state = run_init(self._put_block(x0), self.operand, self.diag,
+                         b_dev, b_norm, tol, jnp.asarray(it_end, jnp.int32))
+        self.matvecs += nrhs
+        it_host = 0
+        spikes = 0
+        berrs_h = None
+        while True:
+            (v, w, mask, k, h, beta, _x, errs_dev, it_dev,
+             best_err, bx, berrs, restarts_dev) = state
+            errs_h, it_h, be_h, rs_h, berrs_h = jax.device_get(
+                (errs_dev, it_dev, best_err, restarts_dev, berrs))
+            n_iters = int(it_h) - it_host
+            it_host = int(it_h)
+            self.iterations = it_host
+            self.matvecs += n_iters * nrhs + int(rs_h) * nrhs
+            errors = np.asarray(errs_h, dtype=np.float64)
+            if np.all(errors <= self.tol) or it_host >= self.max_iter:
+                break
+            if errors.max() > 10.0 * float(be_h):
+                spikes += 1
+                if spikes >= 2:
+                    break
+            else:
+                spikes = 0
+            it_end = min(it_host + self.chunk_iters, self.max_iter)
+            state = run_cont(
+                v, w, mask, k, h, beta, self.operand, self.diag, b_dev,
+                b_norm, tol, jnp.asarray(it_host, jnp.int32),
+                jnp.asarray(it_end, jnp.int32), best_err, bx, berrs)
+        errors = np.asarray(berrs_h, dtype=np.float64)
+        from ._finite import check_finite
+
+        check_finite(errors, "FusedNonSymLinearEquations")
+        return bx, errors, self.iterations
