@@ -222,6 +222,53 @@ def run_fusedp(name, nroot, np_, rr):
     return int(iters), bool(np.max(errs) <= 1e-9)
 
 
+def run_nonsym_fused(strength, rr):
+    """Fused non-hermitian tier on the reference construction, both RR
+    modes — pins the round-4 device-RR (Rayleigh-shifted inverse
+    iteration) convergence against the exact host-eig chunked path."""
+    from iterative_solver_tpu.solvers.fused_nonsym import FusedNonSymDavidson
+
+    n = 100
+    m = np.ones((n, n))
+    np.fill_diagonal(m, np.arange(n, dtype=np.float64))
+    for i in range(n):
+        m[i, :i] *= 1.0 - strength
+    solver = FusedNonSymDavidson.from_dense(
+        m, 2, convergence_threshold=1e-9, max_iter=200, rr=rr, m_max=12)
+    v0 = np.zeros((2, n))
+    for row, i in enumerate(np.argsort(np.diag(m))[:2]):
+        v0[row, i] = 1.0
+    _, _, errs, iters = solver.solve(v0)
+    return int(iters), bool(np.max(errs) <= 1e-9)
+
+
+def run_nonsym_lineq_fused(strength, rr):
+    """Fused non-symmetric linear equations, host-f64 vs in-loop
+    LU+refinement projected solve."""
+    import jax.numpy as jnp
+
+    from iterative_solver_tpu.solvers.fused_nonsym import (
+        FusedNonSymLinearEquations,
+    )
+
+    n, nrhs = 100, 2
+    rng = np.random.default_rng(11)
+    a = rng.standard_normal((n, n)) * (0.05 / np.sqrt(n))
+    m = a + a.T + np.diag(np.linspace(1.0, 20.0, n))
+    m[np.tril_indices(n, -1)] *= 1.0 - strength
+    b = rng.standard_normal((nrhs, n))
+    solver = FusedNonSymLinearEquations(
+        lambda x, op: jnp.matmul(x, op.T, precision="highest"),
+        np.diag(m), n, nrhs, m_max=12, convergence_threshold=1e-10,
+        max_iter=200, operand=jnp.asarray(m), rr=rr)
+    _, errs, iters = solver.solve(b)
+    return int(iters), bool(np.max(errs) <= 1e-10)
+
+
+DEVRR_GRID = [(0.1, "host"), (0.1, "device"), (0.2, "host"), (0.2, "device")]
+DEVRR_LINEQ_GRID = [(0.1, "host"), (0.1, "device"),
+                    (0.3, "host"), (0.3, "device")]
+
 FAMILIES = {
     "lineq": (LINEQ_GRID,
               lambda n, nrhs, ah: run_lineq(n, nrhs, ah),
@@ -238,6 +285,12 @@ FAMILIES = {
     "fusedp": (FUSEDP_GRID,
                lambda nm, r, p, rr: run_fusedp(nm, r, p, rr),
                lambda nm, r, p, rr: f"fusedp_{nm}_nroot{r}_np{p}_{rr}"),
+    "nonsym_fused": (DEVRR_GRID,
+                     lambda s, rr: run_nonsym_fused(s, rr),
+                     lambda s, rr: f"nonsym_fused_s{s}_{rr}"),
+    "nonsym_lineq_fused": (DEVRR_LINEQ_GRID,
+                           lambda s, rr: run_nonsym_lineq_fused(s, rr),
+                           lambda s, rr: f"nonsym_lineq_fused_s{s}_{rr}"),
 }
 
 
