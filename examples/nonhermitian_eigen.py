@@ -2,14 +2,19 @@
 
 The reference solves non-hermitian problems through its one Davidson
 template (hermiticity option, LinearEigensystemDavidson.h:130-184). Here
-the production path is FusedNonSymDavidson: one jitted device chunk per
-block append, host LAPACK `eig` between chunks (the small non-symmetric
-eigenproblem has no TPU lowering), complex conjugate pairs carried in
-REAL arithmetic as 2x2 blocks — measured at ~1x the fused symmetric wall
-on a real chip (docs/PERF.md), against ~100x for a host-driven loop.
+the production path is FusedNonSymDavidson with two RR modes:
 
-Shows: a real-spectrum non-symmetric solve checked against dense eig, a
-genuinely complex lowest pair, and the multi-RHS linear-equations twin.
+- rr="host" (default, reference-parity): one jitted device chunk per
+  block append, host LAPACK `eig` between chunks (the small nonsym
+  eigenproblem has no TPU lowering), conjugate pairs in REAL arithmetic;
+- rr="device" (fastest on a tunneled/remote chip): the WHOLE solve as one
+  dispatched while_loop — simultaneous Rayleigh-shifted inverse iteration
+  replaces the per-append host eig; measured 1.2x the fused symmetric
+  wall (docs/PERF.md round-4), against ~100x for a host-driven loop.
+
+Shows: a real-spectrum non-symmetric solve checked against dense eig (in
+BOTH modes), a genuinely complex lowest pair, and the multi-RHS
+linear-equations twin with its own in-loop projected solve.
 """
 
 import os
@@ -56,6 +61,14 @@ print(f"real spectrum: {it} iterations, max residual {errs.max():.2e}")
 print(f"  eigenvalues   {np.round(np.sort(evals.real), 8)}")
 print(f"  dense eig ref {np.round(ref, 8)}")
 assert np.abs(np.sort(evals.real) - ref).max() < 1e-8
+
+# same solve through the single-dispatch device-RR mode
+s_dev = FusedNonSymDavidson.from_dense(mat, nroots, m_max=16,
+                                       convergence_threshold=1e-10,
+                                       max_iter=120, rr="device")
+evals_d, _, errs_d, it_d = s_dev.solve(v0)
+print(f"device-RR:     {it_d} iterations, max residual {errs_d.max():.2e}")
+assert np.abs(np.sort(evals_d.real) - ref).max() < 1e-8
 
 # --- 2. complex conjugate pair as the LOWEST roots ------------------------
 m2 = np.diag(np.linspace(5.0, 25.0, n)) + rng.standard_normal((n, n)) * 0.01
