@@ -35,7 +35,12 @@ from .solvers.linear_equations import LinearEquationsDavidson
 from .solvers.nonlinear_diis import NonLinearEquationsDIIS
 from .solvers.optimize import OptimizeBFGS, OptimizeSD
 from .solvers.fused_davidson import FusedDavidson, make_batched_davidson_solve
-from .solvers.fused_nonsym import FusedNonSymDavidson, FusedNonSymLinearEquations
+from .solvers.fused_nonsym import (
+    FusedNonSymDavidson,
+    FusedNonSymLinearEquations,
+    finalize_nonsym_batch,
+    make_batched_nonsym_solve,
+)
 from .solvers.fused_ppcg import FusedPPCG
 from .solvers.fused_cg import FusedBlockCG
 from .solvers.implicit_diff import (
@@ -69,6 +74,8 @@ __all__ = [
     "Point",
     "FusedNonSymDavidson",
     "FusedNonSymLinearEquations",
+    "finalize_nonsym_batch",
+    "make_batched_nonsym_solve",
     "FusedPPCG",
     "FusedBlockCG",
     "create_linear_eigensystem",

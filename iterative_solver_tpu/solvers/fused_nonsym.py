@@ -276,6 +276,96 @@ def _rotate_x(bx, coeff):
     return jnp.matmul(coeff, bx, precision=_PREC)
 
 
+def _make_refine(r: int, m_max: int, rr_steps: int):
+    """Device-side RR refinement shared by the single-dispatch and the
+    batched sweep paths: simultaneous Rayleigh-quotient inverse iteration —
+    each row refines through its OWN shifted solve (batched LU); the
+    near-singularity at a converged shift amplifies exactly the wanted
+    direction, the slight left bias prefers the lower member of a tie, and
+    chol-whitening re-orthonormalisation restores independence when
+    neighbouring rows contract onto the same eigenvector."""
+    from ..array.vector_ops import chol_jitter
+
+    def refine(C, h, mask):
+        mm = mask[:, None] * mask[None, :]
+        scale = jnp.max(jnp.abs(h)) + 1.0
+        hm = h * mm + jnp.diag((1.0 - mask) * 10.0 * scale)
+        eye = jnp.eye(m_max, dtype=h.dtype)
+        eye_r = jnp.eye(r, dtype=h.dtype)
+        G = jnp.matmul(jnp.matmul(C, hm.T, precision=_PREC), C.T,
+                       precision=_PREC)
+        for _ in range(rr_steps):
+            shifts = jnp.diagonal(G)
+            scale_s = jnp.max(jnp.abs(shifts)) + 1.0
+            sigmas = shifts - 1e-5 * scale_s
+            a_b = hm[None, :, :] - sigmas[:, None, None] * eye[None, :, :]
+            ct = jnp.linalg.solve(a_b, C[:, :, None])[..., 0]   # (r, m_max)
+            # bound amplification before the Gram (PPCG f32 rule: carried
+            # normalisations must not compound)
+            ct = ct / jnp.maximum(
+                jnp.max(jnp.abs(ct), axis=1, keepdims=True), 1e-30)
+            g = jnp.matmul(ct, ct.T, precision=_PREC)
+            g = 0.5 * (g + g.T) + chol_jitter(g.dtype) * eye_r
+            l = jnp.linalg.cholesky(g)
+            C = jax.scipy.linalg.solve_triangular(l, ct, lower=True)
+            G = jnp.matmul(jnp.matmul(C, hm.T, precision=_PREC), C.T,
+                           precision=_PREC)
+        return C, G, jnp.diagonal(G)
+
+    return refine
+
+
+def _make_nonsym_iterate(matvec: Callable, r: int, m_max: int,
+                         null_thresh: float, rr_steps: int):
+    """One device-RR Davidson iteration (refine -> Ritz block -> residual
+    Gram -> best-snapshot -> preconditioned append -> incremental H), no
+    restart — shared by the single-dispatch loop and the batched sweep
+    solve so their invariants cannot drift."""
+    append = _make_append(matvec, r, m_max, null_thresh)
+    refine = _make_refine(r, m_max, rr_steps)
+
+    def iterate(v, w, mask, k, h, C, best_err, bx, bG, bR, operand, diag):
+        C, G, shifts = refine(C, h, mask)
+        vm = v * mask[:, None]
+        wm = w * mask[:, None]
+        x = jnp.matmul(C, vm, precision=_PREC)
+        ax = jnp.matmul(C, wm, precision=_PREC)
+        rblk = ax - jnp.matmul(G, x, precision=_PREC)
+        # (r, r) residual Gram: diag -> row-norm errors; rotated by the
+        # final host eig as coeff R_gram coeff^T with no O(N) fetch
+        r_gram = jnp.matmul(rblk, rblk.T, precision=_PREC)
+        errs = jnp.sqrt(jnp.abs(jnp.diagonal(r_gram)))
+        maxe = jnp.max(errs)
+        better = maxe < best_err
+        best_err = jnp.where(better, maxe, best_err)
+        bx = jnp.where(better, x, bx)
+        bG = jnp.where(better, G, bG)
+        bR = jnp.where(better, r_gram, bR)
+        scale_est = jnp.max(jnp.abs(diag)) + jnp.max(jnp.abs(shifts))
+        denom = diag[None, :] - shifts[:, None] + 1e-15 * scale_est + 1e-300
+        t = rblk / denom
+        k0 = k
+        v, w, mask, k, _t_app, _w_rows = append(v, w, mask, k, t, operand)
+        h, _ = _incremental_update(h, v, w, mask, k0, r)
+        return v, w, mask, k, h, C, x, errs, best_err, bx, bG, bR
+
+    return iterate
+
+
+def _make_nonsym_collapse(matvec: Callable, r: int, m_max: int):
+    """Restart: collapse onto the Ritz block x; matvec re-anchors AX
+    exactly (carried-quantity rule — a whitening-transform shortcut would
+    accumulate f32 drift across restarts)."""
+
+    def collapse(x, k, operand):
+        rv, rw, rmask, rh = _reset_core(matvec, r, m_max, x, operand)
+        rC = jnp.zeros((r, m_max), x.dtype).at[:, :r].set(
+            jnp.eye(r, dtype=x.dtype))
+        return rv, rw, rmask, jnp.asarray(r, k.dtype), rh, rC
+
+    return collapse
+
+
 def make_nonsym_device_loop(matvec: Callable, r: int, m_max: int,
                             null_thresh: float = 1e-10, rr_steps: int = 1):
     """Single-dispatch non-hermitian Davidson loop: the whole solve as ONE
@@ -309,42 +399,8 @@ def make_nonsym_device_loop(matvec: Callable, r: int, m_max: int,
     Reference semantics twin: LinearEigensystemDavidson.h:130-184 at
     hermiticity=false (same expansion/restart policy, different RR).
     """
-    from ..array.vector_ops import chol_jitter
-
-    append = _make_append(matvec, r, m_max, null_thresh)
-
-    def _refine(C, h, mask):
-        mm = mask[:, None] * mask[None, :]
-        scale = jnp.max(jnp.abs(h)) + 1.0
-        hm = h * mm + jnp.diag((1.0 - mask) * 10.0 * scale)
-        eye = jnp.eye(m_max, dtype=h.dtype)
-        eye_r = jnp.eye(r, dtype=h.dtype)
-        G = jnp.matmul(jnp.matmul(C, hm.T, precision=_PREC), C.T,
-                       precision=_PREC)
-        for _ in range(rr_steps):
-            # simultaneous Rayleigh-quotient inverse iteration: each row
-            # refines through its OWN shifted solve (batched LU) — the
-            # near-singularity at a converged shift amplifies exactly the
-            # wanted direction; the slight left bias prefers the lower
-            # member of a tie. Re-orthonormalisation (chol-whitening)
-            # restores independence when neighbouring rows contract onto
-            # the same eigenvector.
-            shifts = jnp.diagonal(G)
-            scale_s = jnp.max(jnp.abs(shifts)) + 1.0
-            sigmas = shifts - 1e-5 * scale_s
-            a_b = hm[None, :, :] - sigmas[:, None, None] * eye[None, :, :]
-            ct = jnp.linalg.solve(a_b, C[:, :, None])[..., 0]   # (r, m_max)
-            # bound amplification before the Gram (PPCG f32 rule: carried
-            # normalisations must not compound)
-            ct = ct / jnp.maximum(
-                jnp.max(jnp.abs(ct), axis=1, keepdims=True), 1e-30)
-            g = jnp.matmul(ct, ct.T, precision=_PREC)
-            g = 0.5 * (g + g.T) + chol_jitter(g.dtype) * eye_r
-            l = jnp.linalg.cholesky(g)
-            C = jax.scipy.linalg.solve_triangular(l, ct, lower=True)
-            G = jnp.matmul(jnp.matmul(C, hm.T, precision=_PREC), C.T,
-                           precision=_PREC)
-        return C, G, jnp.diagonal(G)
+    iterate = _make_nonsym_iterate(matvec, r, m_max, null_thresh, rr_steps)
+    collapse = _make_nonsym_collapse(matvec, r, m_max)
 
     def _loop(v, w, mask, k, h, C, tol, it0, it_end,
               best_err, bx, bG, bR, operand, diag):
@@ -356,39 +412,14 @@ def make_nonsym_device_loop(matvec: Callable, r: int, m_max: int,
         def body(state):
             (v, w, mask, k, h, C, x, errs, it,
              best_err, bx, bG, bR, restarts) = state
-            C, G, shifts = _refine(C, h, mask)
-            vm = v * mask[:, None]
-            wm = w * mask[:, None]
-            x = jnp.matmul(C, vm, precision=_PREC)
-            ax = jnp.matmul(C, wm, precision=_PREC)
-            rblk = ax - jnp.matmul(G, x, precision=_PREC)
-            # (r, r) residual Gram: diag -> row-norm errors; rotated by the
-            # final host eig as coeff R_gram coeff^T with no O(N) fetch
-            r_gram = jnp.matmul(rblk, rblk.T, precision=_PREC)
-            errs = jnp.sqrt(jnp.abs(jnp.diagonal(r_gram)))
-            maxe = jnp.max(errs)
-            better = maxe < best_err
-            best_err = jnp.where(better, maxe, best_err)
-            bx = jnp.where(better, x, bx)
-            bG = jnp.where(better, G, bG)
-            bR = jnp.where(better, r_gram, bR)
-            scale_est = jnp.max(jnp.abs(diag)) + jnp.max(jnp.abs(shifts))
-            denom = diag[None, :] - shifts[:, None] + 1e-15 * scale_est + 1e-300
-            t = rblk / denom
-            k0 = k
-            v, w, mask, k, _t_app, _w_rows = append(v, w, mask, k, t, operand)
-            h, _ = _incremental_update(h, v, w, mask, k0, r)
+            (v, w, mask, k, h, C, x, errs,
+             best_err, bx, bG, bR) = iterate(
+                v, w, mask, k, h, C, best_err, bx, bG, bR, operand, diag)
 
             def restart(args):
                 v, w, mask, k, h, C, restarts = args
-                # collapse onto the pre-append Ritz block; matvec re-anchors
-                # AX exactly (carried-quantity rule — a whitening-transform
-                # shortcut would accumulate f32 drift across restarts)
-                rv, rw, rmask, rh = _reset_core(matvec, r, m_max, x, operand)
-                rC = jnp.zeros((r, m_max), C.dtype).at[:, :r].set(
-                    jnp.eye(r, dtype=C.dtype))
-                return (rv, rw, rmask, jnp.asarray(r, k.dtype), rh, rC,
-                        restarts + 1)
+                rv, rw, rmask, rk, rh, rC = collapse(x, k, operand)
+                return (rv, rw, rmask, rk, rh, rC, restarts + 1)
 
             def keep(args):
                 return args
@@ -425,6 +456,124 @@ def make_nonsym_device_loop(matvec: Callable, r: int, m_max: int,
                      best_err, bx, bG, bR, operand, diag)
 
     return jax.jit(run_init), jax.jit(run_cont)
+
+
+def make_nonsym_sweep_solve(matvec: Callable, r: int, m_max: int,
+                            null_thresh: float = 1e-10, rr_steps: int = 1):
+    """Whole non-hermitian solve with restarts hoisted to basis-fill sweep
+    boundaries (the vmap-friendly form, mirroring
+    fused_davidson.make_davidson_solve_chunked): the outer while_loop runs
+    one sweep of ``(m_max-r)//r`` device-RR iterations per trip, with the
+    restart cond checked once per sweep — under vmap a batched lax.cond
+    lowers to select-over-both-branches, so a per-iteration restart branch
+    would execute (and be discarded) every iteration for every element;
+    per-sweep it amortises over the fill length. Iteration counts quantise
+    up to the sweep. Returns ``(init, solve)`` (unjitted vmap-ready
+    callables are wrapped in jit here for the single-system case)."""
+    iterate = _make_nonsym_iterate(matvec, r, m_max, null_thresh, rr_steps)
+    collapse = _make_nonsym_collapse(matvec, r, m_max)
+    fill_steps = max(1, (m_max - r) // r)
+
+    def init(v0, operand):
+        v, w, mask, h = _reset_core(matvec, r, m_max, v0, operand)
+        k = jnp.asarray(r, jnp.int32)
+        C = jnp.zeros((r, m_max), v0.dtype).at[:, :r].set(
+            jnp.eye(r, dtype=v0.dtype))
+        return v, w, mask, k, h, C
+
+    def solve(v, w, mask, k, h, C, operand, diag, tol_, max_iter_):
+        x0 = jnp.zeros((r, v.shape[1]), v.dtype)
+        zr = jnp.zeros((r, r), v.dtype)
+        state0 = (v, w, mask, k, h, C, x0,
+                  jnp.full((r,), jnp.inf, v.dtype),
+                  jnp.asarray(jnp.inf, v.dtype), x0, zr, zr)
+
+        def cond(carry):
+            s, it = carry
+            return (it < max_iter_) & (jnp.max(s[7]) > tol_)
+
+        def body(carry):
+            s, it = carry
+            (v, w, mask, k, h, C, x, errs, best_err, bx, bG, bR) = s
+
+            def restart(args):
+                v, w, mask, k, h, C = args
+                rv, rw, rmask, rk, rh, rC = collapse(x, k, operand)
+                return (rv, rw, rmask, rk, rh, rC)
+
+            def keep(args):
+                return args
+
+            v, w, mask, k, h, C = jax.lax.cond(
+                k + fill_steps * r > m_max, restart, keep,
+                (v, w, mask, k, h, C))
+
+            def step(_i, s2):
+                (v, w, mask, k, h, C, _x, _e, best_err, bx, bG, bR) = s2
+                return iterate(v, w, mask, k, h, C, best_err, bx, bG, bR,
+                               operand, diag)
+
+            s = jax.lax.fori_loop(
+                0, fill_steps, step,
+                (v, w, mask, k, h, C, x, errs, best_err, bx, bG, bR))
+            return s, it + fill_steps
+
+        final, iters = jax.lax.while_loop(
+            cond, body, (state0, jnp.asarray(0, jnp.int32)))
+        (_v, _w, _mask, _k, _h, _C, x, errs, best_err, bx, bG, bR) = final
+        return x, errs, best_err, bx, bG, bR, iters
+
+    return init, solve
+
+
+def make_batched_nonsym_solve(matvec: Callable, nroots: int, m_max: int,
+                              null_thresh: float = 1e-10, rr_steps: int = 1):
+    """Many independent NON-HERMITIAN eigenproblems in ONE dispatch — a
+    capability the host-eig chunked path cannot offer at all (its per-append
+    host LAPACK stage cannot batch): only the device-RR loop, with no host
+    stage inside, vmaps. Same economics as make_batched_davidson_solve
+    (dispatch constant paid once, MXU fed by batched matvecs). Usage:
+
+        binit, bsolve = make_batched_nonsym_solve(matvec, r, m_max)
+        state = binit(v0_batch, operand_batch)            # each (B, ...)
+        x, errs, best_err, bx, bG, bR, iters = bsolve(
+            *state, operand_batch, diag_batch, tol, max_iter)
+        evals, x_rot, errors = finalize_nonsym_batch(bx, bG, bR)
+
+    The matvec must be vmap-compatible (XLA paths are; opaque Pallas
+    kernels are not)."""
+    init, solve = make_nonsym_sweep_solve(matvec, nroots, m_max,
+                                          null_thresh, rr_steps)
+    batched_init = jax.jit(jax.vmap(init, in_axes=(0, 0)))
+    batched_solve = jax.jit(jax.vmap(
+        solve, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None, None)))
+    return batched_init, batched_solve
+
+
+def finalize_nonsym_batch(bx, bG, bR):
+    """Host pair extraction for a batch of device-RR solves: per element,
+    LAPACK eig of the tiny (r, r) G^T (LEFT eigenvectors — see
+    _solve_device_rr's transpose note), errors from the rotated residual
+    Gram, then ONE batched einsum dispatch rotates all solution rows.
+    Returns ``(evals_list, x_rot (B, r, N) device array, errors_list)`` —
+    lists because a straddling conjugate pair can shrink one element's
+    root count (r_eff < r; the padded x_rot rows beyond r_eff are zero)."""
+    bG_h, bR_h = jax.device_get((bG, bR))
+    B, r, _ = bG_h.shape
+    evals_out, errors_out = [], []
+    coeffs = np.zeros((B, r, r))
+    for i in range(B):
+        evals, coeff, _lam, _shifts = ritz_nonsym(
+            np.asarray(bG_h[i], dtype=np.float64).T, r)
+        r_eff = coeff.shape[0]
+        errors = np.sqrt(np.abs(np.diag(
+            coeff @ np.asarray(bR_h[i], dtype=np.float64) @ coeff.T)))
+        evals_out.append(evals)
+        errors_out.append(errors[:r_eff])
+        coeffs[i, :r_eff] = coeff
+    x_rot = jnp.einsum("bij,bjn->bin",
+                       jnp.asarray(coeffs, bx.dtype), bx, precision=_PREC)
+    return evals_out, x_rot, errors_out
 
 
 class FusedNonSymDavidson:
