@@ -576,6 +576,42 @@ def finalize_nonsym_batch(bx, bG, bR):
     return evals_out, x_rot, errors_out
 
 
+def _dense_tier_action(matrix: np.ndarray, tier: str, dtype):
+    """(matvec, operand) for a dense possibly-non-symmetric operator at the
+    requested storage tier — shared by both from_dense constructors."""
+    if tier in ("int8", "int8_precise"):
+        from ..ops.kernels.dense_int8 import (
+            DenseInt8,
+            DenseInt8Split,
+            dense_int8_matvec,
+            dense_int8_matvec_split,
+        )
+
+        if tier == "int8":
+            op = DenseInt8.from_dense(matrix)
+
+            def matvec(x, tree):
+                return dense_int8_matvec(x, tree)
+
+            return matvec, op.tree()
+        op = DenseInt8Split.from_dense(matrix)
+
+        def matvec(x, tree):
+            return dense_int8_matvec_split(x, tree)
+
+        return matvec, op.tree()
+
+    prec = (jax.lax.Precision.DEFAULT if tier == "fast"
+            else jax.lax.Precision.HIGHEST)
+    store = jnp.bfloat16 if tier == "fast" and dtype == jnp.float32 else dtype
+
+    def matvec(x, op):
+        return jnp.matmul(x, op.T, precision=prec,
+                          preferred_element_type=x.dtype)
+
+    return matvec, jnp.asarray(matrix, dtype=store)
+
+
 class FusedNonSymDavidson:
     """Chunked-dispatch Davidson for non-hermitian operators.
 
@@ -646,10 +682,17 @@ class FusedNonSymDavidson:
         - ``"precise"`` — f32 storage, Precision.HIGHEST matmuls (6-pass
           bf16 on the MXU; ~610 us for an 8192^2 16-row action);
         - ``"fast"`` — bf16 single-pass MXU matmul (~355 us), residual
-          floor ~2e-4 like the symmetric fast tier.
+          floor ~2e-4 like the symmetric fast tier;
+        - ``"int8"`` — one-plane quantized couplings + exact f32 diagonal
+          (dense_int8.py: two-sided equilibration), a QUARTER of the f32
+          bytes; floor in the bf16 class;
+        - ``"int8_precise"`` — two-plane split (~2^-14 coupling error,
+          split-bf16 class at half its streamed bytes) — converges
+          tol 1e-5 solves.
         """
-        if tier not in ("precise", "fast"):
-            raise ValueError(f"tier must be 'precise' or 'fast', got {tier!r}")
+        tiers = ("precise", "fast", "int8", "int8_precise")
+        if tier not in tiers:
+            raise ValueError(f"tier must be one of {tiers}, got {tier!r}")
         matrix = np.asarray(matrix, dtype=np.float64)
         n = matrix.shape[0]
         if matrix.shape != (n, n):
@@ -658,15 +701,7 @@ class FusedNonSymDavidson:
         if dtype is None:
             dtype = (jnp.float64 if jax.config.read("jax_enable_x64")
                      else jnp.float32)
-        prec = (jax.lax.Precision.DEFAULT if tier == "fast"
-                else jax.lax.Precision.HIGHEST)
-        store = jnp.bfloat16 if tier == "fast" and dtype == jnp.float32 else dtype
-
-        def matvec(x, op):
-            return jnp.matmul(x, op.T, precision=prec,
-                              preferred_element_type=x.dtype)
-
-        operand = jnp.asarray(matrix, dtype=store)
+        matvec, operand = _dense_tier_action(matrix, tier, dtype)
         solver = cls(matvec, np.diag(matrix), n, nroots, dtype=dtype,
                      operand=operand, **kwargs)
         return solver
@@ -1090,6 +1125,28 @@ class FusedNonSymLinearEquations:
         self._reset = make_nonsym_lineq_reset(matvec, nrhs, self.m_max)
         self.iterations = 0
         self.matvecs = 0
+
+    @classmethod
+    def from_dense(cls, matrix, nrhs: int, tier: str = "precise", **kwargs):
+        """One-call construction from a dense (possibly non-symmetric)
+        matrix — same tiers as FusedNonSymDavidson.from_dense
+        ("precise"/"fast"/"int8"/"int8_precise"; the int8 tiers quantize
+        only the couplings, the Jacobi preconditioner sees the exact
+        diagonal)."""
+        tiers = ("precise", "fast", "int8", "int8_precise")
+        if tier not in tiers:
+            raise ValueError(f"tier must be one of {tiers}, got {tier!r}")
+        matrix = np.asarray(matrix, dtype=np.float64)
+        n = matrix.shape[0]
+        if matrix.shape != (n, n):
+            raise ValueError("operator must be square")
+        dtype = kwargs.pop("dtype", None)
+        if dtype is None:
+            dtype = (jnp.float64 if jax.config.read("jax_enable_x64")
+                     else jnp.float32)
+        matvec, operand = _dense_tier_action(matrix, tier, dtype)
+        return cls(matvec, np.diag(matrix), n, nrhs, dtype=dtype,
+                   operand=operand, **kwargs)
 
     def _chunk_fn(self, inner: int):
         fn = self._chunks.get(inner)

@@ -1,0 +1,138 @@
+"""Quantized DENSE operator tiers for the non-symmetric families
+(ops/kernels/dense_int8.py): two-sided equilibration + exact diagonal,
+one-plane and two-plane split. The packed int8 tiers (symm_int8) need
+symmetry; these do not.
+
+Floors scale with the coupling magnitude: the solver residual floor
+EQUALS the action noise (one-plane ~ gr gc/254, two-plane ~ activation
+split error 2^-16-class x ||A||) — asserted below.
+"""
+
+import numpy as np
+import pytest
+import scipy.linalg
+
+import jax.numpy as jnp
+
+from iterative_solver_tpu.ops.kernels.dense_int8 import (
+    DenseInt8,
+    DenseInt8Split,
+    dense_int8_matvec,
+    dense_int8_matvec_split,
+)
+from iterative_solver_tpu.solvers.fused_nonsym import (
+    FusedNonSymDavidson,
+    FusedNonSymLinearEquations,
+)
+
+
+def make_op(n=400, strength=0.15, seed=0):
+    rng = np.random.default_rng(seed)
+    a = rng.standard_normal((n, n)) * (0.05 / np.sqrt(n))
+    m = a + a.T + np.diag(np.linspace(1.0, 20.0, n))
+    m[np.tril_indices(n, -1)] *= 1.0 - strength
+    return m
+
+
+class TestQuantizedAction:
+    def test_one_plane_action_error_class(self):
+        m = make_op()
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((6, m.shape[0]))
+        ref = x @ m.T
+        y = np.asarray(dense_int8_matvec(
+            jnp.asarray(x, jnp.float32), DenseInt8.from_dense(m).tree()),
+            np.float64)
+        rel = np.linalg.norm(y - ref) / np.linalg.norm(ref)
+        assert rel < 3e-4, rel          # bf16 class
+        assert rel > 1e-7               # honestly lossy
+
+    def test_two_plane_action_error_class(self):
+        m = make_op()
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((6, m.shape[0]))
+        ref = x @ m.T
+        y = np.asarray(dense_int8_matvec_split(
+            jnp.asarray(x, jnp.float32), DenseInt8Split.from_dense(m).tree()),
+            np.float64)
+        rel = np.linalg.norm(y - ref) / np.linalg.norm(ref)
+        assert rel < 5e-6, rel          # split-bf16 class
+
+    def test_exact_diagonal_preserved(self):
+        """Diagonal entries bypass quantization entirely: a diagonal
+        operator acts exactly (up to f32)."""
+        d = np.linspace(-3.0, 25.0, 64)
+        m = np.diag(d)
+        x = np.eye(64)
+        y = np.asarray(dense_int8_matvec(
+            jnp.asarray(x, jnp.float32), DenseInt8.from_dense(m).tree()),
+            np.float64)
+        np.testing.assert_allclose(y, np.diag(d), atol=1e-5)
+
+    def test_rejects_oversized_operator(self):
+        # int32 headroom caps one-plane at ~1.3e5 columns; the guard fires
+        # at from_dense time (building a real >130k dense matrix is not a
+        # unit-test job, so exercise the shared validator both tiers call)
+        from iterative_solver_tpu.ops.kernels.symm_int8 import (
+            _check_acc_headroom,
+        )
+
+        with pytest.raises(ValueError, match="headroom"):
+            _check_acc_headroom(200000, 200000, 1, "DenseInt8")
+        with pytest.raises(ValueError, match="headroom"):
+            _check_acc_headroom(100000, 100000, 2, "DenseInt8Split")
+
+
+class TestQuantizedSolves:
+    def test_int8_precise_eigen_converges_at_floor(self):
+        m = make_op()
+        r = 4
+        ref = np.sort(scipy.linalg.eigvals(m).real)[:r]
+        v0 = np.zeros((r, m.shape[0]))
+        for i, j in enumerate(np.argsort(np.diag(m))[:r]):
+            v0[i, j] = 1.0
+        for rrm in ("host", "device"):
+            s = FusedNonSymDavidson.from_dense(
+                m, r, tier="int8_precise", dtype=jnp.float32,
+                convergence_threshold=5e-5, max_iter=120, rr=rrm)
+            ev, x, errs, it = s.solve(v0)
+            assert errs.max() <= 5e-5, (rrm, errs)
+            assert it < 60, (rrm, it)
+            assert np.max(np.abs(np.sort(np.asarray(ev).real)
+                                 - ref[: len(ev)])) < 1e-4, rrm
+
+    def test_int8_one_plane_floor_is_action_noise(self):
+        m = make_op()
+        r = 4
+        v0 = np.zeros((r, m.shape[0]))
+        for i, j in enumerate(np.argsort(np.diag(m))[:r]):
+            v0[i, j] = 1.0
+        s = FusedNonSymDavidson.from_dense(
+            m, r, tier="int8", dtype=jnp.float32,
+            convergence_threshold=1e-8, max_iter=40, rr="device")
+        ev, x, errs, it = s.solve(v0)
+        # floors at the one-plane action noise, far above tol but sane
+        assert 1e-6 < errs.max() < 1e-3, errs
+        ref = np.sort(scipy.linalg.eigvals(m).real)[:r]
+        assert np.max(np.abs(np.sort(np.asarray(ev).real)
+                             - ref[: len(ev)])) < 5e-3
+
+    def test_int8_precise_lineq(self):
+        m = make_op(seed=3)
+        rng = np.random.default_rng(4)
+        b = rng.standard_normal((3, m.shape[0]))
+        s = FusedNonSymLinearEquations.from_dense(
+            m, 3, tier="int8_precise", dtype=jnp.float32,
+            convergence_threshold=1e-5, max_iter=120, rr="device")
+        x, errs, it = s.solve(b)
+        assert np.max(errs) <= 1e-5, errs
+        refx = np.linalg.solve(m, b.T).T
+        rel = (np.linalg.norm(np.asarray(x, np.float64) - refx)
+               / np.linalg.norm(refx))
+        assert rel < 5e-5, rel
+
+    def test_bad_tier_raises(self):
+        with pytest.raises(ValueError, match="tier must be"):
+            FusedNonSymDavidson.from_dense(np.eye(8), 2, tier="wat")
+        with pytest.raises(ValueError, match="tier must be"):
+            FusedNonSymLinearEquations.from_dense(np.eye(8), 2, tier="wat")
