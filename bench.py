@@ -1033,6 +1033,66 @@ def main(big: bool = False, phenol: bool = False):
             "nonsym_host_converged": bool(np.max(errs_h) <= tol_n),
         })
 
+        # dense int8 tier (round 4): two-plane quantized operator through
+        # the SAME device-RR solve (quarter/half the f32/bf16 HBM
+        # traffic) + marginal per-matvec walls for both planes
+        from iterative_solver_tpu.ops.kernels.dense_int8 import (
+            DenseInt8,
+            DenseInt8Split,
+            dense_int8_matvec,
+            dense_int8_matvec_split,
+        )
+
+        op_q1 = DenseInt8.from_dense(mat_n)
+        op_q2 = DenseInt8Split.from_dense(mat_n)
+        s_q = FusedNonSymDavidson(
+            lambda x, t: dense_int8_matvec_split(x, t), diag_n, nn, rn,
+            m_max=mn, dtype=dtype, convergence_threshold=5e-4, max_iter=60,
+            operand=op_q2.tree(), rr="device")
+        s_q.solve(vn)
+        best_q = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _, _, errs_q, it_q = s_q.solve(vn)
+            best_q = min(best_q, time.perf_counter() - t0)
+        R.update({
+            "nonsym_int8_wall_s": round(best_q, 4),
+            "nonsym_int8_max_residual": float(np.max(errs_q)),
+            "nonsym_int8_converged": bool(np.max(errs_q) <= 5e-4),
+        })
+
+        @jax.jit
+        def mv_loop_q1(x, tree, k):
+            def body(i, acc):
+                return (dense_int8_matvec(acc, tree) * 1e-2).astype(acc.dtype)
+
+            return jax.lax.fori_loop(0, k, body, x)
+
+        @jax.jit
+        def mv_loop_q2(x, tree, k):
+            def body(i, acc):
+                return (dense_int8_matvec_split(acc, tree) * 1e-2).astype(
+                    acc.dtype)
+
+            return jax.lax.fori_loop(0, k, body, x)
+
+        xs_q = jnp.asarray(rngn.standard_normal((rn, nn)), dtype)
+        for name, loop, tree in (("dense_int8_matvec_us", mv_loop_q1, op_q1.tree()),
+                                 ("dense_int8split_matvec_us", mv_loop_q2, op_q2.tree())):
+            np.asarray(loop(xs_q, tree, 4)[0, :2])
+            walls = {}
+            trips = (32, 256) if backend == "tpu" else (2, 8)
+            for k in trips:
+                b_ = float("inf")
+                for _ in range(4):
+                    t0 = time.perf_counter()
+                    out = loop(xs_q, tree, k)
+                    np.asarray(out[0, :2])
+                    b_ = min(b_, time.perf_counter() - t0)
+                walls[k] = b_
+            R[name] = round((walls[trips[1]] - walls[trips[0]])
+                            / (trips[1] - trips[0]) * 1e6, 1)
+
     # ---- BIG peak config (opt-in, --big): n=32768, 64 roots ----
     # PERF.md's 50-TF claim made driver-reproducible. Off by default: the
     # host-side setup packs an 8.6 GB matrix (minutes of numpy wall).
@@ -1161,7 +1221,7 @@ def main(big: bool = False, phenol: bool = False):
 
         runner.run("offload", leg_offload, budget_s=300)
         runner.run("banded_stream", leg_banded_stream, budget_s=300)
-        runner.run("nonsym", leg_nonsym, budget_s=420)
+        runner.run("nonsym", leg_nonsym, budget_s=540)
 
     # ---- big legs: AUTO-ENABLE when the tunnel is alive and the budget
     # clears a measured cold-cost guard (VERDICT r3 #2/#6 — these were
