@@ -83,6 +83,20 @@ class DenseInt8:
     def tree(self):
         return (self.q, self.gr, self.gc, self.d)
 
+    def shard(self, mesh, axis: str = "data"):
+        """Row-shard the quantized plane over ``mesh`` (scales/diagonal on
+        their one axis). The matvec is pure jnp, so GSPMD inserts the
+        collectives — the per-row activation scale reduces over the full
+        row of the (replicated-or-column-sharded) block, and the int32
+        partials stay exact because dequantization is linear in the
+        accumulator."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return (jax.device_put(self.q, NamedSharding(mesh, P(axis, None))),
+                jax.device_put(self.gr, NamedSharding(mesh, P(axis))),
+                jax.device_put(self.gc, NamedSharding(mesh, P(axis))),
+                jax.device_put(self.d, NamedSharding(mesh, P(axis))))
+
 
 @dataclass
 class DenseInt8Split:
@@ -121,6 +135,16 @@ class DenseInt8Split:
 
     def tree(self):
         return (self.q1, self.q2, self.gr, self.gc, self.d)
+
+    def shard(self, mesh, axis: str = "data"):
+        """Two-plane analogue of DenseInt8.shard."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return (jax.device_put(self.q1, NamedSharding(mesh, P(axis, None))),
+                jax.device_put(self.q2, NamedSharding(mesh, P(axis, None))),
+                jax.device_put(self.gr, NamedSharding(mesh, P(axis))),
+                jax.device_put(self.gc, NamedSharding(mesh, P(axis))),
+                jax.device_put(self.d, NamedSharding(mesh, P(axis))))
 
 
 def _int8_dot(a: Array, b: Array) -> Array:

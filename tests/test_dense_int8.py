@@ -136,3 +136,32 @@ class TestQuantizedSolves:
             FusedNonSymDavidson.from_dense(np.eye(8), 2, tier="wat")
         with pytest.raises(ValueError, match="tier must be"):
             FusedNonSymLinearEquations.from_dense(np.eye(8), 2, tier="wat")
+
+
+def test_sharded_int8_device_rr_solve():
+    """The int8 tiers shard through GSPMD with no dedicated kernel: q
+    row-sharded via .shard(), matvec pure jnp, device-RR solve over an
+    8-device mesh matches dense eig."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    m = make_op(n=512, seed=9)
+    r = 3
+    op = DenseInt8Split.from_dense(m)
+    sol = FusedNonSymDavidson(
+        lambda x, t: dense_int8_matvec_split(x, t), np.diag(m), m.shape[0],
+        r, m_max=12, sharding=NamedSharding(mesh, P(None, "data")),
+        operand=op.shard(mesh), convergence_threshold=5e-5, max_iter=100,
+        rr="device", dtype=jnp.float32)
+    v0 = np.zeros((r, m.shape[0]))
+    for i, j in enumerate(np.argsort(np.diag(m))[:r]):
+        v0[i, j] = 1.0
+    ev, x, errs, it = sol.solve(v0)
+    assert errs.max() <= 5e-5, errs
+    ref = np.sort(scipy.linalg.eigvals(m).real)[:r]
+    assert np.max(np.abs(np.sort(np.asarray(ev).real)
+                         - ref[: len(ev)])) < 1e-4
