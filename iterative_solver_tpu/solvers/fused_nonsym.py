@@ -908,6 +908,70 @@ class FusedNonSymDavidson:
         return evals[:r_eff], x_out[:r_eff], errors, self.iterations
 
 
+def _make_lineq_iterate(matvec, nrhs, m_max, null_thresh, refine_passes):
+    """One Petrov-Galerkin Davidson iteration for the lineq device tier
+    (projected LU solve + iterative refinement -> Ritz block -> relative
+    residuals -> best-snapshot -> preconditioned append -> incremental
+    H/beta), no restart — shared by the single-dispatch loop and the
+    batched sweep solve."""
+    append = _make_append(matvec, nrhs, m_max, null_thresh)
+
+    def proj_solve(hm, beta):
+        # LU once, refinement passes reuse it
+        lu, piv = jax.scipy.linalg.lu_factor(hm)
+        cm = jax.scipy.linalg.lu_solve((lu, piv), beta)
+        for _ in range(refine_passes):
+            resid = beta - jnp.matmul(hm, cm, precision=_PREC)
+            cm = cm + jax.scipy.linalg.lu_solve((lu, piv), resid)
+        return cm
+
+    def iterate(v, w, mask, k, h, beta, best_err, bx, berrs,
+                operand, diag, b, b_norm):
+        mm = mask[:, None] * mask[None, :]
+        scale = jnp.max(jnp.abs(h)) + 1.0
+        hm = h * mm + jnp.diag((1.0 - mask) * 10.0 * scale)
+        bm = beta * mask[:, None]
+        cm = proj_solve(hm, bm)                      # (m_max, nrhs)
+        coeff = cm.T                                  # (nrhs, m_max)
+        vm = v * mask[:, None]
+        wm = w * mask[:, None]
+        x = jnp.matmul(coeff, vm, precision=_PREC)
+        ax = jnp.matmul(coeff, wm, precision=_PREC)
+        rblk = ax - b
+        errs = jnp.sqrt(jnp.abs(
+            jnp.einsum("in,in->i", rblk, rblk, precision=_PREC))) / b_norm
+        maxe = jnp.max(errs)
+        better = maxe < best_err
+        best_err = jnp.where(better, maxe, best_err)
+        bx = jnp.where(better, x, bx)
+        berrs = jnp.where(better, errs, berrs)
+        d = diag if diag.ndim == 2 else diag[None, :]
+        denom = d + 1e-15 * jnp.max(jnp.abs(d)) + 1e-300
+        t = rblk / denom
+        k0 = k
+        v, w, mask, k, _t_app, _w_rows = append(v, w, mask, k, t, operand)
+        h, new_v = _incremental_update(h, v, w, mask, k0, nrhs)
+        beta = jax.lax.dynamic_update_slice(
+            beta, jnp.matmul(new_v, b.T, precision=_PREC),
+            (k0, jnp.zeros((), k0.dtype)))
+        return v, w, mask, k, h, beta, x, errs, best_err, bx, berrs
+
+    return iterate
+
+
+def _make_lineq_collapse(matvec, nrhs, m_max):
+    """Restart for the lineq device tier: collapse onto the solution
+    block, re-anchor the action with a matvec, recompute the RHS
+    projection."""
+
+    def collapse(x, k, operand, b):
+        rv, rw, rmask, rh = _reset_core(matvec, nrhs, m_max, x, operand)
+        rbeta = jnp.matmul(rv * rmask[:, None], b.T, precision=_PREC)
+        return rv, rw, rmask, jnp.asarray(nrhs, k.dtype), rh, rbeta
+
+    return collapse
+
+
 def make_nonsym_lineq_device_loop(matvec: Callable, nrhs: int, m_max: int,
                                   null_thresh: float = 1e-10,
                                   refine_passes: int = 2):
@@ -925,16 +989,9 @@ def make_nonsym_lineq_device_loop(matvec: Callable, nrhs: int, m_max: int,
     (x, per-RHS errors) carried under jnp.where.
     Reference semantics twin: LinearEquationsDavidson.h at
     hermiticity=false."""
-    append = _make_append(matvec, nrhs, m_max, null_thresh)
-
-    def _proj_solve(hm, beta):
-        # LU once, refinement passes reuse it
-        lu, piv = jax.scipy.linalg.lu_factor(hm)
-        cm = jax.scipy.linalg.lu_solve((lu, piv), beta)
-        for _ in range(refine_passes):
-            resid = beta - jnp.matmul(hm, cm, precision=_PREC)
-            cm = cm + jax.scipy.linalg.lu_solve((lu, piv), resid)
-        return cm
+    iterate = _make_lineq_iterate(matvec, nrhs, m_max, null_thresh,
+                                  refine_passes)
+    collapse = _make_lineq_collapse(matvec, nrhs, m_max)
 
     def _loop(v, w, mask, k, h, beta, tol, it0, it_end, best_err, bx, berrs,
               operand, diag, b, b_norm):
@@ -946,40 +1003,15 @@ def make_nonsym_lineq_device_loop(matvec: Callable, nrhs: int, m_max: int,
         def body(state):
             (v, w, mask, k, h, beta, x, errs, it,
              best_err, bx, berrs, restarts) = state
-            mm = mask[:, None] * mask[None, :]
-            scale = jnp.max(jnp.abs(h)) + 1.0
-            hm = h * mm + jnp.diag((1.0 - mask) * 10.0 * scale)
-            bm = beta * mask[:, None]
-            cm = _proj_solve(hm, bm)                     # (m_max, nrhs)
-            coeff = cm.T                                  # (nrhs, m_max)
-            vm = v * mask[:, None]
-            wm = w * mask[:, None]
-            x = jnp.matmul(coeff, vm, precision=_PREC)
-            ax = jnp.matmul(coeff, wm, precision=_PREC)
-            rblk = ax - b
-            errs = jnp.sqrt(jnp.abs(
-                jnp.einsum("in,in->i", rblk, rblk, precision=_PREC))) / b_norm
-            maxe = jnp.max(errs)
-            better = maxe < best_err
-            best_err = jnp.where(better, maxe, best_err)
-            bx = jnp.where(better, x, bx)
-            berrs = jnp.where(better, errs, berrs)
-            d = diag if diag.ndim == 2 else diag[None, :]
-            denom = d + 1e-15 * jnp.max(jnp.abs(d)) + 1e-300
-            t = rblk / denom
-            k0 = k
-            v, w, mask, k, _t_app, _w_rows = append(v, w, mask, k, t, operand)
-            h, new_v = _incremental_update(h, v, w, mask, k0, nrhs)
-            beta = jax.lax.dynamic_update_slice(
-                beta, jnp.matmul(new_v, b.T, precision=_PREC),
-                (k0, jnp.zeros((), k0.dtype)))
+            (v, w, mask, k, h, beta, x, errs,
+             best_err, bx, berrs) = iterate(
+                v, w, mask, k, h, beta, best_err, bx, berrs,
+                operand, diag, b, b_norm)
 
             def restart(args):
                 v, w, mask, k, h, beta, restarts = args
-                rv, rw, rmask, rh = _reset_core(matvec, nrhs, m_max, x, operand)
-                rbeta = jnp.matmul(rv * rmask[:, None], b.T, precision=_PREC)
-                return (rv, rw, rmask, jnp.asarray(nrhs, k.dtype), rh, rbeta,
-                        restarts + 1)
+                rv, rw, rmask, rk, rh, rbeta = collapse(x, k, operand, b)
+                return (rv, rw, rmask, rk, rh, rbeta, restarts + 1)
 
             def keep(args):
                 return args
