@@ -39,6 +39,7 @@ from .solvers.fused_nonsym import (
     FusedNonSymDavidson,
     FusedNonSymLinearEquations,
     finalize_nonsym_batch,
+    make_batched_nonsym_lineq_solve,
     make_batched_nonsym_solve,
 )
 from .solvers.fused_ppcg import FusedPPCG
@@ -75,6 +76,7 @@ __all__ = [
     "FusedNonSymDavidson",
     "FusedNonSymLinearEquations",
     "finalize_nonsym_batch",
+    "make_batched_nonsym_lineq_solve",
     "make_batched_nonsym_solve",
     "FusedPPCG",
     "FusedBlockCG",

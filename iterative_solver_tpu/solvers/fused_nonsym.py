@@ -527,7 +527,8 @@ def make_nonsym_sweep_solve(matvec: Callable, r: int, m_max: int,
 
 
 def make_batched_nonsym_solve(matvec: Callable, nroots: int, m_max: int,
-                              null_thresh: float = 1e-10, rr_steps: int = 1):
+                              null_thresh: float = 1e-10, rr_steps: int = 1,
+                              operand_axes=0):
     """Many independent NON-HERMITIAN eigenproblems in ONE dispatch — a
     capability the host-eig chunked path cannot offer at all (its per-append
     host LAPACK stage cannot batch): only the device-RR loop, with no host
@@ -541,12 +542,15 @@ def make_batched_nonsym_solve(matvec: Callable, nroots: int, m_max: int,
         evals, x_rot, errors = finalize_nonsym_batch(bx, bG, bR)
 
     The matvec must be vmap-compatible (XLA paths are; opaque Pallas
-    kernels are not)."""
+    kernels are not). ``operand_axes`` is a vmap in_axes prefix for the
+    operand tree — e.g. ``(None, 0)`` shares one operator across the
+    batch with a per-element parameter (see
+    make_batched_nonsym_lineq_solve for the shifted-systems pattern)."""
     init, solve = make_nonsym_sweep_solve(matvec, nroots, m_max,
                                           null_thresh, rr_steps)
-    batched_init = jax.jit(jax.vmap(init, in_axes=(0, 0)))
+    batched_init = jax.jit(jax.vmap(init, in_axes=(0, operand_axes)))
     batched_solve = jax.jit(jax.vmap(
-        solve, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None, None)))
+        solve, in_axes=(0, 0, 0, 0, 0, 0, operand_axes, 0, None, None)))
     return batched_init, batched_solve
 
 
@@ -1045,6 +1049,97 @@ def make_nonsym_lineq_device_loop(matvec: Callable, nrhs: int, m_max: int,
                      best_err, bx, berrs, operand, diag, b, b_norm)
 
     return jax.jit(run_init), jax.jit(run_cont)
+
+
+def make_nonsym_lineq_sweep_solve(matvec: Callable, nrhs: int, m_max: int,
+                                  null_thresh: float = 1e-10,
+                                  refine_passes: int = 2):
+    """Whole non-symmetric A X = B solve with restarts hoisted to sweep
+    boundaries (vmap-friendly; see make_nonsym_sweep_solve for the
+    rationale). Returns ``(init, solve)`` unjitted vmap-ready callables."""
+    iterate = _make_lineq_iterate(matvec, nrhs, m_max, null_thresh,
+                                  refine_passes)
+    collapse = _make_lineq_collapse(matvec, nrhs, m_max)
+    fill_steps = max(1, (m_max - nrhs) // nrhs)
+
+    def init(x0, operand, b):
+        v, w, mask, h = _reset_core(matvec, nrhs, m_max, x0, operand)
+        k = jnp.asarray(nrhs, jnp.int32)
+        beta = jnp.matmul(v * mask[:, None], b.T, precision=_PREC)
+        return v, w, mask, k, h, beta
+
+    def solve(v, w, mask, k, h, beta, operand, diag, b, b_norm,
+              tol_, max_iter_):
+        x0 = jnp.zeros((nrhs, v.shape[1]), v.dtype)
+        state0 = (v, w, mask, k, h, beta, x0,
+                  jnp.full((nrhs,), jnp.inf, v.dtype),
+                  jnp.asarray(jnp.inf, v.dtype), x0,
+                  jnp.full((nrhs,), jnp.inf, v.dtype))
+
+        def cond(carry):
+            s, it = carry
+            return (it < max_iter_) & (jnp.max(s[7]) > tol_)
+
+        def body(carry):
+            s, it = carry
+            (v, w, mask, k, h, beta, x, errs, best_err, bx, berrs) = s
+
+            def restart(args):
+                v, w, mask, k, h, beta = args
+                return collapse(x, k, operand, b)
+
+            def keep(args):
+                return args
+
+            v, w, mask, k, h, beta = jax.lax.cond(
+                k + fill_steps * nrhs > m_max, restart, keep,
+                (v, w, mask, k, h, beta))
+
+            def step(_i, s2):
+                (v, w, mask, k, h, beta, _x, _e, best_err, bx, berrs) = s2
+                return iterate(v, w, mask, k, h, beta, best_err, bx, berrs,
+                               operand, diag, b, b_norm)
+
+            s = jax.lax.fori_loop(
+                0, fill_steps, step,
+                (v, w, mask, k, h, beta, x, errs, best_err, bx, berrs))
+            return s, it + fill_steps
+
+        final, iters = jax.lax.while_loop(
+            cond, body, (state0, jnp.asarray(0, jnp.int32)))
+        (_v, _w, _mask, _k, _h, _beta, x, errs, best_err, bx, berrs) = final
+        return x, errs, best_err, bx, berrs, iters
+
+    return init, solve
+
+
+def make_batched_nonsym_lineq_solve(matvec: Callable, nrhs: int, m_max: int,
+                                    null_thresh: float = 1e-10,
+                                    refine_passes: int = 2,
+                                    operand_axes=0):
+    """Many independent non-symmetric A_k X_k = B_k systems in ONE
+    dispatch. ``operand_axes`` is a vmap in_axes prefix for the operand
+    tree — the key use is SHIFTED systems sharing one operator without
+    B-fold storage: ``operand = (A, sigmas)``, ``operand_axes = (None, 0)``
+    with ``matvec(x, (op, s)) = x @ op.T + s * x`` solves
+    ``(A + sigma_k I) x_k = b_k`` for every shift at once (non-symmetric
+    response equations; the SPD pairing is FusedBlockCG's per-RHS shifted
+    diagonals). Unlike the eigen twin there is NO host finalize — the
+    returned ``bx`` is the solution, ``berrs`` the per-RHS errors. Usage:
+
+        binit, bsolve = make_batched_nonsym_lineq_solve(mv, nrhs, m_max,
+                                                        operand_axes=(None, 0))
+        state = binit(x0_b, operand, b_b)
+        x, errs, best_err, bx, berrs, iters = bsolve(
+            *state, operand, diag_b, b_b, b_norm_b, tol, max_iter)
+    """
+    init, solve = make_nonsym_lineq_sweep_solve(matvec, nrhs, m_max,
+                                                null_thresh, refine_passes)
+    batched_init = jax.jit(jax.vmap(init, in_axes=(0, operand_axes, 0)))
+    batched_solve = jax.jit(jax.vmap(
+        solve,
+        in_axes=(0, 0, 0, 0, 0, 0, operand_axes, 0, 0, 0, None, None)))
+    return batched_init, batched_solve
 
 
 def make_nonsym_lineq_chunk(matvec: Callable, nrhs: int, m_max: int,

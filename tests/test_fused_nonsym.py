@@ -624,3 +624,50 @@ class TestBatchedNonSym:
                         - evals[b][i].real * x_host[b, i])
                     assert true_r <= 10 * max(errors[b][i], 1e-13), (
                         b, i, true_r, errors[b][i])
+
+
+class TestBatchedShiftedLineq:
+    """make_batched_nonsym_lineq_solve with operand_axes=(None, 0): shifted
+    systems (A + sigma_k I) x_k = b share ONE operator across the batch —
+    non-symmetric response equations in one dispatch with no B-fold
+    operator storage."""
+
+    def test_shifted_share_one_operator(self):
+        from iterative_solver_tpu.solvers.fused_nonsym import (
+            make_batched_nonsym_lineq_solve,
+        )
+
+        n, nrhs, B = 300, 2, 4
+        rng = np.random.default_rng(0)
+        a = rng.standard_normal((n, n)) * (0.05 / np.sqrt(n))
+        A = a + a.T + np.diag(np.linspace(1.0, 20.0, n))
+        A[np.tril_indices(n, -1)] *= 0.85
+        sigmas = np.array([0.0, 0.4, 0.9, 1.5])
+        b = rng.standard_normal((nrhs, n))
+
+        def mv(x, op):
+            mat, s = op
+            import jax
+
+            return jnp.matmul(x, mat.T,
+                              precision=jax.lax.Precision.HIGHEST) + s * x
+
+        A_dev = jnp.asarray(A)
+        diag_b = jnp.asarray(np.stack([np.diag(A) + s for s in sigmas]))
+        b_b = jnp.asarray(np.broadcast_to(b, (B, nrhs, n)))
+        b_norm = jnp.asarray(
+            np.broadcast_to(np.linalg.norm(b, axis=1), (B, nrhs)))
+        x0_b = jnp.asarray(
+            np.stack([b / (np.diag(A)[None, :] + s) for s in sigmas]))
+        binit, bsolve = make_batched_nonsym_lineq_solve(
+            mv, nrhs, 12, operand_axes=(None, 0))
+        operand = (A_dev, jnp.asarray(sigmas))
+        state = binit(x0_b, operand, b_b)
+        x, errs, best_err, bx, berrs, iters = bsolve(
+            *state, operand, diag_b, b_b, b_norm, 1e-10, 200)
+        for k in range(B):
+            assert np.asarray(berrs[k]).max() <= 1e-10, (k, berrs)
+            ref = np.linalg.solve(A + sigmas[k] * np.eye(n), b.T).T
+            rel = (np.linalg.norm(np.asarray(bx[k], np.float64) - ref)
+                   / np.linalg.norm(ref))
+            assert rel < 1e-9, (k, rel)
