@@ -214,6 +214,15 @@ class LegRunner:
             out[k] = r[k]
         while fields and len(json.dumps(out)) > self.MAX_COMPACT_BYTES:
             out.pop(fields.pop())
+        # a mass-skip run (dead tunnel) can blow the cap through the
+        # UNBOUNDED legs_skipped dict alone — degrade it to a count plus
+        # the first few names before giving up on the guarantee (the full
+        # dict always survives in BENCH_partial.json)
+        if ("legs_skipped" in out
+                and len(json.dumps(out)) > self.MAX_COMPACT_BYTES):
+            names = sorted(sk)
+            out["legs_skipped"] = {
+                "n": len(names), "first": ",".join(names[:4])[:96]}
         return out
 
     def emit(self, status: str = "running") -> None:
@@ -1189,8 +1198,10 @@ def main(big: bool = False, phenol: bool = False):
     runner.run("headline", leg_headline, budget_s=480,
                warm_cmd=warm_cmd("headline"))
     if backend == "tpu":
-        runner.run("turbo_int8", leg_turbo_int8, budget_s=300)
-        runner.run("int8_precise", leg_int8_precise, budget_s=300)
+        runner.run("turbo_int8", leg_turbo_int8, budget_s=300,
+                   warm_cmd=warm_cmd("turbo_int8"))
+        runner.run("int8_precise", leg_int8_precise, budget_s=300,
+                   warm_cmd=warm_cmd("int8_precise"))
     runner.run("precise16", leg_precise16, budget_s=300)
     runner.run("r4", leg_r4, budget_s=240)
     runner.run("precise_quality", leg_precise_quality, budget_s=240)
@@ -1200,7 +1211,8 @@ def main(big: bool = False, phenol: bool = False):
     if backend == "tpu":
         runner.run("n16384", leg_n16384, budget_s=480,
                    warm_cmd=warm_cmd("n16384"))
-        runner.run("n16384_int8", leg_n16384_int8, budget_s=300, needs=("n16384",))
+        runner.run("n16384_int8", leg_n16384_int8, budget_s=300,
+                   needs=("n16384",), warm_cmd=warm_cmd("n16384_int8"))
         runner.run("hard_spectrum", leg_hard_spectrum, budget_s=420)
     runner.run("spmv", leg_spmv, budget_s=300)
     runner.run("spmv_int8", leg_spmv_int8, budget_s=240, needs=("spmv",))

@@ -245,8 +245,13 @@ def IterativeSolverSuggestP(solution, residual, maximum_number, threshold, indic
     idx = inst.solver.suggest_p(
         sol.reshape(nroot, dim), res.reshape(nroot, dim),
         int(maximum_number), float(threshold))
-    out = np.asarray(indices).reshape(-1)
-    out[: len(idx)] = idx
+    # write through the CALLER's buffer: np.asarray on a list/array-like
+    # would copy, the results would land in the temporary, and the caller
+    # would misread its untouched zeros as suggestions (review round 4)
+    if isinstance(indices, np.ndarray):
+        indices.reshape(-1)[: len(idx)] = idx
+    else:
+        indices[: len(idx)] = idx
     return len(idx)
 
 

@@ -74,8 +74,14 @@ class DenseInt8:
         cmax = np.abs(work).max(axis=0)
         gr = np.sqrt(np.where(rmax > 0.0, rmax, 1.0))
         gc = np.sqrt(np.where(cmax > 0.0, cmax, 1.0))
-        b_scaled = work / (gr[:, None] * gc[None, :])
-        q = np.clip(np.round(127.0 * b_scaled), -127, 127).astype(np.int8)
+        # scale in place, one axis at a time: the (n, n) outer-product
+        # temporary alone is another full-matrix allocation, and this
+        # host runs GB-scale numpy at tens of MB/s (CLAUDE.md gotcha)
+        work /= gr[:, None]
+        work /= gc[None, :]
+        work *= 127.0
+        np.round(work, out=work)
+        q = np.clip(work, -127, 127).astype(np.int8)
         return cls(q=jnp.asarray(q), gr=jnp.asarray(gr, jnp.float32),
                    gc=jnp.asarray(gc, jnp.float32),
                    d=jnp.asarray(d, jnp.float32), n=n)
@@ -124,9 +130,14 @@ class DenseInt8Split:
         cmax = np.abs(work).max(axis=0)
         gr = np.sqrt(np.where(rmax > 0.0, rmax, 1.0))
         gc = np.sqrt(np.where(cmax > 0.0, cmax, 1.0))
-        scaled = 127.0 * work / (gr[:, None] * gc[None, :])
-        q1 = np.clip(np.round(scaled), -127, 127)
-        q2 = np.clip(np.round(254.0 * (scaled - q1)), -127, 127)
+        # in-place sequential scaling (see DenseInt8.from_dense)
+        work /= gr[:, None]
+        work /= gc[None, :]
+        work *= 127.0
+        q1 = np.clip(np.round(work), -127, 127)
+        work -= q1
+        work *= 254.0
+        q2 = np.clip(np.round(work, out=work), -127, 127)
         return cls(q1=jnp.asarray(q1.astype(np.int8)),
                    q2=jnp.asarray(q2.astype(np.int8)),
                    gr=jnp.asarray(gr, jnp.float32),

@@ -65,21 +65,47 @@ def densify_p_space(p_space, n: int) -> np.ndarray:
         if arr.ndim != 2 or arr.shape[1] > n:
             raise ValueError(
                 f"dense p_space must be (n_p, <=n), got {arr.shape}")
-        out = np.zeros((arr.shape[0], n))
-        out[:, : arr.shape[1]] = arr
-        return out
-    rows = np.zeros((len(p_space), n))
-    for i, p in enumerate(p_space):
-        if isinstance(p, dict):
-            for j, val in p.items():
-                rows[i, int(j)] = float(val)
-        else:
-            idx, vals = p
-            rows[i, np.asarray(idx, dtype=np.int64)] = np.asarray(
-                vals, dtype=np.float64)
+        rows = np.zeros((arr.shape[0], n))
+        rows[:, : arr.shape[1]] = arr
+    else:
+        rows = np.zeros((len(p_space), n))
+        for i, p in enumerate(p_space):
+            if isinstance(p, dict):
+                for j, val in p.items():
+                    rows[i, int(j)] = float(val)
+            else:
+                idx, vals = p
+                rows[i, np.asarray(idx, dtype=np.int64)] = np.asarray(
+                    vals, dtype=np.float64)
+    # BOTH branches: an all-zero P row would Cholesky-whiten the singular
+    # P Gram into a garbage basis row that stays mask=1 forever — silent
+    # wrong eigenvalues with near-zero reported errors (measured)
     if not rows.size or not np.all(np.any(rows != 0.0, axis=1)):
         raise ValueError("every P vector must be nonzero")
     return rows
+
+
+def validate_p_inputs(p_space, p_actions, n: int):
+    """Shared constructor-side P-space handling for the fused families
+    (FusedDavidson + FusedLinearEquations): densify, validate the action
+    rows (shape AND rank — a 1-D row would otherwise die on an opaque
+    IndexError), right-pad. Returns ``(p_dense, n_p, p_action_rows)``."""
+    if p_space is None:
+        if p_actions is not None:
+            raise ValueError("p_actions requires p_space")
+        return None, 0, None
+    p_dense = densify_p_space(p_space, n)
+    n_p = p_dense.shape[0]
+    p_action_rows = None
+    if p_actions is not None:
+        pa = np.atleast_2d(np.asarray(p_actions, dtype=np.float64))
+        if pa.ndim != 2 or pa.shape[0] != n_p or pa.shape[1] > n:
+            raise ValueError(
+                f"p_actions must be (n_p, <=n) action rows, got "
+                f"{np.asarray(p_actions).shape} for n_p={n_p}, n={n}")
+        p_action_rows = np.zeros((n_p, n))
+        p_action_rows[:, :pa.shape[1]] = pa
+    return p_dense, n_p, p_action_rows
 
 
 def _masked_eigh(v, w, mask):
@@ -740,25 +766,8 @@ class FusedDavidson:
     ):
         if dtype is None:
             dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
-        if p_space is not None:
-            self.p_dense = densify_p_space(p_space, n)
-            self.n_p = self.p_dense.shape[0]
-            if p_actions is not None:
-                pa = np.asarray(p_actions, dtype=np.float64)
-                if pa.shape[0] != self.n_p or pa.shape[1] > n:
-                    raise ValueError(
-                        f"p_actions must be (n_p, <=n) action rows, got "
-                        f"{pa.shape} for n_p={self.n_p}, n={n}")
-                self.p_action_rows = np.zeros((self.n_p, n))
-                self.p_action_rows[:, :pa.shape[1]] = pa
-            else:
-                self.p_action_rows = None
-        else:
-            if p_actions is not None:
-                raise ValueError("p_actions requires p_space")
-            self.p_dense = None
-            self.n_p = 0
-            self.p_action_rows = None
+        self.p_dense, self.n_p, self.p_action_rows = validate_p_inputs(
+            p_space, p_actions, n)
         eff_m_max = m_max if m_max is not None else max(
             4 * nroots + self.n_p, min(n, 24))
         _validate_rr(rr, nroots, eff_m_max, self.n_p)

@@ -296,27 +296,10 @@ class FusedLinearEquations:
         self.nrhs = nrhs
         self.check_symmetric = check_symmetric
         self._symmetry_checked = False
-        if p_space is not None:
-            from .fused_davidson import densify_p_space
+        from .fused_davidson import validate_p_inputs
 
-            self.p_dense = densify_p_space(p_space, n)
-            self.n_p = self.p_dense.shape[0]
-            if p_actions is not None:
-                pa = np.asarray(p_actions, dtype=np.float64)
-                if pa.shape[0] != self.n_p or pa.shape[1] > n:
-                    raise ValueError(
-                        f"p_actions must be (n_p, <=n) action rows, got "
-                        f"{pa.shape} for n_p={self.n_p}, n={n}")
-                self.p_action_rows = np.zeros((self.n_p, n))
-                self.p_action_rows[:, :pa.shape[1]] = pa
-            else:
-                self.p_action_rows = None
-        else:
-            if p_actions is not None:
-                raise ValueError("p_actions requires p_space")
-            self.p_dense = None
-            self.n_p = 0
-            self.p_action_rows = None
+        self.p_dense, self.n_p, self.p_action_rows = validate_p_inputs(
+            p_space, p_actions, n)
         self.m_max = m_max if m_max is not None else max(
             4 * nrhs + self.n_p, min(n, 24))
         self.dtype = dtype

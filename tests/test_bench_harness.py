@@ -105,6 +105,34 @@ class TestLegRunner:
         assert rec["legs_done"] == 20
         assert len(rec["legs_skipped"]["exploded"]) <= 48
 
+    def test_mass_skip_compact_stays_capped(self):
+        """Dead-tunnel run: ~25 skipped legs must not blow the cap through
+        the legs_skipped dict alone (review round 4: measured 1417 bytes
+        at 18 skips even after every whitelist field was dropped) — the
+        dict degrades to a count + first names."""
+        R = {
+            "metric": "fused_davidson_n8192_r16_sustained",
+            "value": 0.0,
+            "unit": "GFLOP/s",
+            "vs_baseline": 0.0,
+            "backend": "tpu",
+            "canary": "dead",
+        }
+        runner = LegRunner(R, budget_s=60, partial_path=None)
+        for f in LegRunner.COMPACT_LEG_FIELDS:
+            R[f] = 123456.123456
+        R["legs_skipped"] = {
+            f"some_quite_long_leg_name_{i}": "warm_timeout_300s_extra_detail"
+            for i in range(25)
+        }
+        lines = run_capture(lambda: runner.emit(status="complete"))
+        line = lines[0]
+        assert len(line) <= 1500, len(line)
+        rec = json.loads(line)
+        assert rec["legs_skipped"]["n"] == 25
+        assert "some_quite_long_leg_name_0" in rec["legs_skipped"]["first"]
+        assert line.index('"metric"') < 100
+
     def test_compact_drops_tail_fields_never_core(self):
         R = {"metric": "m", "value": 1.0, "unit": "u", "vs_baseline": 2.0,
              "backend": "tpu", "canary": "tpu"}

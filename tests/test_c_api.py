@@ -164,3 +164,19 @@ def test_suggest_p_through_c_api():
     idx1 = np.zeros(1, dtype=np.uint64)
     cnt1 = c_api.IterativeSolverSuggestP(solution, residual, 1, 1e-3, idx1)
     assert cnt1 == 1 and int(idx1[0]) == 3
+
+
+def test_suggest_p_writes_through_list_buffer():
+    """Regression (round-4 review): np.asarray on a non-ndarray buffer
+    copies — results landed in the temporary and the caller's buffer
+    stayed zero while the count said otherwise."""
+    n = 8
+    c_api.IterativeSolverLinearEigensystemInitialize(n, 1)
+    solution = np.zeros((1, n))
+    residual = np.zeros((1, n))
+    solution[0, 5] = 1.0
+    residual[0, 5] = 1.0
+    buf = [0, 0, 0]  # plain list, not ndarray
+    cnt = c_api.IterativeSolverSuggestP(solution, residual, 3, 1e-6, buf)
+    assert cnt == 1
+    assert buf[0] == 5

@@ -671,3 +671,50 @@ class TestBatchedShiftedLineq:
             rel = (np.linalg.norm(np.asarray(bx[k], np.float64) - ref)
                    / np.linalg.norm(ref))
             assert rel < 1e-9, (k, rel)
+
+
+def test_inner_rejected_with_device_rr():
+    """inner enrichment belongs to the host-RR chunked path; rr="device"
+    must reject it rather than silently ignore the option."""
+    with pytest.raises(ValueError, match="inner enrichment"):
+        FusedNonSymDavidson(dense_matvec, np.zeros(8), 8, 2,
+                            rr="device", inner=2)
+    from iterative_solver_tpu.solvers.fused_nonsym import (
+        FusedNonSymLinearEquations,
+    )
+
+    with pytest.raises(ValueError, match="inner enrichment"):
+        FusedNonSymLinearEquations(dense_matvec, np.zeros(8), 8, 2,
+                                   rr="device", inner=2)
+
+
+def test_device_rr_finds_interior_root_hf():
+    """Regression (round-4 review follow-up): per-root RQI tracking alone
+    converged onto a WRONG interior root with a genuinely small residual
+    on the reference hf hamiltonian (eigenvalue error 0.214 = the
+    root-2/3 spacing, in f64) — the gated global leftmost-selection step
+    in _make_refine fixes the selection. Pinned here against host mode
+    and dense eig."""
+    import os
+
+    import iterative_solver_tpu as its
+
+    path = "/root/reference/examples/hf.hamiltonian"
+    if not os.path.exists(path):
+        pytest.skip("hf.hamiltonian not mounted")
+    m = its.models.load_hamiltonian(path)
+    m = 0.5 * (m + m.T)
+    n = m.shape[0]
+    mns = m.copy()
+    mns[np.tril_indices(n, -1)] *= 0.9
+    ref = np.sort(scipy.linalg.eigvals(mns).real)[:2]
+    v0 = np.zeros((2, n))
+    for r_, i in enumerate(np.argsort(np.diag(mns))[:2]):
+        v0[r_, i] = 1.0
+    s = FusedNonSymDavidson.from_dense(
+        mns, 2, convergence_threshold=5e-4, max_iter=60, rr="device",
+        m_max=8)
+    ev, x, errs, it = s.solve(v0)
+    assert np.max(np.abs(np.sort(np.asarray(ev).real)
+                         - ref[: len(ev)])) < 1e-5, (
+        "device-RR landed on a wrong root", np.sort(np.asarray(ev).real), ref)

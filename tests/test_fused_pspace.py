@@ -305,3 +305,37 @@ class TestLinearEquationsPSpace:
             FusedLinearEquations(matvec, np.diag(matrix), n, 2, m_max=6,
                                  operand=mat,
                                  p_space=_p_lowest_diag(matrix, 3))
+
+
+def test_dense_zero_p_row_rejected():
+    """Regression (round-4 review): the dense p_space branch returned
+    before the nonzero-row validation — an all-zero P row Cholesky-whitens
+    the singular P Gram into a garbage mask=1 basis row and returns WRONG
+    eigenvalues with near-zero reported errors."""
+    import pytest
+
+    from iterative_solver_tpu.solvers.fused_davidson import FusedDavidson
+
+    p = np.zeros((2, 16))
+    p[0, 0] = 1.0  # row 1 is all-zero
+    with pytest.raises(ValueError, match="nonzero"):
+        FusedDavidson(lambda x, op: x, np.ones(16), 16, 2, p_space=p)
+
+
+def test_one_dimensional_p_actions_validated():
+    """A single 1-D action row must raise the descriptive ValueError (was
+    an opaque IndexError via pa.shape[1] on a 1-D array) — and the
+    natural (n,) row for n_p=1 is accepted via atleast_2d."""
+    import pytest
+
+    from iterative_solver_tpu.solvers.fused_davidson import FusedDavidson
+
+    # wrong count: 1-D row for n_p=2
+    with pytest.raises(ValueError, match="p_actions must be"):
+        FusedDavidson(lambda x, op: x, np.ones(16), 16, 2,
+                      p_space=[{0: 1.0}, {1: 1.0}],
+                      p_actions=np.ones(16))
+    # natural 1-D row for n_p=1 is fine
+    s = FusedDavidson(lambda x, op: x, np.ones(16), 16, 1,
+                      p_space=[{0: 1.0}], p_actions=np.ones(16))
+    assert s.p_action_rows.shape == (1, 16)
