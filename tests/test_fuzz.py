@@ -215,3 +215,75 @@ def test_fuzz_fused_nonsym_lineq(seed):
     ref = np.linalg.solve(mat, b.T).T
     rel = np.linalg.norm(np.asarray(x) - ref) / np.linalg.norm(ref)
     assert rel <= 1e-8, (seed, rel)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_device_rr_nonsym(seed):
+    """Random non-hermitian configurations through the SINGLE-DISPATCH
+    device-RR path (round 4): random strengths/sizes/chunk lengths,
+    eigenvalues against scipy dense eig — exercises the gated global
+    selection step, in-loop restarts, and multi-chunk continuation."""
+    import scipy.linalg
+
+    from iterative_solver_tpu.solvers.fused_nonsym import FusedNonSymDavidson
+
+    rng = np.random.default_rng(6000 + seed)
+    n = int(rng.integers(48, 200))
+    nroot = int(rng.integers(1, 5))
+    strength = float(rng.uniform(0.0, 0.35))
+    nlow = max(nroot + 2, n // 16)
+    diag = np.concatenate(
+        [np.linspace(-2.0, 0.0, nlow), np.linspace(2.0, 30.0, n - nlow)])
+    a = rng.standard_normal((n, n)) * (0.05 / np.sqrt(n))
+    mat = a + a.T + np.diag(diag)
+    mat[np.tril_indices(n, -1)] *= 1.0 - strength
+    solver = FusedNonSymDavidson.from_dense(
+        mat, nroot, m_max=int(rng.integers(3 * nroot + 2, 6 * nroot + 4)),
+        convergence_threshold=1e-9, max_iter=300, rr="device",
+        rr_steps=int(rng.integers(1, 3)),
+        chunk_iters=int(rng.integers(3, 80)))
+    v0 = np.zeros((nroot, n))
+    for row, i in enumerate(np.argsort(diag)[:nroot]):
+        v0[row, i] = 1.0
+    evals, x, errs, it = solver.solve(v0)
+    assert np.all(errs <= 1e-8), (seed, errs, it)
+    w = scipy.linalg.eigvals(mat)
+    ref = np.sort(w.real)[:len(evals)]
+    np.testing.assert_allclose(np.sort(evals.real), ref, atol=1e-7,
+                               err_msg=f"seed {seed}")
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_fuzz_device_lineq(seed):
+    """Random non-symmetric systems through the single-dispatch lineq
+    device loop (in-loop LU + refinement) at random refine depths."""
+    from iterative_solver_tpu.solvers.fused_nonsym import (
+        FusedNonSymLinearEquations,
+    )
+
+    rng = np.random.default_rng(7000 + seed)
+    n = int(rng.integers(64, 300))
+    nrhs = int(rng.integers(1, 4))
+    strength = float(rng.uniform(0.0, 0.4))
+    a = rng.standard_normal((n, n)) * (0.05 / np.sqrt(n))
+    mat = a + a.T + np.diag(np.linspace(1.0, 15.0, n))
+    mat[np.tril_indices(n, -1)] *= 1.0 - strength
+    b = rng.standard_normal((nrhs, n))
+
+    def mv(x, op):
+        return jnp.matmul(x, op.T, precision=jax.lax.Precision.HIGHEST)
+
+    solver = FusedNonSymLinearEquations(
+        mv, np.diag(mat), n, nrhs,
+        # floor 3*nrhs+2: m_max ~ 2*nrhs+2 is restart-every-append
+        # Davidson, which stalls IDENTICALLY in host mode (seed 7001:
+        # both modes 1.47e-2 at 200 iters with m_max=8, nrhs=3)
+        m_max=int(rng.integers(3 * nrhs + 2, 6 * nrhs + 6)),
+        convergence_threshold=1e-10, max_iter=200, rr="device",
+        refine_passes=int(rng.integers(1, 4)),
+        chunk_iters=int(rng.integers(4, 80)), operand=jnp.asarray(mat))
+    x, errs, it = solver.solve(b)
+    assert np.all(errs <= 1e-10), (seed, errs, it)
+    ref = np.linalg.solve(mat, b.T).T
+    rel = np.linalg.norm(np.asarray(x) - ref) / np.linalg.norm(ref)
+    assert rel <= 1e-8, (seed, rel)
