@@ -276,6 +276,52 @@ def _rotate_x(bx, coeff):
     return jnp.matmul(coeff, bx, precision=_PREC)
 
 
+def _live_one_hot(mask, r):
+    """(r, m_max) one-hot rows over the FIRST r live slots: a guess row
+    fully inside the P span dies in the GS (fused_davidson.init_p
+    semantics) — seeding C on a dead slot would make x = 0 and read as
+    instant convergence with zero vectors. P slots are always live, so
+    with n_p >= r the start is a pure-P window the refine rotates."""
+    pos = jnp.cumsum(mask) * mask            # 1-based rank among live
+    return (pos[None, :]
+            == jnp.arange(1, r + 1, dtype=mask.dtype)[:, None]).astype(
+                mask.dtype)
+
+
+def _reset_core_p(matvec: Callable, r: int, m_max: int, x, operand,
+                  pv, pw):
+    """P-preserving init/collapse core for the non-hermitian device tier:
+    the frozen P slots [0, n_p) keep their basis AND action rows (no
+    operator re-application), the (r, N) block is Gram-Schmidted against
+    them and orthonormalised with dead-row handling (a block row swallowed
+    by the P span stays dead — fused_davidson._restart_body semantics)."""
+    from ..array.vector_ops import chol_jitter
+
+    n_p = pv.shape[0]
+    for _ in range(2):
+        x = x - jnp.matmul(jnp.matmul(x, pv.T, precision=_PREC), pv,
+                           precision=_PREC)
+    g = jnp.matmul(x, x.T, precision=_PREC)
+    g = 0.5 * (g + g.T)
+    gd = jnp.diagonal(g)
+    live = gd > 1e-12 * jnp.maximum(jnp.max(gd), 1e-300)
+    g = g + chol_jitter(g.dtype) * jnp.eye(r, dtype=g.dtype)
+    l = jnp.linalg.cholesky(g)
+    t = jax.scipy.linalg.solve_triangular(l, x, lower=True)
+    t = t * live[:, None].astype(t.dtype)
+    w_rows = matvec(t, operand) * live[:, None].astype(t.dtype)
+    v = jnp.zeros((m_max, x.shape[1]), x.dtype).at[:n_p].set(
+        pv.astype(x.dtype))
+    v = jax.lax.dynamic_update_slice(v, t.astype(x.dtype), (n_p, 0))
+    w = jnp.zeros((m_max, x.shape[1]), x.dtype).at[:n_p].set(
+        pw.astype(x.dtype))
+    w = jax.lax.dynamic_update_slice(w, w_rows.astype(x.dtype), (n_p, 0))
+    mask = jnp.zeros((m_max,), x.dtype).at[:n_p].set(1.0)
+    mask = jax.lax.dynamic_update_slice(mask, live.astype(x.dtype), (n_p,))
+    h = jnp.matmul(v * mask[:, None], (w * mask[:, None]).T, precision=_PREC)
+    return v, w, mask, h, t
+
+
 def _make_refine(r: int, m_max: int, rr_steps: int):
     """Device-side RR refinement shared by the single-dispatch and the
     batched sweep paths: simultaneous Rayleigh-quotient inverse iteration —
@@ -384,12 +430,33 @@ def _make_nonsym_iterate(matvec: Callable, r: int, m_max: int,
     return iterate
 
 
-def _make_nonsym_collapse(matvec: Callable, r: int, m_max: int):
+def _make_nonsym_collapse(matvec: Callable, r: int, m_max: int,
+                          n_p: int = 0):
     """Restart: collapse onto the Ritz block x; matvec re-anchors AX
     exactly (carried-quantity rule — a whitening-transform shortcut would
-    accumulate f32 drift across restarts)."""
+    accumulate f32 drift across restarts). With ``n_p > 0`` the frozen P
+    slots [0, n_p) survive untouched (basis and action rows, read from
+    the incoming stacks) and the Ritz block re-orthogonalises against
+    them."""
 
-    def collapse(x, k, operand):
+    def collapse(x, k, operand, v, w):
+        if n_p:
+            pv = v[:n_p]
+            # EXACT coordinates of the outgoing Ritz block in the fresh
+            # basis (fused_davidson._restart_body semantics): restarting
+            # C from a P-only window instead resets the refine's progress
+            # every basis fill — measured limit cycle at ~1e-5 residual
+            # on hf while the coordinate-preserving form descends
+            pc = jnp.matmul(x, pv.T, precision=_PREC)        # (r, n_p)
+            rv, rw, rmask, rh, t = _reset_core_p(
+                matvec, r, m_max, x, operand, pv, w[:n_p])
+            xs = x - jnp.matmul(pc, pv, precision=_PREC)
+            cx = jnp.matmul(xs, t.T, precision=_PREC)        # (r, r)
+            rC = jnp.zeros((r, m_max), x.dtype).at[:, :n_p].set(
+                pc.astype(x.dtype))
+            rC = jax.lax.dynamic_update_slice(
+                rC, cx.astype(x.dtype), (0, n_p))
+            return rv, rw, rmask, jnp.asarray(n_p + r, k.dtype), rh, rC
         rv, rw, rmask, rh = _reset_core(matvec, r, m_max, x, operand)
         rC = jnp.zeros((r, m_max), x.dtype).at[:, :r].set(
             jnp.eye(r, dtype=x.dtype))
@@ -399,7 +466,8 @@ def _make_nonsym_collapse(matvec: Callable, r: int, m_max: int):
 
 
 def make_nonsym_device_loop(matvec: Callable, r: int, m_max: int,
-                            null_thresh: float = 1e-10, rr_steps: int = 1):
+                            null_thresh: float = 1e-10, rr_steps: int = 1,
+                            n_p: int = 0, p_actions: bool = False):
     """Single-dispatch non-hermitian Davidson loop: the whole solve as ONE
     jitted ``while_loop`` with NO host eig inside.
 
@@ -432,7 +500,7 @@ def make_nonsym_device_loop(matvec: Callable, r: int, m_max: int,
     hermiticity=false (same expansion/restart policy, different RR).
     """
     iterate = _make_nonsym_iterate(matvec, r, m_max, null_thresh, rr_steps)
-    collapse = _make_nonsym_collapse(matvec, r, m_max)
+    collapse = _make_nonsym_collapse(matvec, r, m_max, n_p)
 
     def _loop(v, w, mask, k, h, C, tol, it0, it_end,
               best_err, bx, bG, bR, operand, diag):
@@ -454,7 +522,7 @@ def make_nonsym_device_loop(matvec: Callable, r: int, m_max: int,
 
             def restart(args):
                 v, w, mask, k, h, C, restarts = args
-                rv, rw, rmask, rk, rh, rC = collapse(x, k, operand)
+                rv, rw, rmask, rk, rh, rC = collapse(x, k, operand, v, w)
                 return (rv, rw, rmask, rk, rh, rC, restarts + 1)
 
             def keep(args):
@@ -485,13 +553,40 @@ def make_nonsym_device_loop(matvec: Callable, r: int, m_max: int,
                      jnp.zeros((), jnp.int32), it_end,
                      best_err, z, zr, zr, operand, diag)
 
+    def run_init_p(x0, operand, diag, tol, it_end, p, wp):
+        """P-space init (fused_davidson.init_p semantics): whiten the P
+        block (Cholesky — the reference requires independent P vectors,
+        IterativeSolverTemplate.h:353-376), freeze it into slots [0, n_p)
+        with exact user action rows mapped through the same linear
+        whitening (or device-computed actions), GS the guess block
+        against it, then the whole loop. The device-RR refinement needs
+        NO further P logic: C spans every masked slot, so the P rows
+        participate in the projected solves exactly."""
+        gp = jnp.matmul(p, p.T, precision=_PREC)
+        lp = jnp.linalg.cholesky(gp + 1e-30 * jnp.eye(n_p, dtype=gp.dtype))
+        pv = jax.scipy.linalg.solve_triangular(lp, p, lower=True)
+        if p_actions:
+            pw = jax.scipy.linalg.solve_triangular(lp, wp, lower=True)
+        else:
+            pw = matvec(pv, operand)
+        v, w, mask, h, _t = _reset_core_p(matvec, r, m_max, x0, operand,
+                                          pv, pw)
+        k = jnp.asarray(n_p + r, jnp.int32)
+        C = _live_one_hot(mask, r).astype(x0.dtype)
+        best_err = jnp.asarray(jnp.inf, x0.dtype)
+        z = jnp.zeros((r, x0.shape[1]), x0.dtype)
+        zr = jnp.zeros((r, r), x0.dtype)
+        return _loop(v, w, mask, k, h, C, tol,
+                     jnp.zeros((), jnp.int32), it_end,
+                     best_err, z, zr, zr, operand, diag)
+
     def run_cont(v, w, mask, k, h, C, operand, diag, tol, it0, it_end,
                  best_err, bx, bG, bR):
         """Continuation chunks (only for solves longer than chunk_iters)."""
         return _loop(v, w, mask, k, h, C, tol, it0, it_end,
                      best_err, bx, bG, bR, operand, diag)
 
-    return jax.jit(run_init), jax.jit(run_cont)
+    return jax.jit(run_init_p if n_p else run_init), jax.jit(run_cont)
 
 
 def make_nonsym_sweep_solve(matvec: Callable, r: int, m_max: int,
@@ -534,7 +629,7 @@ def make_nonsym_sweep_solve(matvec: Callable, r: int, m_max: int,
 
             def restart(args):
                 v, w, mask, k, h, C = args
-                rv, rw, rmask, rk, rh, rC = collapse(x, k, operand)
+                rv, rw, rmask, rk, rh, rC = collapse(x, k, operand, v, w)
                 return (rv, rw, rmask, rk, rh, rC)
 
             def keep(args):
@@ -681,12 +776,23 @@ class FusedNonSymDavidson:
         rr: str = "host",
         rr_steps: int = 1,
         chunk_iters: int = 64,
+        p_space=None,
+        p_actions=None,
     ):
         if dtype is None:
             dtype = (jnp.float64 if jax.config.read("jax_enable_x64")
                      else jnp.float32)
         if rr not in ("host", "device"):
             raise ValueError(f"rr must be 'host' or 'device', got {rr!r}")
+        from .fused_davidson import validate_p_inputs
+
+        self.p_dense, self.n_p, self.p_action_rows = validate_p_inputs(
+            p_space, p_actions, n)
+        if self.n_p and rr != "device":
+            raise ValueError(
+                "P space on the non-hermitian fused family runs on the "
+                "device tier — pass rr='device' (the host-driven parity "
+                "solvers carry the host-loop P path)")
         if rr == "device" and inner != 1:
             # the single-dispatch loop has no frozen-shift enrichment
             # stage; silently ignoring a requested inner would mislead
@@ -696,9 +802,10 @@ class FusedNonSymDavidson:
         self.matvec = matvec
         self.n = n
         self.nroots = nroots
-        self.m_max = m_max if m_max is not None else max(4 * nroots, 2 * nroots + 2)
-        if self.m_max < 2 * nroots:
-            raise ValueError("m_max must be >= 2*nroots")
+        self.m_max = m_max if m_max is not None else (
+            max(4 * nroots, 2 * nroots + 2) + self.n_p)
+        if self.m_max < 2 * nroots + self.n_p:
+            raise ValueError("m_max must be >= 2*nroots + n_p")
         if max_iter < 1:
             # the loop body must run at least once or solve() has no
             # x_out to return (None slicing -> opaque TypeError)
@@ -886,14 +993,27 @@ class FusedNonSymDavidson:
         r, m_max = self.nroots, self.m_max
         if self._device_loop is None:
             self._device_loop = make_nonsym_device_loop(
-                self.matvec, r, m_max, self._null_thresh, self.rr_steps)
+                self.matvec, r, m_max, self._null_thresh, self.rr_steps,
+                n_p=self.n_p,
+                p_actions=self.p_action_rows is not None)
         run_init, run_cont = self._device_loop
         tol = jnp.asarray(self.tol, self.dtype)
         it_end = min(self.chunk_iters, self.max_iter)
         # ONE dispatch carries init + the whole loop (usually the entire
         # solve: chunk_iters >= typical iteration counts)
-        state = run_init(self._put_block(v0), self.operand, self.diag, tol,
-                         jnp.asarray(it_end, jnp.int32))
+        if self.n_p:
+            p_dev = self._put_block(self.p_dense)
+            wp_dev = (self._put_block(self.p_action_rows)
+                      if self.p_action_rows is not None
+                      else jnp.zeros_like(p_dev))
+            state = run_init(self._put_block(v0), self.operand, self.diag,
+                             tol, jnp.asarray(it_end, jnp.int32),
+                             p_dev, wp_dev)
+            if self.p_action_rows is None:
+                self.matvecs += self.n_p
+        else:
+            state = run_init(self._put_block(v0), self.operand, self.diag,
+                             tol, jnp.asarray(it_end, jnp.int32))
         self.matvecs += r
         it_host = 0
         spikes = 0

@@ -339,3 +339,129 @@ def test_one_dimensional_p_actions_validated():
     s = FusedDavidson(lambda x, op: x, np.ones(16), 16, 1,
                       p_space=[{0: 1.0}], p_actions=np.ones(16))
     assert s.p_action_rows.shape == (1, 16)
+
+
+class TestNonSymPSpace:
+    """P-space on the NON-HERMITIAN fused tier (rr="device"): frozen P
+    slots participate in the device-RR projected solves automatically (C
+    spans every masked slot); the collapse preserves exact Ritz
+    coordinates (a P-only restart window limit-cycles at ~1e-5).
+    Reference: the one Davidson template carries P at hermiticity=false
+    too (IterativeSolverTemplate.h:353-376)."""
+
+    def _hf_nonsym(self):
+        import os
+
+        import iterative_solver_tpu as its
+
+        path = "/root/reference/examples/hf.hamiltonian"
+        if not os.path.exists(path):
+            pytest.skip("hf.hamiltonian not mounted")
+        m = its.models.load_hamiltonian(path)
+        m = 0.5 * (m + m.T)
+        mns = m.copy()
+        mns[np.tril_indices(m.shape[0], -1)] *= 0.9
+        return mns
+
+    def test_p_space_accelerates_hf(self):
+        import scipy.linalg
+
+        from iterative_solver_tpu.solvers.fused_nonsym import (
+            FusedNonSymDavidson,
+        )
+
+        mns = self._hf_nonsym()
+        n = mns.shape[0]
+        ref = np.sort(scipy.linalg.eigvals(mns).real)[:2]
+        idx = np.argsort(np.diag(mns))
+        v0 = np.zeros((2, n))
+        for r_, i in enumerate(idx[:2]):
+            v0[r_, i] = 1.0
+        iters = {}
+        for np_ in (0, 3, 6):
+            kw = {}
+            if np_:
+                kw["p_space"] = [{int(i): 1.0} for i in idx[:np_]]
+            s = FusedNonSymDavidson.from_dense(
+                mns, 2, convergence_threshold=1e-8, max_iter=100,
+                rr="device", m_max=8 + np_, **kw)
+            ev, x, errs, it = s.solve(v0)
+            assert np.all(errs <= 1e-8), (np_, errs)
+            np.testing.assert_allclose(np.sort(np.asarray(ev).real),
+                                       ref[: len(ev)], atol=1e-8)
+            iters[np_] = it
+        # measured 20 / 12 / 9 — P must accelerate, monotonically here
+        assert iters[3] < iters[0], iters
+        assert iters[6] <= iters[3], iters
+
+    def test_exact_action_rows_match_device_actions(self):
+        """p_actions rows follow the matvec convention (row p_i A^T):
+        exact user rows must reproduce the device-computed path bit-for
+        -class; WRONG rows (A instead of A^T) produce consistently wrong
+        eigenvalues — faithfulness, pinned by the correct case here."""
+        import scipy.linalg
+
+        from iterative_solver_tpu.solvers.fused_nonsym import (
+            FusedNonSymDavidson,
+        )
+
+        rng = np.random.default_rng(0)
+        n = 300
+        a = rng.standard_normal((n, n)) * (0.05 / np.sqrt(n))
+        m2 = a + a.T + np.diag(np.concatenate(
+            [np.linspace(-2, 0, 8), np.linspace(2, 20, n - 8)]))
+        m2[np.tril_indices(n, -1)] *= 0.85
+        ref = np.sort(scipy.linalg.eigvals(m2).real)[:3]
+        idx = np.argsort(np.diag(m2))
+        v0 = np.zeros((3, n))
+        for r_, i in enumerate(idx[:3]):
+            v0[r_, i] = 1.0
+        p_space = [{int(i): 1.0} for i in idx[:4]]
+        p_rows = m2.T[idx[:4]]  # e_j A^T rows
+        results = {}
+        for pa in (None, p_rows):
+            s = FusedNonSymDavidson.from_dense(
+                m2, 3, convergence_threshold=1e-9, max_iter=150,
+                rr="device", m_max=16, p_space=p_space, p_actions=pa)
+            ev, x, errs, it = s.solve(v0)
+            assert np.all(errs <= 1e-9), errs
+            np.testing.assert_allclose(np.sort(np.asarray(ev).real),
+                                       ref[: len(ev)], atol=1e-8)
+            results["exact" if pa is not None else "device"] = it
+        assert abs(results["exact"] - results["device"]) <= 2, results
+
+    def test_host_mode_rejects_p_space(self):
+        from iterative_solver_tpu.solvers.fused_nonsym import (
+            FusedNonSymDavidson,
+        )
+
+        with pytest.raises(ValueError, match="device tier"):
+            FusedNonSymDavidson(lambda x, op: x, np.ones(16), 16, 2,
+                                p_space=[{0: 1.0}], rr="host")
+
+    def test_guess_inside_p_span_survives(self):
+        """Guesses fully swallowed by the P span must not read as instant
+        zero-vector convergence (regression: one-hot C on dead slots gave
+        resid 0.0 with garbage eigenvalues in 1 iteration)."""
+        import scipy.linalg
+
+        from iterative_solver_tpu.solvers.fused_nonsym import (
+            FusedNonSymDavidson,
+        )
+
+        mns = self._hf_nonsym()
+        n = mns.shape[0]
+        ref = np.sort(scipy.linalg.eigvals(mns).real)[:2]
+        idx = np.argsort(np.diag(mns))
+        v0 = np.zeros((2, n))
+        for r_, i in enumerate(idx[:2]):
+            v0[r_, i] = 1.0
+        # P contains BOTH guess vectors
+        s = FusedNonSymDavidson.from_dense(
+            mns, 2, convergence_threshold=1e-8, max_iter=100, rr="device",
+            m_max=11, p_space=[{int(i): 1.0} for i in idx[:3]])
+        ev, x, errs, it = s.solve(v0)
+        assert it > 1
+        assert np.all(errs <= 1e-8), errs
+        np.testing.assert_allclose(np.sort(np.asarray(ev).real),
+                                   ref[: len(ev)], atol=1e-8)

@@ -266,6 +266,31 @@ def run_nonsym_lineq_fused(strength, rr):
 
 
 DEVRR_GRID = [(0.1, "host"), (0.1, "device"), (0.2, "host"), (0.2, "device")]
+NONSYM_P_GRID = [(3,), (6,)]
+
+
+def run_nonsym_fused_pspace(np_):
+    """P-space on the device-RR nonsym tier: hf skewed 0.9, frozen P at
+    the np_ lowest diagonal slots (measured 20 -> 12 -> 9 iterations at
+    np 0/3/6)."""
+    from iterative_solver_tpu.solvers.fused_nonsym import FusedNonSymDavidson
+
+    m = _load("hf")
+    m = 0.5 * (m + m.T)
+    n = m.shape[0]
+    mns = m.copy()
+    mns[np.tril_indices(n, -1)] *= 0.9
+    idx = np.argsort(np.diag(mns))
+    v0 = np.zeros((2, n))
+    for r_, i in enumerate(idx[:2]):
+        v0[r_, i] = 1.0
+    solver = FusedNonSymDavidson.from_dense(
+        mns, 2, convergence_threshold=1e-8, max_iter=100, rr="device",
+        m_max=8 + np_, p_space=[{int(i): 1.0} for i in idx[:np_]])
+    _, _, errs, iters = solver.solve(v0)
+    return int(iters), bool(np.max(errs) <= 1e-8)
+
+
 DEVRR_LINEQ_GRID = [(0.1, "host"), (0.1, "device"),
                     (0.3, "host"), (0.3, "device")]
 
@@ -291,6 +316,9 @@ FAMILIES = {
     "nonsym_lineq_fused": (DEVRR_LINEQ_GRID,
                            lambda s, rr: run_nonsym_lineq_fused(s, rr),
                            lambda s, rr: f"nonsym_lineq_fused_s{s}_{rr}"),
+    "nonsym_fused_pspace": (NONSYM_P_GRID,
+                            lambda p: run_nonsym_fused_pspace(p),
+                            lambda p: f"nonsym_fused_pspace_hf_np{p}"),
 }
 
 
