@@ -1126,12 +1126,20 @@ def _make_lineq_iterate(matvec, nrhs, m_max, null_thresh, refine_passes):
     return iterate
 
 
-def _make_lineq_collapse(matvec, nrhs, m_max):
+def _make_lineq_collapse(matvec, nrhs, m_max, n_p: int = 0):
     """Restart for the lineq device tier: collapse onto the solution
     block, re-anchor the action with a matvec, recompute the RHS
-    projection."""
+    projection. With ``n_p > 0`` the frozen P slots survive untouched
+    (no coordinate bookkeeping needed here — the projected solve
+    recomputes the coefficients from scratch every iteration)."""
 
-    def collapse(x, k, operand, b):
+    def collapse(x, k, operand, b, v, w):
+        if n_p:
+            rv, rw, rmask, rh, _t = _reset_core_p(
+                matvec, nrhs, m_max, x, operand, v[:n_p], w[:n_p])
+            rbeta = jnp.matmul(rv * rmask[:, None], b.T, precision=_PREC)
+            return (rv, rw, rmask, jnp.asarray(n_p + nrhs, k.dtype), rh,
+                    rbeta)
         rv, rw, rmask, rh = _reset_core(matvec, nrhs, m_max, x, operand)
         rbeta = jnp.matmul(rv * rmask[:, None], b.T, precision=_PREC)
         return rv, rw, rmask, jnp.asarray(nrhs, k.dtype), rh, rbeta
@@ -1141,7 +1149,8 @@ def _make_lineq_collapse(matvec, nrhs, m_max):
 
 def make_nonsym_lineq_device_loop(matvec: Callable, nrhs: int, m_max: int,
                                   null_thresh: float = 1e-10,
-                                  refine_passes: int = 2):
+                                  refine_passes: int = 2,
+                                  n_p: int = 0, p_actions: bool = False):
     """Single-dispatch non-symmetric A X = B: the whole Petrov-Galerkin
     Davidson loop as ONE jitted ``while_loop`` with NO host stage at all.
 
@@ -1158,7 +1167,7 @@ def make_nonsym_lineq_device_loop(matvec: Callable, nrhs: int, m_max: int,
     hermiticity=false."""
     iterate = _make_lineq_iterate(matvec, nrhs, m_max, null_thresh,
                                   refine_passes)
-    collapse = _make_lineq_collapse(matvec, nrhs, m_max)
+    collapse = _make_lineq_collapse(matvec, nrhs, m_max, n_p)
 
     def _loop(v, w, mask, k, h, beta, tol, it0, it_end, best_err, bx, berrs,
               operand, diag, b, b_norm):
@@ -1177,7 +1186,8 @@ def make_nonsym_lineq_device_loop(matvec: Callable, nrhs: int, m_max: int,
 
             def restart(args):
                 v, w, mask, k, h, beta, restarts = args
-                rv, rw, rmask, rk, rh, rbeta = collapse(x, k, operand, b)
+                rv, rw, rmask, rk, rh, rbeta = collapse(x, k, operand, b,
+                                                        v, w)
                 return (rv, rw, rmask, rk, rh, rbeta, restarts + 1)
 
             def keep(args):
@@ -1206,12 +1216,35 @@ def make_nonsym_lineq_device_loop(matvec: Callable, nrhs: int, m_max: int,
                      jnp.zeros((), jnp.int32), it_end, best_err, z, binf,
                      operand, diag, b, b_norm)
 
+    def run_init_p(x0, operand, diag, b, b_norm, tol, it_end, p, wp):
+        """P-space init: whiten + freeze P into slots [0, n_p) (exact
+        user action rows map through the same linear whitening), GS the
+        guess block against it; the in-loop projected solve spans every
+        masked slot so P needs no further logic."""
+        gp = jnp.matmul(p, p.T, precision=_PREC)
+        lp = jnp.linalg.cholesky(gp + 1e-30 * jnp.eye(n_p, dtype=gp.dtype))
+        pv = jax.scipy.linalg.solve_triangular(lp, p, lower=True)
+        if p_actions:
+            pw = jax.scipy.linalg.solve_triangular(lp, wp, lower=True)
+        else:
+            pw = matvec(pv, operand)
+        v, w, mask, h, _t = _reset_core_p(matvec, nrhs, m_max, x0, operand,
+                                          pv, pw)
+        k = jnp.asarray(n_p + nrhs, jnp.int32)
+        beta = jnp.matmul(v * mask[:, None], b.T, precision=_PREC)
+        best_err = jnp.asarray(jnp.inf, x0.dtype)
+        z = jnp.zeros((nrhs, x0.shape[1]), x0.dtype)
+        binf = jnp.full((nrhs,), jnp.inf, x0.dtype)
+        return _loop(v, w, mask, k, h, beta, tol,
+                     jnp.zeros((), jnp.int32), it_end, best_err, z, binf,
+                     operand, diag, b, b_norm)
+
     def run_cont(v, w, mask, k, h, beta, operand, diag, b, b_norm, tol,
                  it0, it_end, best_err, bx, berrs):
         return _loop(v, w, mask, k, h, beta, tol, it0, it_end,
                      best_err, bx, berrs, operand, diag, b, b_norm)
 
-    return jax.jit(run_init), jax.jit(run_cont)
+    return jax.jit(run_init_p if n_p else run_init), jax.jit(run_cont)
 
 
 def make_nonsym_lineq_sweep_solve(matvec: Callable, nrhs: int, m_max: int,
@@ -1249,7 +1282,7 @@ def make_nonsym_lineq_sweep_solve(matvec: Callable, nrhs: int, m_max: int,
 
             def restart(args):
                 v, w, mask, k, h, beta = args
-                return collapse(x, k, operand, b)
+                return collapse(x, k, operand, b, v, w)
 
             def keep(args):
                 return args
@@ -1385,6 +1418,8 @@ class FusedNonSymLinearEquations:
         rr: str = "host",
         refine_passes: int = 2,
         chunk_iters: int = 64,
+        p_space=None,
+        p_actions=None,
     ):
         if dtype is None:
             dtype = (jnp.float64 if jax.config.read("jax_enable_x64")
@@ -1395,12 +1430,22 @@ class FusedNonSymLinearEquations:
             raise ValueError("inner enrichment is a host-RR option; "
                              "rr='device' refreshes the projected solve "
                              "every iteration")
+        from .fused_davidson import validate_p_inputs
+
+        self.p_dense, self.n_p, self.p_action_rows = validate_p_inputs(
+            p_space, p_actions, n)
+        if self.n_p and rr != "device":
+            raise ValueError(
+                "P space on the non-hermitian fused family runs on the "
+                "device tier — pass rr='device' (the host-driven parity "
+                "solvers carry the host-loop P path)")
         self.matvec = matvec
         self.n = n
         self.nrhs = nrhs
-        self.m_max = m_max if m_max is not None else max(4 * nrhs, min(n, 24))
-        if self.m_max < 2 * nrhs:
-            raise ValueError("m_max must be >= 2*nrhs")
+        self.m_max = m_max if m_max is not None else (
+            max(4 * nrhs, min(n, 24)) + self.n_p)
+        if self.m_max < 2 * nrhs + self.n_p:
+            raise ValueError("m_max must be >= 2*nrhs + n_p")
         if max_iter < 1:
             raise ValueError("max_iter must be >= 1")
         self.dtype = dtype
@@ -1548,12 +1593,25 @@ class FusedNonSymLinearEquations:
         if self._device_loop is None:
             self._device_loop = make_nonsym_lineq_device_loop(
                 self.matvec, nrhs, self.m_max, self._null_thresh,
-                self.refine_passes)
+                self.refine_passes, n_p=self.n_p,
+                p_actions=self.p_action_rows is not None)
         run_init, run_cont = self._device_loop
         tol = jnp.asarray(self.tol, self.dtype)
         it_end = min(self.chunk_iters, self.max_iter)
-        state = run_init(self._put_block(x0), self.operand, self.diag,
-                         b_dev, b_norm, tol, jnp.asarray(it_end, jnp.int32))
+        if self.n_p:
+            p_dev = self._put_block(self.p_dense)
+            wp_dev = (self._put_block(self.p_action_rows)
+                      if self.p_action_rows is not None
+                      else jnp.zeros_like(p_dev))
+            state = run_init(self._put_block(x0), self.operand, self.diag,
+                             b_dev, b_norm, tol,
+                             jnp.asarray(it_end, jnp.int32), p_dev, wp_dev)
+            if self.p_action_rows is None:
+                self.matvecs += self.n_p
+        else:
+            state = run_init(self._put_block(x0), self.operand, self.diag,
+                             b_dev, b_norm, tol,
+                             jnp.asarray(it_end, jnp.int32))
         self.matvecs += nrhs
         it_host = 0
         spikes = 0

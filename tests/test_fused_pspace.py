@@ -465,3 +465,41 @@ class TestNonSymPSpace:
         assert np.all(errs <= 1e-8), errs
         np.testing.assert_allclose(np.sort(np.asarray(ev).real),
                                    ref[: len(ev)], atol=1e-8)
+
+
+def test_nonsym_lineq_p_space():
+    """P-space on the nonsym lineq device tier: frozen P slots + beta
+    projection; the in-loop projected solve spans every masked slot, so
+    no coordinate bookkeeping is needed. Exact user action rows (matvec
+    convention) match the device-computed path."""
+    import jax
+
+    from iterative_solver_tpu.solvers.fused_nonsym import (
+        FusedNonSymLinearEquations,
+    )
+
+    def mv(x, op):
+        return jnp.matmul(x, op.T, precision=jax.lax.Precision.HIGHEST)
+
+    rng = np.random.default_rng(0)
+    n, nrhs = 400, 2
+    a = rng.standard_normal((n, n)) * (0.05 / np.sqrt(n))
+    m = a + a.T + np.diag(np.linspace(0.5, 20.0, n))
+    m[np.tril_indices(n, -1)] *= 0.85
+    b = rng.standard_normal((nrhs, n))
+    ref = np.linalg.solve(m, b.T).T
+    idx = np.argsort(np.diag(m))
+    for pa in (None, m.T[idx[:5]]):
+        s = FusedNonSymLinearEquations(
+            mv, np.diag(m), n, nrhs, m_max=17,
+            convergence_threshold=1e-10, max_iter=200, rr="device",
+            operand=jnp.asarray(m),
+            p_space=[{int(i): 1.0} for i in idx[:5]], p_actions=pa)
+        x, errs, it = s.solve(b)
+        assert np.max(errs) <= 1e-10, errs
+        rel = (np.linalg.norm(np.asarray(x, np.float64) - ref)
+               / np.linalg.norm(ref))
+        assert rel < 1e-9, rel
+    with pytest.raises(ValueError, match="device tier"):
+        FusedNonSymLinearEquations(mv, np.ones(16), 16, 2,
+                                   p_space=[{0: 1.0}], rr="host")
