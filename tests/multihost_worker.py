@@ -119,8 +119,35 @@ def main() -> None:
     int8_scale = max(float(np.max(np.abs(y_ref))), 1.0)
     assert int8_err <= 1e-4 * int8_scale, (int8_err, int8_scale)
 
+    # phase 4 (round 4): the single-dispatch device-RR non-hermitian
+    # solve across processes — batched shifted solves, chol-whitening,
+    # in-loop restarts and the gated global selection all riding the
+    # inter-process fabric; every process must see the identical
+    # replicated eigenvalues
+    from iterative_solver_tpu.solvers.fused_nonsym import FusedNonSymDavidson
+
+    mat_ns = np.asarray(mat, dtype=np.float64).copy()
+    mat_ns[np.tril_indices(mat_ns.shape[0], -1)] *= 0.9
+    ns_op = jax.device_put(jnp.asarray(mat_ns, jnp.float32),
+                           NamedSharding(mesh, P("data", None)))
+
+    def ns_matvec(v, op):
+        return jnp.matmul(v, op.T, precision=jax.lax.Precision.HIGHEST)
+
+    ns = FusedNonSymDavidson(
+        ns_matvec, np.diag(mat_ns), mat_ns.shape[0], 2, m_max=10,
+        sharding=NamedSharding(mesh, P(None, "data")), operand=ns_op,
+        convergence_threshold=5e-5, max_iter=60, rr="device",
+        dtype=jnp.float32)
+    v0ns = np.zeros((2, mat_ns.shape[0]))
+    for row, i in enumerate(np.argsort(np.diag(mat_ns))[:2]):
+        v0ns[row, i] = 1.0
+    evns, _xns, errns, _itns = ns.solve(v0ns)
+    assert np.all(errns <= 5e-5), errns
+    ns_ev0 = float(np.sort(np.asarray(evns).real)[0])
+
     print(f"RESULT {int(iters)} {err:.3e} {errors.max():.3e} {packed_err:.3e} "
-          f"{int8_err:.3e}",
+          f"{int8_err:.3e} {ns_ev0:.6e}",
           flush=True)
 
 
