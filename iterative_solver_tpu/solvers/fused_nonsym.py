@@ -40,7 +40,7 @@ would halve MXU rate and double HBM traffic for zero accuracy gain.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -48,6 +48,25 @@ import numpy as np
 
 Array = jax.Array
 _PREC = jax.lax.Precision.HIGHEST
+
+
+class NonSymDeviceState(NamedTuple):
+    """Checkpointable state of the device-RR loop between chunks — enough
+    to re-dispatch ``run_cont`` (x/errs/restarts are recomputed fresh each
+    chunk). Serialises through utils.checkpoint.save_fused_state /
+    load_named_state like the symmetric DavidsonState."""
+
+    v: Array
+    w: Array
+    mask: Array
+    k: Array
+    h: Array
+    C: Array
+    best_err: Array
+    bx: Array
+    bG: Array
+    bR: Array
+    it: Array
 
 
 def ritz_nonsym(h: np.ndarray, nroots: int):
@@ -876,15 +895,24 @@ class FusedNonSymDavidson:
             x = jax.device_put(x, adapt_sharding(self.sharding, 2))
         return x
 
-    def solve(self, v0):
+    def solve(self, v0, checkpoint_path: Optional[str] = None,
+              checkpoint_every: int = 1):
         """Returns ``(evals_complex, x real-form rows, errors, iterations)``.
+
+        ``checkpoint_path`` (device tier only) persists a resumable
+        NonSymDeviceState every ``checkpoint_every`` chunks; continue an
+        interrupted solve with :meth:`resume`.
 
         Normally all three lead arrays have ``nroots`` entries; if a
         conjugate pair straddles the window boundary at convergence the
         returned set shrinks by one instead of splitting the pair (the
         reference never tracks half a pair either)."""
         if self.rr == "device":
-            return self._solve_device_rr(v0)
+            return self._solve_device_rr(v0, checkpoint_path,
+                                         checkpoint_every)
+        if checkpoint_path is not None:
+            raise ValueError("mid-solve checkpointing is a device-tier "
+                             "feature — pass rr='device'")
         v, w, mask, k, h = self._reset(self._put_block(v0), self.operand)
         self.matvecs += self.nroots
         evals = np.zeros((self.nroots,), dtype=np.complex128)
@@ -981,7 +1009,8 @@ class FusedNonSymDavidson:
         check_finite(errors, "FusedNonSymDavidson")
         return evals[:r_eff], x_out[:r_eff], errors, self.iterations
 
-    def _solve_device_rr(self, v0):
+    def _solve_device_rr(self, v0, checkpoint_path=None,
+                         checkpoint_every: int = 1):
         """Single-dispatch path (rr="device"): chunks of ``chunk_iters``
         whole Davidson iterations per round-trip through
         ``make_nonsym_device_loop``; between chunks the host fetches ONLY
@@ -990,13 +1019,8 @@ class FusedNonSymDavidson:
         diagonalised ONCE by host LAPACK (ritz_nonsym) to recover complex
         pairs and rotate the real invariant-subspace rows into pair form.
         """
-        r, m_max = self.nroots, self.m_max
-        if self._device_loop is None:
-            self._device_loop = make_nonsym_device_loop(
-                self.matvec, r, m_max, self._null_thresh, self.rr_steps,
-                n_p=self.n_p,
-                p_actions=self.p_action_rows is not None)
-        run_init, run_cont = self._device_loop
+        r = self.nroots
+        run_init, _ = self._loops()
         tol = jnp.asarray(self.tol, self.dtype)
         it_end = min(self.chunk_iters, self.max_iter)
         # ONE dispatch carries init + the whole loop (usually the entire
@@ -1015,8 +1039,49 @@ class FusedNonSymDavidson:
             state = run_init(self._put_block(v0), self.operand, self.diag,
                              tol, jnp.asarray(it_end, jnp.int32))
         self.matvecs += r
-        it_host = 0
+        return self._drive_device_chunks(state, 0, checkpoint_path,
+                                         checkpoint_every)
+
+    def _loops(self):
+        if self._device_loop is None:
+            self._device_loop = make_nonsym_device_loop(
+                self.matvec, self.nroots, self.m_max, self._null_thresh,
+                self.rr_steps, n_p=self.n_p,
+                p_actions=self.p_action_rows is not None)
+        return self._device_loop
+
+    def resume(self, checkpoint_path: str):
+        """Continue an interrupted device-tier solve from a checkpoint
+        written by ``solve(..., checkpoint_path=...)``."""
+        from ..utils.checkpoint import load_named_state
+
+        if self.sharding is not None:
+            from ..array.vector_ops import adapt_sharding
+
+            shard = adapt_sharding(self.sharding, 2)
+        else:
+            shard = None
+        st, meta = load_named_state(
+            checkpoint_path, NonSymDeviceState, sharding=shard,
+            dtype=self.dtype, shard_fields=("v", "w", "bx"))
+        _, run_cont = self._loops()
+        it_host = int(meta.get("iterations", int(np.asarray(st.it))))
+        tol = jnp.asarray(self.tol, self.dtype)
+        it_end = min(it_host + self.chunk_iters, self.max_iter)
+        state = run_cont(
+            st.v, st.w, st.mask, jnp.asarray(np.asarray(st.k), jnp.int32),
+            st.h, st.C, self.operand, self.diag, tol,
+            jnp.asarray(it_host, jnp.int32), jnp.asarray(it_end, jnp.int32),
+            st.best_err, st.bx, st.bG, st.bR)
+        return self._drive_device_chunks(state, it_host, None, 1)
+
+    def _drive_device_chunks(self, state, it_host, checkpoint_path,
+                             checkpoint_every):
+        r = self.nroots
+        _, run_cont = self._loops()
+        tol = jnp.asarray(self.tol, self.dtype)
         spikes = 0
+        chunks_done = 0
         bG_h = None
         while True:
             (v, w, mask, k, h, C, _x, errs_dev, it_dev,
@@ -1030,6 +1095,17 @@ class FusedNonSymDavidson:
             self.iterations = it_host
             self.matvecs += n_iters * r + int(rs_h) * r
             errors = np.asarray(errs_h, dtype=np.float64)
+            chunks_done += 1
+            if checkpoint_path is not None and (
+                    chunks_done % max(1, checkpoint_every) == 0):
+                from ..utils.checkpoint import save_fused_state
+
+                save_fused_state(
+                    NonSymDeviceState(v, w, mask, k, h, C, best_err, bx,
+                                      bG, bR, jnp.asarray(it_host,
+                                                          jnp.int32)),
+                    checkpoint_path, iterations=it_host,
+                    matvecs=self.matvecs, tol=float(self.tol))
             if np.all(errors <= self.tol) or it_host >= self.max_iter:
                 break
             # contamination guard across chunks (same persistence rule as

