@@ -845,6 +845,10 @@ class FusedNonSymDavidson:
         self._reset = make_nonsym_reset(matvec, nroots, self.m_max)
         self.iterations = 0
         self.matvecs = 0
+        # (iteration, max_residual) pairs — per eig cycle in host mode,
+        # per chunk in device mode (the while_loop exposes no finer
+        # granularity without extra carry)
+        self.history = []
 
     @classmethod
     def from_dense(cls, matrix, nroots: int, tier: str = "precise", **kwargs):
@@ -915,6 +919,7 @@ class FusedNonSymDavidson:
                              "feature — pass rr='device'")
         v, w, mask, k, h = self._reset(self._put_block(v0), self.operand)
         self.matvecs += self.nroots
+        self.history = []
         evals = np.zeros((self.nroots,), dtype=np.complex128)
         x_out = None
         r_eff = self.nroots
@@ -944,6 +949,7 @@ class FusedNonSymDavidson:
             else:
                 h_host, mask_host, errs_h = jax.device_get((h, mask, errs_dev))
                 errors = np.asarray(errs_h, dtype=np.float64)[:r_eff]
+                self.history.append((self.iterations, float(errors.max())))
                 if best is None or errors.max() < best[0]:
                     best = (errors.max(), evals, x_out, errors, r_eff)
                 if np.all(errors <= self.tol):
@@ -1082,6 +1088,7 @@ class FusedNonSymDavidson:
         tol = jnp.asarray(self.tol, self.dtype)
         spikes = 0
         chunks_done = 0
+        self.history = []
         bG_h = None
         while True:
             (v, w, mask, k, h, C, _x, errs_dev, it_dev,
@@ -1095,6 +1102,7 @@ class FusedNonSymDavidson:
             self.iterations = it_host
             self.matvecs += n_iters * r + int(rs_h) * r
             errors = np.asarray(errs_h, dtype=np.float64)
+            self.history.append((it_host, float(errors.max())))
             chunks_done += 1
             if checkpoint_path is not None and (
                     chunks_done % max(1, checkpoint_every) == 0):

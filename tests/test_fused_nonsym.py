@@ -718,3 +718,24 @@ def test_device_rr_finds_interior_root_hf():
     assert np.max(np.abs(np.sort(np.asarray(ev).real)
                          - ref[: len(ev)])) < 1e-5, (
         "device-RR landed on a wrong root", np.sort(np.asarray(ev).real), ref)
+
+
+def test_convergence_history_recorded():
+    """self.history carries (iteration, max_residual) pairs — per eig
+    cycle in host mode, per chunk in device mode — monotone-ish descent
+    ending at/below tol."""
+    m = gapped_nonsym(300, strength=0.15, seed=1)
+    v0 = guess(m, 3)
+    for mode, ci in (("host", 64), ("device", 3)):
+        s = FusedNonSymDavidson(
+            dense_matvec, np.diag(m), 300, 3, m_max=12,
+            convergence_threshold=1e-9, max_iter=100, rr=mode,
+            chunk_iters=ci, operand=jnp.asarray(m))
+        ev, x, errs, it = s.solve(v0)
+        hs = s.history
+        assert len(hs) >= 2, (mode, hs)
+        assert hs[-1][1] <= 1e-9, (mode, hs[-1])
+        assert hs[0][1] > hs[-1][1], (mode, hs)
+        # second solve resets the record
+        s.solve(v0)
+        assert s.history[-1][1] <= 1e-9
