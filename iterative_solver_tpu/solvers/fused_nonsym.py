@@ -69,6 +69,21 @@ class NonSymDeviceState(NamedTuple):
     it: Array
 
 
+class LineqDeviceState(NamedTuple):
+    """Checkpointable between-chunks state of the lineq device loop."""
+
+    v: Array
+    w: Array
+    mask: Array
+    k: Array
+    h: Array
+    beta: Array
+    best_err: Array
+    bx: Array
+    berrs: Array
+    it: Array
+
+
 def ritz_nonsym(h: np.ndarray, nroots: int):
     """Host-side small-matrix stage: right eigenpairs of the projected
     matrix, ascending by real part, complex-conjugate pairs converted to
@@ -1587,8 +1602,13 @@ class FusedNonSymLinearEquations:
             x = jax.device_put(x, adapt_sharding(self.sharding, 2))
         return x
 
-    def solve(self, b, x0=None):
-        """Returns ``(x (nrhs, N), errors (nrhs,), iterations)``."""
+    def solve(self, b, x0=None, checkpoint_path: Optional[str] = None,
+              checkpoint_every: int = 1):
+        """Returns ``(x (nrhs, N), errors (nrhs,), iterations)``.
+
+        ``checkpoint_path`` (device tier only) persists a resumable
+        LineqDeviceState every ``checkpoint_every`` chunks; continue an
+        interrupted solve with :meth:`resume` (pass the SAME ``b``)."""
         b_host = np.atleast_2d(np.asarray(b))  # ONE fetch if b is on device
         b_dev = self._put_block(b_host)
         b_norm_host = np.linalg.norm(b_host, axis=1)
@@ -1601,7 +1621,11 @@ class FusedNonSymLinearEquations:
             d2 = d if d.ndim == 2 else d[None, :]
             x0 = b_host / np.where(np.abs(d2) > 1e-12, d2, 1.0)
         if self.rr == "device":
-            return self._solve_device(x0, b_dev, b_norm)
+            return self._solve_device(x0, b_dev, b_norm, checkpoint_path,
+                                      checkpoint_every)
+        if checkpoint_path is not None:
+            raise ValueError("mid-solve checkpointing is a device-tier "
+                             "feature — pass rr='device'")
         v, w, mask, k, h, beta = self._reset(self._put_block(x0),
                                              self.operand, b_dev)
         self.matvecs += self.nrhs
@@ -1667,7 +1691,44 @@ class FusedNonSymLinearEquations:
         check_finite(errors, "FusedNonSymLinearEquations")
         return x_out, errors, self.iterations
 
-    def _solve_device(self, x0, b_dev, b_norm):
+    def resume(self, checkpoint_path: str, b):
+        """Continue an interrupted device-tier solve; ``b`` must be the
+        same RHS block the original solve used."""
+        from ..utils.checkpoint import load_named_state
+
+        b_host = np.atleast_2d(np.asarray(b))
+        b_dev = self._put_block(b_host)
+        b_norm_host = np.linalg.norm(b_host, axis=1)
+        b_norm = jnp.asarray(np.where(b_norm_host > 0, b_norm_host, 1.0),
+                             self.dtype)
+        if self.sharding is not None:
+            from ..array.vector_ops import adapt_sharding
+
+            shard = adapt_sharding(self.sharding, 2)
+        else:
+            shard = None
+        st, meta = load_named_state(
+            checkpoint_path, LineqDeviceState, sharding=shard,
+            dtype=self.dtype, shard_fields=("v", "w", "bx"))
+        if self._device_loop is None:
+            self._device_loop = make_nonsym_lineq_device_loop(
+                self.matvec, self.nrhs, self.m_max, self._null_thresh,
+                self.refine_passes, n_p=self.n_p,
+                p_actions=self.p_action_rows is not None)
+        _, run_cont = self._device_loop
+        it_host = int(meta.get("iterations", int(np.asarray(st.it))))
+        tol = jnp.asarray(self.tol, self.dtype)
+        it_end = min(it_host + self.chunk_iters, self.max_iter)
+        state = run_cont(
+            st.v, st.w, st.mask, jnp.asarray(np.asarray(st.k), jnp.int32),
+            st.h, st.beta, self.operand, self.diag, b_dev, b_norm, tol,
+            jnp.asarray(it_host, jnp.int32), jnp.asarray(it_end, jnp.int32),
+            st.best_err, st.bx, st.berrs)
+        return self._drive_lineq_chunks(state, it_host, b_dev, b_norm,
+                                        None, 1)
+
+    def _solve_device(self, x0, b_dev, b_norm, checkpoint_path=None,
+                      checkpoint_every: int = 1):
         """Single-dispatch path (rr="device"): the whole Petrov-Galerkin
         loop in one while_loop via make_nonsym_lineq_device_loop — no host
         stage at all; between chunks (and at the end) the host fetches
@@ -1697,8 +1758,16 @@ class FusedNonSymLinearEquations:
                              b_dev, b_norm, tol,
                              jnp.asarray(it_end, jnp.int32))
         self.matvecs += nrhs
-        it_host = 0
+        return self._drive_lineq_chunks(state, 0, b_dev, b_norm,
+                                        checkpoint_path, checkpoint_every)
+
+    def _drive_lineq_chunks(self, state, it_host, b_dev, b_norm,
+                            checkpoint_path, checkpoint_every):
+        nrhs = self.nrhs
+        _, run_cont = self._device_loop
+        tol = jnp.asarray(self.tol, self.dtype)
         spikes = 0
+        chunks_done = 0
         berrs_h = None
         while True:
             (v, w, mask, k, h, beta, _x, errs_dev, it_dev,
@@ -1710,6 +1779,16 @@ class FusedNonSymLinearEquations:
             self.iterations = it_host
             self.matvecs += n_iters * nrhs + int(rs_h) * nrhs
             errors = np.asarray(errs_h, dtype=np.float64)
+            chunks_done += 1
+            if checkpoint_path is not None and (
+                    chunks_done % max(1, checkpoint_every) == 0):
+                from ..utils.checkpoint import save_fused_state
+
+                save_fused_state(
+                    LineqDeviceState(v, w, mask, k, h, beta, best_err, bx,
+                                     berrs, jnp.asarray(it_host, jnp.int32)),
+                    checkpoint_path, iterations=it_host,
+                    matvecs=self.matvecs, tol=float(self.tol))
             if np.all(errors <= self.tol) or it_host >= self.max_iter:
                 break
             if errors.max() > 10.0 * float(be_h):

@@ -356,3 +356,39 @@ class TestNonSymDeviceCheckpoint:
         with pytest.raises(ValueError, match="device-tier"):
             s.solve(np.zeros((2, 16)),
                     checkpoint_path=str(tmp_path / "x.npz"))
+
+
+def test_nonsym_lineq_device_checkpoint_resume(tmp_path):
+    """Lineq device-tier twin of the eigen checkpoint: interrupted solve
+    resumes from LineqDeviceState (same RHS) and reaches the dense
+    answer."""
+    import jax
+
+    from iterative_solver_tpu.solvers.fused_nonsym import (
+        FusedNonSymLinearEquations,
+    )
+
+    def mv(x, op):
+        return jnp.matmul(x, op.T, precision=jax.lax.Precision.HIGHEST)
+
+    rng = np.random.default_rng(0)
+    n, nrhs = 350, 2
+    a = rng.standard_normal((n, n)) * (0.05 / np.sqrt(n))
+    m = a + a.T + np.diag(np.linspace(1.0, 15.0, n))
+    m[np.tril_indices(n, -1)] *= 0.8
+    b = rng.standard_normal((nrhs, n))
+    ref = np.linalg.solve(m, b.T).T
+    path = str(tmp_path / "lq_ck.h5")
+    s1 = FusedNonSymLinearEquations(
+        mv, np.diag(m), n, nrhs, m_max=12, convergence_threshold=1e-11,
+        max_iter=3, chunk_iters=2, rr="device", operand=jnp.asarray(m))
+    x1, e1, it1 = s1.solve(b, checkpoint_path=path)
+    assert e1.max() > 1e-11
+    s2 = FusedNonSymLinearEquations(
+        mv, np.diag(m), n, nrhs, m_max=12, convergence_threshold=1e-11,
+        max_iter=200, rr="device", operand=jnp.asarray(m))
+    x2, e2, it2 = s2.resume(path, b)
+    assert e2.max() <= 1e-11, e2
+    rel = (np.linalg.norm(np.asarray(x2, np.float64) - ref)
+           / np.linalg.norm(ref))
+    assert rel < 1e-9, rel
