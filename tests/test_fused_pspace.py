@@ -346,8 +346,9 @@ class TestNonSymPSpace:
     slots participate in the device-RR projected solves automatically (C
     spans every masked slot); the collapse preserves exact Ritz
     coordinates (a P-only restart window limit-cycles at ~1e-5).
-    Reference: the one Davidson template carries P at hermiticity=false
-    too (IterativeSolverTemplate.h:353-376)."""
+    This EXCEEDS the reference, which throws 'P space can only be used
+    with hermitian kernels' (XSpace.h:193-194) — the parity tier
+    faithfully reproduces that refusal; the device tier lifts it."""
 
     def _hf_nonsym(self):
         import os
@@ -503,3 +504,21 @@ def test_nonsym_lineq_p_space():
     with pytest.raises(ValueError, match="device tier"):
         FusedNonSymLinearEquations(mv, np.ones(16), 16, 2,
                                    p_space=[{0: 1.0}], rr="host")
+
+
+def test_parity_tier_reproduces_reference_hermitian_only_p_refusal():
+    """The reference throws 'P space can only be used with hermitian
+    kernels' (XSpace.h:193-194); the parity tier reproduces it, and the
+    fused device tier is documented as LIFTING the restriction."""
+    import iterative_solver_tpu as its
+
+    n = 32
+    m = np.ones((n, n))
+    np.fill_diagonal(m, np.arange(n, dtype=np.float64))
+    problem = its.models.MatrixProblem(m)
+    solver = its.create_linear_eigensystem(n, 2, "Davidson", "max_p=6")
+    solver.set_hermiticity(False)
+    solver.verbosity = its.Verbosity.NONE
+    with pytest.raises(RuntimeError, match="hermitian kernels"):
+        solver.solve(np.zeros((2, n)), problem=problem,
+                     generate_initial_guess=True, max_iter=10)
