@@ -739,3 +739,28 @@ def test_convergence_history_recorded():
         # second solve resets the record
         s.solve(v0)
         assert s.history[-1][1] <= 1e-9
+
+
+def test_device_rr_soak_1500_iterations_past_the_floor():
+    """Soak: 1500 device-RR iterations at an unreachable tolerance in f32
+    (restart-heavy m_max). Everything must stay finite, the live basis
+    orthonormal, and the best-snapshot answer correct — the
+    non-variational floor-noise mode must not corrupt the return."""
+    n, nroots, m_max = 96, 3, 12
+    rng = np.random.default_rng(11)
+    a = rng.standard_normal((n, n)) * (0.1 / np.sqrt(n))
+    mat = a + a.T + np.diag(np.linspace(0.0, 12.0, n))
+    mat[np.tril_indices(n, -1)] *= 0.9
+    solver = FusedNonSymDavidson(
+        dense_matvec, np.diag(mat), n, nroots, m_max=m_max,
+        dtype=jnp.float32, convergence_threshold=1e-14,  # unreachable
+        max_iter=1500, chunk_iters=500, rr="device",
+        operand=jnp.asarray(mat, jnp.float32))
+    evals, x, errs, it = solver.solve(guess(mat, nroots))
+    assert np.all(np.isfinite(errs))
+    assert np.all(np.isfinite(np.asarray(x, np.float64)))
+    # best snapshot stays floor-class, never the contaminated state
+    assert errs.max() < 1e-3, errs
+    ref = dense_lowest(mat, nroots)
+    np.testing.assert_allclose(np.sort(np.asarray(evals).real),
+                               np.sort(ref.real)[: len(evals)], atol=1e-3)
