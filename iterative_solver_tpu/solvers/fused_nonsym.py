@@ -310,6 +310,49 @@ def _rotate_x(bx, coeff):
     return jnp.matmul(coeff, bx, precision=_PREC)
 
 
+def _check_live_p_guess(p_dense, v0, r, n_p, what):
+    """A C row seeded on a dead slot stays identically zero forever — its
+    residual row reads 0 and a FABRICATED eigenvalue 0.0 displaces a true
+    root (reproduced at n_p=1, r=2 with both guesses inside span(P)). P
+    slots are always live, so the danger is only n_p < r with guesses
+    swallowed by the P span; check on the HOST with the same GS the
+    device init applies and refuse loudly."""
+    if n_p >= r:
+        return
+    pd = np.asarray(p_dense, dtype=np.float64)
+    q, _ = np.linalg.qr(pd.T)
+    pw = q.T[:n_p]
+    v = np.asarray(v0, dtype=np.float64)
+    for _ in range(2):
+        v = v - (v @ pw.T) @ pw
+    norms2 = np.einsum("in,in->i", v, v)
+    live = int(np.sum(norms2 > 1e-12 * max(float(norms2.max()), 1e-300)))
+    if n_p + live < r:
+        raise ValueError(
+            f"{what}: only {n_p} P rows + {live} guess rows outside the P "
+            f"span for {r} requested roots/RHS — provide initial guesses "
+            "with components outside span(P) (a dead tracking row would "
+            "return a fabricated zero eigenvalue)")
+
+
+def _whiten_p(p, wp, use_actions, matvec, operand, n_p):
+    """Shared P-block whitening for both nonsym device tiers: Cholesky of
+    the P Gram with a dtype-aware jitter (a 1e-30 constant is a no-op in
+    f32 — nearly-dependent P vectors would NaN the Cholesky and surface
+    as an opaque FloatingPointError instead of this message)."""
+    from ..array.vector_ops import chol_jitter
+
+    gp = jnp.matmul(p, p.T, precision=_PREC)
+    gp = gp + chol_jitter(gp.dtype) * jnp.eye(n_p, dtype=gp.dtype)
+    lp = jnp.linalg.cholesky(gp)
+    pv = jax.scipy.linalg.solve_triangular(lp, p, lower=True)
+    if use_actions:
+        pw = jax.scipy.linalg.solve_triangular(lp, wp, lower=True)
+    else:
+        pw = matvec(pv, operand)
+    return pv, pw
+
+
 def _live_one_hot(mask, r):
     """(r, m_max) one-hot rows over the FIRST r live slots: a guess row
     fully inside the P span dies in the GS (fused_davidson.init_p
@@ -596,13 +639,7 @@ def make_nonsym_device_loop(matvec: Callable, r: int, m_max: int,
         against it, then the whole loop. The device-RR refinement needs
         NO further P logic: C spans every masked slot, so the P rows
         participate in the projected solves exactly."""
-        gp = jnp.matmul(p, p.T, precision=_PREC)
-        lp = jnp.linalg.cholesky(gp + 1e-30 * jnp.eye(n_p, dtype=gp.dtype))
-        pv = jax.scipy.linalg.solve_triangular(lp, p, lower=True)
-        if p_actions:
-            pw = jax.scipy.linalg.solve_triangular(lp, wp, lower=True)
-        else:
-            pw = matvec(pv, operand)
+        pv, pw = _whiten_p(p, wp, p_actions, matvec, operand, n_p)
         v, w, mask, h, _t = _reset_core_p(matvec, r, m_max, x0, operand,
                                           pv, pw)
         k = jnp.asarray(n_p + r, jnp.int32)
@@ -1047,6 +1084,8 @@ class FusedNonSymDavidson:
         # ONE dispatch carries init + the whole loop (usually the entire
         # solve: chunk_iters >= typical iteration counts)
         if self.n_p:
+            _check_live_p_guess(self.p_dense, v0, r, self.n_p,
+                                "FusedNonSymDavidson")
             p_dev = self._put_block(self.p_dense)
             wp_dev = (self._put_block(self.p_action_rows)
                       if self.p_action_rows is not None
@@ -1071,9 +1110,13 @@ class FusedNonSymDavidson:
                 p_actions=self.p_action_rows is not None)
         return self._device_loop
 
-    def resume(self, checkpoint_path: str):
+    def resume(self, checkpoint_path: str, keep_checkpointing: bool = True,
+               checkpoint_every: int = 1):
         """Continue an interrupted device-tier solve from a checkpoint
-        written by ``solve(..., checkpoint_path=...)``."""
+        written by ``solve(..., checkpoint_path=...)``. By default the
+        resumed run KEEPS writing to the same path (a second interruption
+        must not lose post-resume progress); the saved matvec count is
+        restored so statistics stay honest."""
         from ..utils.checkpoint import load_named_state
 
         if self.sharding is not None:
@@ -1085,6 +1128,19 @@ class FusedNonSymDavidson:
         st, meta = load_named_state(
             checkpoint_path, NonSymDeviceState, sharding=shard,
             dtype=self.dtype, shard_fields=("v", "w", "bx"))
+        # loud config validation: a checkpoint from a different capacity/
+        # problem shape would otherwise die in an opaque jit shape error —
+        # or worse, silently solve the wrong system
+        if tuple(st.v.shape) != (self.m_max, self.n):
+            raise ValueError(
+                f"checkpoint stacks are {tuple(st.v.shape)} but this solver "
+                f"is configured (m_max={self.m_max}, n={self.n}) — resume "
+                "with the same capacity and dimension")
+        if st.C.shape[0] != self.nroots:
+            raise ValueError(
+                f"checkpoint tracks {st.C.shape[0]} roots, solver wants "
+                f"{self.nroots}")
+        self.matvecs = int(meta.get("matvecs", self.matvecs))
         _, run_cont = self._loops()
         it_host = int(meta.get("iterations", int(np.asarray(st.it))))
         tol = jnp.asarray(self.tol, self.dtype)
@@ -1094,7 +1150,10 @@ class FusedNonSymDavidson:
             st.h, st.C, self.operand, self.diag, tol,
             jnp.asarray(it_host, jnp.int32), jnp.asarray(it_end, jnp.int32),
             st.best_err, st.bx, st.bG, st.bR)
-        return self._drive_device_chunks(state, it_host, None, 1)
+        return self._drive_device_chunks(
+            state, it_host,
+            checkpoint_path if keep_checkpointing else None,
+            checkpoint_every)
 
     def _drive_device_chunks(self, state, it_host, checkpoint_path,
                              checkpoint_every):
@@ -1320,13 +1379,7 @@ def make_nonsym_lineq_device_loop(matvec: Callable, nrhs: int, m_max: int,
         user action rows map through the same linear whitening), GS the
         guess block against it; the in-loop projected solve spans every
         masked slot so P needs no further logic."""
-        gp = jnp.matmul(p, p.T, precision=_PREC)
-        lp = jnp.linalg.cholesky(gp + 1e-30 * jnp.eye(n_p, dtype=gp.dtype))
-        pv = jax.scipy.linalg.solve_triangular(lp, p, lower=True)
-        if p_actions:
-            pw = jax.scipy.linalg.solve_triangular(lp, wp, lower=True)
-        else:
-            pw = matvec(pv, operand)
+        pv, pw = _whiten_p(p, wp, p_actions, matvec, operand, n_p)
         v, w, mask, h, _t = _reset_core_p(matvec, nrhs, m_max, x0, operand,
                                           pv, pw)
         k = jnp.asarray(n_p + nrhs, jnp.int32)
@@ -1609,11 +1662,8 @@ class FusedNonSymLinearEquations:
         ``checkpoint_path`` (device tier only) persists a resumable
         LineqDeviceState every ``checkpoint_every`` chunks; continue an
         interrupted solve with :meth:`resume` (pass the SAME ``b``)."""
-        b_host = np.atleast_2d(np.asarray(b))  # ONE fetch if b is on device
-        b_dev = self._put_block(b_host)
-        b_norm_host = np.linalg.norm(b_host, axis=1)
-        b_norm = jnp.asarray(np.where(b_norm_host > 0, b_norm_host, 1.0),
-                             self.dtype)
+        # ONE fetch if b is on device
+        b_host, b_dev, b_norm = self._prep_b(b)
         if x0 is None:
             d = np.asarray(self.diag, dtype=np.float64)
             # diag may be (N,) shared or (nrhs, N) per-RHS shifted; both
@@ -1691,16 +1741,30 @@ class FusedNonSymLinearEquations:
         check_finite(errors, "FusedNonSymLinearEquations")
         return x_out, errors, self.iterations
 
-    def resume(self, checkpoint_path: str, b):
-        """Continue an interrupted device-tier solve; ``b`` must be the
-        same RHS block the original solve used."""
-        from ..utils.checkpoint import load_named_state
+    def _loops(self):
+        if self._device_loop is None:
+            self._device_loop = make_nonsym_lineq_device_loop(
+                self.matvec, self.nrhs, self.m_max, self._null_thresh,
+                self.refine_passes, n_p=self.n_p,
+                p_actions=self.p_action_rows is not None)
+        return self._device_loop
 
+    def _prep_b(self, b):
         b_host = np.atleast_2d(np.asarray(b))
         b_dev = self._put_block(b_host)
         b_norm_host = np.linalg.norm(b_host, axis=1)
         b_norm = jnp.asarray(np.where(b_norm_host > 0, b_norm_host, 1.0),
                              self.dtype)
+        return b_host, b_dev, b_norm
+
+    def resume(self, checkpoint_path: str, b, keep_checkpointing: bool = True,
+               checkpoint_every: int = 1):
+        """Continue an interrupted device-tier solve; ``b`` must be the
+        same RHS block the original solve used. Keeps writing checkpoints
+        to the same path by default; restores the matvec count."""
+        from ..utils.checkpoint import load_named_state
+
+        _b_host, b_dev, b_norm = self._prep_b(b)
         if self.sharding is not None:
             from ..array.vector_ops import adapt_sharding
 
@@ -1710,12 +1774,17 @@ class FusedNonSymLinearEquations:
         st, meta = load_named_state(
             checkpoint_path, LineqDeviceState, sharding=shard,
             dtype=self.dtype, shard_fields=("v", "w", "bx"))
-        if self._device_loop is None:
-            self._device_loop = make_nonsym_lineq_device_loop(
-                self.matvec, self.nrhs, self.m_max, self._null_thresh,
-                self.refine_passes, n_p=self.n_p,
-                p_actions=self.p_action_rows is not None)
-        _, run_cont = self._device_loop
+        if tuple(st.v.shape) != (self.m_max, self.n):
+            raise ValueError(
+                f"checkpoint stacks are {tuple(st.v.shape)} but this solver "
+                f"is configured (m_max={self.m_max}, n={self.n}) — resume "
+                "with the same capacity and dimension")
+        if st.bx.shape[0] != self.nrhs:
+            raise ValueError(
+                f"checkpoint tracks {st.bx.shape[0]} RHS, solver wants "
+                f"{self.nrhs}")
+        self.matvecs = int(meta.get("matvecs", self.matvecs))
+        _, run_cont = self._loops()
         it_host = int(meta.get("iterations", int(np.asarray(st.it))))
         tol = jnp.asarray(self.tol, self.dtype)
         it_end = min(it_host + self.chunk_iters, self.max_iter)
@@ -1724,8 +1793,10 @@ class FusedNonSymLinearEquations:
             st.h, st.beta, self.operand, self.diag, b_dev, b_norm, tol,
             jnp.asarray(it_host, jnp.int32), jnp.asarray(it_end, jnp.int32),
             st.best_err, st.bx, st.berrs)
-        return self._drive_lineq_chunks(state, it_host, b_dev, b_norm,
-                                        None, 1)
+        return self._drive_lineq_chunks(
+            state, it_host, b_dev, b_norm,
+            checkpoint_path if keep_checkpointing else None,
+            checkpoint_every)
 
     def _solve_device(self, x0, b_dev, b_norm, checkpoint_path=None,
                       checkpoint_every: int = 1):
@@ -1735,15 +1806,12 @@ class FusedNonSymLinearEquations:
         only small scalars/vectors. Returns the best-snapshot solution as
         a fetch-free device array."""
         nrhs = self.nrhs
-        if self._device_loop is None:
-            self._device_loop = make_nonsym_lineq_device_loop(
-                self.matvec, nrhs, self.m_max, self._null_thresh,
-                self.refine_passes, n_p=self.n_p,
-                p_actions=self.p_action_rows is not None)
-        run_init, run_cont = self._device_loop
+        run_init, run_cont = self._loops()
         tol = jnp.asarray(self.tol, self.dtype)
         it_end = min(self.chunk_iters, self.max_iter)
         if self.n_p:
+            _check_live_p_guess(self.p_dense, x0, self.nrhs, self.n_p,
+                                "FusedNonSymLinearEquations")
             p_dev = self._put_block(self.p_dense)
             wp_dev = (self._put_block(self.p_action_rows)
                       if self.p_action_rows is not None
@@ -1764,7 +1832,7 @@ class FusedNonSymLinearEquations:
     def _drive_lineq_chunks(self, state, it_host, b_dev, b_norm,
                             checkpoint_path, checkpoint_every):
         nrhs = self.nrhs
-        _, run_cont = self._device_loop
+        _, run_cont = self._loops()
         tol = jnp.asarray(self.tol, self.dtype)
         spikes = 0
         chunks_done = 0

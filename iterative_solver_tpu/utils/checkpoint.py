@@ -302,39 +302,15 @@ def load_named_state(path: str, cls, sharding=None, dtype=None,
 
 
 def load_fused_state(path: str, sharding=None, dtype=None):
-    """Rebuild a DavidsonState (+ the saved metadata dict) from disk.
-
-    Integer fields stay int32; float fields follow ``dtype`` (default: the
-    stored precision). ``sharding`` re-shards the (m, N) stacks."""
-    import jax
-    import jax.numpy as jnp
-
+    """Rebuild a DavidsonState (+ the saved metadata dict) from disk —
+    the DavidsonState special case of ``load_named_state`` (integer
+    fields stay int32, float fields follow ``dtype``, ``sharding``
+    re-shards the (m, N) stacks; missing optional fields restore as
+    None)."""
     from ..solvers.fused_davidson import DavidsonState
 
-    if _is_hdf5_path(path):
-        import h5py
-
-        with h5py.File(path, "r") as f:
-            header = json.loads(f.attrs["meta"])
-            arrays = {k: np.asarray(f[f"state/{k}"]) for k in header["fields"]}
-    else:
-        if not path.endswith(".npz") and not os.path.exists(path):
-            # np.savez_compressed appends the suffix when missing; mirror that
-            path = path + ".npz"
-        with np.load(path, allow_pickle=False) as z:
-            header = json.loads(str(z["meta"]))
-            arrays = {k: z[k] for k in header["fields"]}
-
-    def restore(name, arr):
-        if np.issubdtype(arr.dtype, np.integer):
-            return jnp.asarray(arr)
-        out = jnp.asarray(arr, dtype=dtype) if dtype is not None else jnp.asarray(arr)
-        if sharding is not None and name in ("v", "w"):
-            out = jax.device_put(out, sharding)
-        return out
-
-    fields = {name: restore(name, arr) for name, arr in arrays.items()}
-    return DavidsonState(**fields), header["meta"]
+    return load_named_state(path, DavidsonState, sharding=sharding,
+                            dtype=dtype, shard_fields=("v", "w"))
 
 
 # ---------------------------------------------------------------------------

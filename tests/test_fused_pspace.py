@@ -522,3 +522,62 @@ def test_parity_tier_reproduces_reference_hermitian_only_p_refusal():
     with pytest.raises(RuntimeError, match="hermitian kernels"):
         solver.solve(np.zeros((2, n)), problem=problem,
                      generate_initial_guess=True, max_iter=10)
+
+
+def test_too_few_live_directions_raises_loudly():
+    """Review repro (round 4): n_p < nroots with every guess inside
+    span(P) left a permanently-dead tracking row that returned a
+    FABRICATED eigenvalue 0.0 with zero residual; the host-side live
+    pre-check now refuses loudly."""
+    from iterative_solver_tpu.solvers.fused_nonsym import (
+        FusedNonSymDavidson,
+        FusedNonSymLinearEquations,
+    )
+
+    n = 64
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((n, n)) * 0.02
+    m = a + a.T + np.diag(np.linspace(1.0, 8.0, n))
+    m[np.tril_indices(n, -1)] *= 0.9
+    p = np.zeros((1, n))
+    p[0, 0] = 1.0
+    v0 = np.vstack([p[0], p[0]])
+    s = FusedNonSymDavidson(
+        lambda x, op: jnp.matmul(x, op.T), np.diag(m), n, 2, m_max=10,
+        rr="device", operand=jnp.asarray(m), p_space=p)
+    with pytest.raises(ValueError, match="outside the P span"):
+        s.solve(v0)
+    sl = FusedNonSymLinearEquations(
+        lambda x, op: jnp.matmul(x, op.T), np.diag(m), n, 2, m_max=10,
+        rr="device", operand=jnp.asarray(m), p_space=p)
+    with pytest.raises(ValueError, match="outside the P span"):
+        sl.solve(np.ones((2, n)), x0=v0)
+
+
+def test_resume_validates_configuration(tmp_path):
+    """Resume with a mismatched capacity/root count must refuse loudly
+    (an opaque jit shape error — or a silently wrong system — otherwise)."""
+    import jax
+
+    from iterative_solver_tpu.solvers.fused_nonsym import FusedNonSymDavidson
+
+    def mv(x, op):
+        return jnp.matmul(x, op.T, precision=jax.lax.Precision.HIGHEST)
+
+    rng = np.random.default_rng(0)
+    n, r = 200, 2
+    a = rng.standard_normal((n, n)) * (0.05 / np.sqrt(n))
+    m = a + a.T + np.diag(np.linspace(1.0, 15.0, n))
+    m[np.tril_indices(n, -1)] *= 0.85
+    v0 = np.zeros((r, n))
+    for i, j in enumerate(np.argsort(np.diag(m))[:r]):
+        v0[i, j] = 1.0
+    path = str(tmp_path / "ck.npz")
+    s1 = FusedNonSymDavidson(mv, np.diag(m), n, r, m_max=12, rr="device",
+                             max_iter=2, chunk_iters=1,
+                             operand=jnp.asarray(m))
+    s1.solve(v0, checkpoint_path=path)
+    s_bad = FusedNonSymDavidson(mv, np.diag(m), n, r, m_max=14, rr="device",
+                                operand=jnp.asarray(m))
+    with pytest.raises(ValueError, match="m_max"):
+        s_bad.resume(path)
