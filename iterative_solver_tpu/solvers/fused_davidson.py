@@ -1042,10 +1042,38 @@ class FusedDavidson:
             int(iters_h),
         )
 
-    def run_fast(self, v0):
+    def run_fast(self, v0, checkpoint_path=None, checkpoint_every: int = 1):
         """Sweep-based driver: fills the basis to capacity in one dispatch per
         sweep, checking convergence only at restart boundaries. Same math as
-        ``run`` with far fewer host round-trips — the production TPU path."""
+        ``run`` with far fewer host round-trips — the production TPU path.
+
+        ``checkpoint_path`` persists the DavidsonState every
+        ``checkpoint_every`` sweeps; continue an interrupted run with
+        :meth:`resume_fast`."""
+        state = self.init_state(v0)
+        return self._drive_sweeps(state, checkpoint_path, checkpoint_every)
+
+    def resume_fast(self, checkpoint_path: str, keep_checkpointing=True,
+                    checkpoint_every: int = 1):
+        """Continue a run_fast interrupted after a checkpoint; restores the
+        iteration/matvec counters and (by default) keeps checkpointing to
+        the same path."""
+        from ..utils.checkpoint import load_fused_state
+
+        shard = self.sharding
+        state, meta = load_fused_state(checkpoint_path, sharding=shard,
+                                       dtype=self.dtype)
+        if tuple(state.v.shape) != (self.m_max, self.n):
+            raise ValueError(
+                f"checkpoint stacks are {tuple(state.v.shape)} but this "
+                f"solver is configured (m_max={self.m_max}, n={self.n})")
+        self.iterations = int(meta.get("iterations", self.iterations))
+        self.matvecs = int(meta.get("matvecs", self.matvecs))
+        return self._drive_sweeps(
+            state, checkpoint_path if keep_checkpointing else None,
+            checkpoint_every)
+
+    def _drive_sweeps(self, state, checkpoint_path, checkpoint_every):
         steps = max(1, (self.m_max - self.n_p - self.nroots) // self.nroots)
         if getattr(self, "_sweep_cache", None) is None:
             self._sweep_cache = make_davidson_sweep(
@@ -1053,13 +1081,21 @@ class FusedDavidson:
                 rr=self.rr, fuse_chain=self.fuse_chain, n_p=self.n_p,
             )
         sweep = self._sweep_cache
-        state = self.init_state(v0)
         max_sweeps = max(1, self.max_iter // steps + 1)
+        sweeps_done = 0
         for _ in range(max_sweeps):
             state = sweep(state, self.operand, self.diag)
             self.iterations += steps
             self.matvecs += steps * self.nroots * self.matvecs_per_direction
             errors = np.asarray(state.errors)
+            sweeps_done += 1
+            if checkpoint_path is not None and (
+                    sweeps_done % max(1, checkpoint_every) == 0):
+                from ..utils.checkpoint import save_fused_state
+
+                save_fused_state(state, checkpoint_path,
+                                 iterations=self.iterations,
+                                 matvecs=self.matvecs, tol=float(self.tol))
             if np.all(errors <= self.tol) or self.iterations >= self.max_iter:
                 break
             state = self.restart(state, self.operand)

@@ -392,3 +392,40 @@ def test_nonsym_lineq_device_checkpoint_resume(tmp_path):
     rel = (np.linalg.norm(np.asarray(x2, np.float64) - ref)
            / np.linalg.norm(ref))
     assert rel < 1e-9, rel
+
+
+def test_fused_davidson_run_fast_checkpoint_resume(tmp_path):
+    """run_fast(checkpoint_path=) persists the DavidsonState each sweep;
+    resume_fast continues with restored counters, and a configuration
+    mismatch refuses loudly."""
+    import jax
+
+    from iterative_solver_tpu.solvers.fused_davidson import FusedDavidson
+
+    def mv(x, op):
+        return jnp.matmul(x, op.T, precision=jax.lax.Precision.HIGHEST)
+
+    rng = np.random.default_rng(0)
+    n, r = 300, 3
+    a = rng.standard_normal((n, n)) * (0.05 / np.sqrt(n))
+    m = a + a.T + np.diag(np.linspace(1.0, 20.0, n))
+    ref = np.linalg.eigvalsh(m)[:r]
+    v0 = np.zeros((r, n))
+    for i, j in enumerate(np.argsort(np.diag(m))[:r]):
+        v0[i, j] = 1.0
+    path = str(tmp_path / "dav_ck.h5")
+    s1 = FusedDavidson(mv, np.diag(m), n, r, m_max=12,
+                       convergence_threshold=1e-10, max_iter=6,
+                       operand=jnp.asarray(m))
+    ev1, x1, e1, it1 = s1.run_fast(v0, checkpoint_path=path)
+    assert e1.max() > 1e-10
+    s2 = FusedDavidson(mv, np.diag(m), n, r, m_max=12,
+                       convergence_threshold=1e-10, max_iter=200,
+                       operand=jnp.asarray(m))
+    ev2, x2, e2, it2 = s2.resume_fast(path)
+    assert e2.max() <= 1e-10, e2
+    np.testing.assert_allclose(np.sort(ev2), ref, atol=1e-9)
+    s3 = FusedDavidson(mv, np.diag(m), n, r, m_max=15,
+                       operand=jnp.asarray(m))
+    with pytest.raises(ValueError, match="m_max"):
+        s3.resume_fast(path)
