@@ -287,3 +287,43 @@ def test_fuzz_device_lineq(seed):
     ref = np.linalg.solve(mat, b.T).T
     rel = np.linalg.norm(np.asarray(x) - ref) / np.linalg.norm(ref)
     assert rel <= 1e-8, (seed, rel)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_nonsym_pspace(seed):
+    """Random non-hermitian P-space configurations through the device-RR
+    tier: random np/nroots/strength, P from the lowest diagonal slots,
+    alternating device-computed and exact user action rows; eigenvalues
+    against scipy dense eig."""
+    import scipy.linalg
+
+    from iterative_solver_tpu.solvers.fused_nonsym import FusedNonSymDavidson
+
+    rng = np.random.default_rng(8000 + seed)
+    n = int(rng.integers(64, 200))
+    nroot = int(rng.integers(1, 4))
+    np_ = int(rng.integers(1, 7))
+    strength = float(rng.uniform(0.0, 0.3))
+    nlow = max(nroot + np_ + 2, n // 16)
+    diag = np.concatenate(
+        [np.linspace(-2.0, 0.0, nlow), np.linspace(2.0, 30.0, n - nlow)])
+    a = rng.standard_normal((n, n)) * (0.05 / np.sqrt(n))
+    mat = a + a.T + np.diag(diag)
+    mat[np.tril_indices(n, -1)] *= 1.0 - strength
+    idx = np.argsort(diag)
+    p_space = [{int(i): 1.0} for i in idx[:np_]]
+    p_actions = mat.T[idx[:np_]] if seed % 2 else None
+    solver = FusedNonSymDavidson.from_dense(
+        mat, nroot, convergence_threshold=1e-9, max_iter=300, rr="device",
+        m_max=int(rng.integers(3 * nroot + 2, 6 * nroot + 4)) + np_,
+        p_space=p_space, p_actions=p_actions)
+    # guesses DISJOINT from the P slots (live-direction guarantee)
+    v0 = np.zeros((nroot, n))
+    for row, i in enumerate(idx[np_:np_ + nroot]):
+        v0[row, i] = 1.0
+    evals, x, errs, it = solver.solve(v0)
+    assert np.all(errs <= 1e-8), (seed, errs, it)
+    w = scipy.linalg.eigvals(mat)
+    ref = np.sort(w.real)[: len(evals)]
+    np.testing.assert_allclose(np.sort(evals.real), ref, atol=1e-7,
+                               err_msg=f"seed {seed}")
