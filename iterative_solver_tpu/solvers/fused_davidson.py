@@ -1067,8 +1067,33 @@ class FusedDavidson:
             raise ValueError(
                 f"checkpoint stacks are {tuple(state.v.shape)} but this "
                 f"solver is configured (m_max={self.m_max}, n={self.n})")
+        # byte-identical shapes can still mean a DIFFERENT solver: an
+        # nroots mismatch dies in an obscure jit carry-type error, and an
+        # n_p mismatch would silently reinterpret frozen P slots as
+        # ordinary basis rows — validate the recorded configuration
+        for field, mine in (("nroots", self.nroots), ("n_p", self.n_p),
+                            ("rr", self.rr)):
+            if field in meta and meta[field] != mine:
+                raise ValueError(
+                    f"checkpoint was written with {field}={meta[field]!r} "
+                    f"but this solver has {field}={mine!r}")
         self.iterations = int(meta.get("iterations", self.iterations))
         self.matvecs = int(meta.get("matvecs", self.matvecs))
+        # checkpoints are saved POST-sweep, i.e. with the basis at
+        # capacity; run()'s own loop restarts before the next sweep, and
+        # sweeping without it makes the appends clamp onto live rows (the
+        # DUS silent-corruption mode — measured 4-8x worse residuals on
+        # the first resumed sweep). Also skip the sweep entirely when the
+        # checkpoint is already converged or out of budget.
+        errors = np.asarray(state.errors)
+        if np.all(errors <= self.tol) or self.iterations >= self.max_iter:
+            from ._finite import check_finite
+
+            check_finite(errors, "FusedDavidson")
+            return (np.asarray(state.evals), state.x, errors,
+                    self.iterations)
+        if int(np.asarray(state.k)) + self.nroots > self.m_max:
+            state = self.restart(state, self.operand)
         return self._drive_sweeps(
             state, checkpoint_path if keep_checkpointing else None,
             checkpoint_every)
@@ -1095,7 +1120,9 @@ class FusedDavidson:
 
                 save_fused_state(state, checkpoint_path,
                                  iterations=self.iterations,
-                                 matvecs=self.matvecs, tol=float(self.tol))
+                                 matvecs=self.matvecs, tol=float(self.tol),
+                                 nroots=self.nroots, n_p=self.n_p,
+                                 rr=self.rr)
             if np.all(errors <= self.tol) or self.iterations >= self.max_iter:
                 break
             state = self.restart(state, self.operand)

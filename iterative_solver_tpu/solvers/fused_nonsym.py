@@ -1140,6 +1140,12 @@ class FusedNonSymDavidson:
             raise ValueError(
                 f"checkpoint tracks {st.C.shape[0]} roots, solver wants "
                 f"{self.nroots}")
+        if "n_p" in meta and meta["n_p"] != self.n_p:
+            # byte-identical shapes: an n_p mismatch would silently
+            # reinterpret frozen P slots as ordinary basis rows
+            raise ValueError(
+                f"checkpoint was written with n_p={meta['n_p']} but this "
+                f"solver has n_p={self.n_p}")
         self.matvecs = int(meta.get("matvecs", self.matvecs))
         _, run_cont = self._loops()
         it_host = int(meta.get("iterations", int(np.asarray(st.it))))
@@ -1187,7 +1193,8 @@ class FusedNonSymDavidson:
                                       bG, bR, jnp.asarray(it_host,
                                                           jnp.int32)),
                     checkpoint_path, iterations=it_host,
-                    matvecs=self.matvecs, tol=float(self.tol))
+                    matvecs=self.matvecs, tol=float(self.tol),
+                    nroots=self.nroots, n_p=self.n_p)
             if np.all(errors <= self.tol) or it_host >= self.max_iter:
                 break
             # contamination guard across chunks (same persistence rule as
@@ -1783,6 +1790,10 @@ class FusedNonSymLinearEquations:
             raise ValueError(
                 f"checkpoint tracks {st.bx.shape[0]} RHS, solver wants "
                 f"{self.nrhs}")
+        if "n_p" in meta and meta["n_p"] != self.n_p:
+            raise ValueError(
+                f"checkpoint was written with n_p={meta['n_p']} but this "
+                f"solver has n_p={self.n_p}")
         self.matvecs = int(meta.get("matvecs", self.matvecs))
         _, run_cont = self._loops()
         it_host = int(meta.get("iterations", int(np.asarray(st.it))))
@@ -1856,7 +1867,8 @@ class FusedNonSymLinearEquations:
                     LineqDeviceState(v, w, mask, k, h, beta, best_err, bx,
                                      berrs, jnp.asarray(it_host, jnp.int32)),
                     checkpoint_path, iterations=it_host,
-                    matvecs=self.matvecs, tol=float(self.tol))
+                    matvecs=self.matvecs, tol=float(self.tol),
+                    nrhs=self.nrhs, n_p=self.n_p)
             if np.all(errors <= self.tol) or it_host >= self.max_iter:
                 break
             if errors.max() > 10.0 * float(be_h):

@@ -429,3 +429,65 @@ def test_fused_davidson_run_fast_checkpoint_resume(tmp_path):
                        operand=jnp.asarray(m))
     with pytest.raises(ValueError, match="m_max"):
         s3.resume_fast(path)
+
+
+def test_resume_fast_restarts_before_sweeping(tmp_path):
+    """Review repro (round 4): checkpoints are written POST-sweep with the
+    basis at capacity; sweeping without a restart clamps appends onto live
+    rows (the DUS silent-corruption mode, measured 4-8x worse residuals).
+    The resumed run must match the uninterrupted run's iteration total
+    within one sweep, and config mismatches beyond shapes must refuse."""
+    import jax
+
+    from iterative_solver_tpu.solvers.fused_davidson import FusedDavidson
+
+    def mv(x, op):
+        return jnp.matmul(x, op.T, precision=jax.lax.Precision.HIGHEST)
+
+    rng = np.random.default_rng(7)
+    n, r = 300, 4
+    a = rng.standard_normal((n, n)) * (0.08 / np.sqrt(n))
+    # clustered low end: the configuration the corruption was measured on
+    d = np.concatenate([np.linspace(0.0, 0.5, 8), np.linspace(2.0, 20.0, n - 8)])
+    m = a + a.T + np.diag(d)
+    ref = np.linalg.eigvalsh(m)[:r]
+    v0 = np.zeros((r, n))
+    for i, j in enumerate(np.argsort(np.diag(m))[:r]):
+        v0[i, j] = 1.0
+    path = str(tmp_path / "ck.h5")
+    s_full = FusedDavidson(mv, np.diag(m), n, r, m_max=12,
+                           convergence_threshold=1e-10, max_iter=400,
+                           operand=jnp.asarray(m))
+    _, _, e_full, it_full = s_full.run_fast(v0)
+    assert e_full.max() <= 1e-10
+    steps = (12 - r) // r
+    s1 = FusedDavidson(mv, np.diag(m), n, r, m_max=12,
+                       convergence_threshold=1e-10, max_iter=2 * steps,
+                       operand=jnp.asarray(m))
+    s1.run_fast(v0, checkpoint_path=path)
+    s2 = FusedDavidson(mv, np.diag(m), n, r, m_max=12,
+                       convergence_threshold=1e-10, max_iter=400,
+                       operand=jnp.asarray(m))
+    ev2, _, e2, it2 = s2.resume_fast(path)
+    assert e2.max() <= 1e-10, e2
+    np.testing.assert_allclose(np.sort(ev2), ref, atol=1e-9)
+    assert it2 <= it_full + steps, (it2, it_full)
+    # resuming an already-converged checkpoint returns without sweeping
+    s3 = FusedDavidson(mv, np.diag(m), n, r, m_max=12,
+                       convergence_threshold=1e-10, max_iter=400,
+                       operand=jnp.asarray(m))
+    # write a converged checkpoint by running to convergence w/ ckpt
+    s3.run_fast(v0, checkpoint_path=path)
+    s4 = FusedDavidson(mv, np.diag(m), n, r, m_max=12,
+                       convergence_threshold=1e-10, max_iter=400,
+                       operand=jnp.asarray(m))
+    before = s4.iterations
+    ev4, _, e4, it4 = s4.resume_fast(path)
+    assert e4.max() <= 1e-10
+    # no sweep executed: iterations stays exactly the restored count
+    assert it4 == int(np.asarray(it4)), it4
+    # nroots mismatch refuses loudly (was an obscure jit carry error)
+    s5 = FusedDavidson(mv, np.diag(m), n, r - 1, m_max=12,
+                       operand=jnp.asarray(m))
+    with pytest.raises(ValueError, match="nroots"):
+        s5.resume_fast(path)
