@@ -27,10 +27,16 @@ round-4 compact contract, after BENCH_r03 ran 16/16 legs yet parsed null):
   timeout, so a compile hang is killable and feeds the breaker.
 - two consecutive leg/warm timeouts mark the tunnel dead and skip the
   remaining TPU legs instead of burning the global budget
-  (``BENCH_BUDGET_S``, default 2700 s) one alarm at a time.
-- the phenol-scale composition and the n32768 peak AUTO-ENABLE when the
-  tunnel is alive and the remaining budget clears their measured cold
-  cost (they shrink or skip honestly otherwise).
+  (``BENCH_BUDGET_S``) one alarm at a time.
+- the default ``BENCH_BUDGET_S`` is 850 s — the driver kills the process
+  at ~1000 s (round 4's artifact died rc=124 mid-n32768 because the old
+  2700 s default let the big legs auto-enable; the scoreboard line MUST
+  land, so the default run fits the driver wall with margin). The
+  phenol-scale composition and the n32768 peak only auto-enable when the
+  remaining budget clears their measured cost under THIS budget —
+  otherwise they are recorded as ``deadline_autodisabled`` skips and the
+  run still emits ``status=complete``. Builder sessions opt in with
+  ``--big``/``--phenol`` + ``BENCH_BUDGET_S>=3000``.
 
 Methodology (unchanged from rounds 1-2):
 
@@ -157,6 +163,7 @@ class LegRunner:
         "turbo_int8_gflops",
         "int8_precise_gflops",
         "int8_precise_converged",
+        "int8_precise_full_gflops",
         "precise_tier_gflops",
         "r32_gflops",
         "r4_gflops",
@@ -193,7 +200,7 @@ class LegRunner:
         self.result = result
         self.t0 = time.time()
         self.budget = (budget_s if budget_s is not None
-                       else float(os.environ.get("BENCH_BUDGET_S", "2700")))
+                       else float(os.environ.get("BENCH_BUDGET_S", "850")))
         self.partial_path = partial_path
         self.consecutive_timeouts = 0
         self.dead = False
@@ -566,22 +573,29 @@ def main(big: bool = False, phenol: bool = False):
 
     # ---- QUANTIZED-PRECISE tier: two int8 planes (split-bf16 accuracy
     # class at HALF its streamed bytes — the apples-to-apples quantized
-    # comparison at the same 1e-5 tolerance as the precise tier) ----
+    # comparison at the same 1e-5 tolerance as the precise tier).
+    # PRIMARY config is window-RR + fused chain (VERDICT r4 #7): the
+    # kernel win (split matvec ~108 vs ~196 us) is diluted to noise under
+    # full-RR's shared eigh(64)+small-op cost; the r16/m64 window step
+    # measured 156 us/iter = 14.9 TF in session 4. Full-RR stays as the
+    # secondary convergence-speed field (fewest iterations, same floor). --
     def leg_int8_precise():
         from iterative_solver_tpu.ops.kernels.symm_int8 import make_int8_matvec
 
         matvec_i8p, op_i8p, _ = make_int8_matvec(matrix, b=1024, two_plane=True)
         solver_i8p = FusedDavidson(
             matvec_i8p, diag, N, NROOTS_BLOCK, m_max=M_MAX_BLOCK, dtype=dtype,
-            convergence_threshold=tol_prec, max_iter=60, operand=op_i8p,
+            convergence_threshold=tol_prec, max_iter=120, operand=op_i8p,
+            rr="window",
         )
         solve_i8p = make_davidson_solve(matvec_i8p, NROOTS_BLOCK, M_MAX_BLOCK,
+                                        rr="window",
                                         fuse_chain=solver_i8p.fuse_chain)
         st_i8p = solver_i8p.init_state(guess(NROOTS_BLOCK))
         per_iter_i8p, _, _ = sustained(solve_i8p, st_i8p, op_i8p, solver_i8p.diag, tag="int8_precise")
         st_i8p = solver_i8p.init_state(guess(NROOTS_BLOCK))
         final_i8p, iters_i8p = solve_i8p(st_i8p, op_i8p, solver_i8p.diag,
-                                         tol_prec, 60)
+                                         tol_prec, 120)
         _, res_i8p = f64_quality(final_i8p.x, NROOTS_BLOCK)
         R.update({
             "int8_precise_gflops": round(flops_iter_blk / per_iter_i8p / 1e9, 1),
@@ -591,6 +605,28 @@ def main(big: bool = False, phenol: bool = False):
             "int8_precise_tol": tol_prec,
             "int8_precise_converged": bool(
                 np.max(np.asarray(final_i8p.errors)) <= tol_prec),
+        })
+        # secondary: full-RR variant (fewest iterations to the floor; its
+        # step rate is diluted by the shared eigh(64) — recorded honestly)
+        solver_full = FusedDavidson(
+            matvec_i8p, diag, N, NROOTS_BLOCK, m_max=M_MAX_BLOCK, dtype=dtype,
+            convergence_threshold=tol_prec, max_iter=60, operand=op_i8p,
+        )
+        solve_full = make_davidson_solve(matvec_i8p, NROOTS_BLOCK, M_MAX_BLOCK,
+                                         fuse_chain=solver_full.fuse_chain)
+        st_full = solver_full.init_state(guess(NROOTS_BLOCK))
+        per_iter_full, _, _ = sustained(solve_full, st_full, op_i8p,
+                                        solver_full.diag,
+                                        tag="int8_precise_full")
+        st_full = solver_full.init_state(guess(NROOTS_BLOCK))
+        final_full, iters_full = solve_full(st_full, op_i8p, solver_full.diag,
+                                            tol_prec, 60)
+        R.update({
+            "int8_precise_full_gflops": round(
+                flops_iter_blk / per_iter_full / 1e9, 1),
+            "int8_precise_full_solve_iterations": int(iters_full),
+            "int8_precise_full_converged": bool(
+                np.max(np.asarray(final_full.errors)) <= tol_prec),
         })
 
     # ---- FAST tier, 32-root block: peak arithmetic-intensity config ----
@@ -1194,28 +1230,31 @@ def main(big: bool = False, phenol: bool = False):
         return [sys.executable, "-m", "benchmarks.warm_compile", leg]
 
     # ---- schedule: most important first, so a driver-side kill loses the
-    # least valuable tail, never the headline ----
-    runner.run("headline", leg_headline, budget_s=480,
+    # least valuable tail, never the headline. The judged triplet
+    # (headline + int8 tiers + nonsym) runs before everything else so it
+    # survives any deadline truncation (VERDICT r4 #1). ----
+    runner.run("headline", leg_headline, budget_s=420,
                warm_cmd=warm_cmd("headline"))
     if backend == "tpu":
-        runner.run("turbo_int8", leg_turbo_int8, budget_s=300,
+        runner.run("turbo_int8", leg_turbo_int8, budget_s=240,
                    warm_cmd=warm_cmd("turbo_int8"))
         runner.run("int8_precise", leg_int8_precise, budget_s=300,
                    warm_cmd=warm_cmd("int8_precise"))
-    runner.run("precise16", leg_precise16, budget_s=300)
-    runner.run("r4", leg_r4, budget_s=240)
-    runner.run("precise_quality", leg_precise_quality, budget_s=240)
+        runner.run("nonsym", leg_nonsym, budget_s=420)
+    runner.run("precise16", leg_precise16, budget_s=240)
+    runner.run("r4", leg_r4, budget_s=180)
+    runner.run("precise_quality", leg_precise_quality, budget_s=180)
     if backend == "tpu":
-        runner.run("r32", leg_r32, budget_s=240)
-    runner.run("precise_1e8", leg_precise_1e8, budget_s=300, needs=("precise16",))
+        runner.run("r32", leg_r32, budget_s=180)
+    runner.run("precise_1e8", leg_precise_1e8, budget_s=240, needs=("precise16",))
     if backend == "tpu":
-        runner.run("n16384", leg_n16384, budget_s=480,
+        runner.run("n16384", leg_n16384, budget_s=420,
                    warm_cmd=warm_cmd("n16384"))
-        runner.run("n16384_int8", leg_n16384_int8, budget_s=300,
+        runner.run("n16384_int8", leg_n16384_int8, budget_s=240,
                    needs=("n16384",), warm_cmd=warm_cmd("n16384_int8"))
-        runner.run("hard_spectrum", leg_hard_spectrum, budget_s=420)
-    runner.run("spmv", leg_spmv, budget_s=300)
-    runner.run("spmv_int8", leg_spmv_int8, budget_s=240, needs=("spmv",))
+        runner.run("hard_spectrum", leg_hard_spectrum, budget_s=300)
+    runner.run("spmv", leg_spmv, budget_s=240)
+    runner.run("spmv_int8", leg_spmv_int8, budget_s=180, needs=("spmv",))
     if backend == "tpu":
         # streamed offload tier (VERDICT r2 next #2): pipelined vs serial vs
         # host gram at 256 x 65536, plus the tunnel H2D probe that explains
@@ -1231,32 +1270,34 @@ def main(big: bool = False, phenol: bool = False):
 
             R.update(run_beyond_budget_banded())
 
-        runner.run("offload", leg_offload, budget_s=300)
-        runner.run("banded_stream", leg_banded_stream, budget_s=300)
-        runner.run("nonsym", leg_nonsym, budget_s=540)
+        runner.run("offload", leg_offload, budget_s=240)
+        runner.run("banded_stream", leg_banded_stream, budget_s=240)
 
-    # ---- big legs: AUTO-ENABLE when the tunnel is alive and the budget
-    # clears a measured cold-cost guard (VERDICT r3 #2/#6 — these were
-    # opt-in and never reached a driver artifact). Explicit flags force. --
-    run_phenol = backend == "tpu" and not runner.dead and (
-        phenol or runner.remaining() > 600)
-    if run_phenol:
+    # ---- big legs: only when the REMAINING budget clears their measured
+    # cost (phenol ~730 s cold / ~200 s warm-cache; n32768 setup alone can
+    # cost ~10 min on a slow-memory host). Under the default 850 s budget
+    # these auto-DISABLE and are recorded as deadline skips — the round-4
+    # driver artifact died rc=124 precisely because they auto-enabled
+    # against a 2700 s internal budget while the driver killed at ~1000 s.
+    # Builder sessions force them with --big/--phenol + BENCH_BUDGET_S. --
+    if backend == "tpu" and not runner.dead and (
+            phenol or runner.remaining() > 900):
         from benchmarks.phenol_scale import leg_phenol_scale
 
-        # measured: n=2^20 costs ~730 s cold / ~145 s warm-cache; fall
-        # back to n=2^19 when the window is tight (the scale is recorded
-        # in phenol_n either way)
-        n_phenol = 1 << 20 if (phenol or runner.remaining() > 900) else 1 << 19
+        n_phenol = 1 << 20 if (phenol or runner.remaining() > 1200) else 1 << 19
         runner.run("phenol_scale", lambda: leg_phenol_scale(R, n=n_phenol),
                    budget_s=1200, warm_cmd=warm_cmd("phenol"),
                    warm_timeout_s=300)
+    elif backend == "tpu":
+        runner.result["legs_skipped"]["phenol_scale"] = "deadline_autodisabled"
     run_big = backend == "tpu" and not runner.dead and (
-        big or runner.remaining() > 700)
+        big or runner.remaining() > 1100)
     R["n32768_enabled"] = bool(run_big)
     if run_big:
-        # 8.6 GB host packing alone can cost ~10 min on a slow-memory host
         runner.run("n32768", leg_big, budget_s=1500,
                    warm_cmd=warm_cmd("n32768"))
+    elif backend == "tpu":
+        runner.result["legs_skipped"]["n32768"] = "deadline_autodisabled"
     runner.emit(status="complete")
 
 
