@@ -291,11 +291,17 @@ class IterativeSolverTemplate:
 
     # ------------------------------------------------------------------
     def _solve_and_generate_working_set(self, parameters: Array, actions: Array):
-        """(IterativeSolverTemplate.h:518-563, without disk batching: all nsol
-        solutions are reconstructed in one device pass.)"""
+        """(IterativeSolverTemplate.h:518-563. When all nsol solutions fit the
+        caller's working buffer they are reconstructed in one device pass;
+        otherwise the bounded-memory batched path below mirrors the
+        reference's parameter_batches + temp-Q construction.)"""
         with self.profiler.push("subspace_solve"):
             self.subspace_solver.solve(self.xspace, self.n_roots())
         nsol = self.subspace_solver.size
+        nrows_buf = int(parameters.shape[0])
+        if nsol > nrows_buf and nrows_buf > 0:
+            return self._solve_working_set_batched(parameters, actions, nsol,
+                                                   nrows_buf)
         roots = list(range(nsol))
         with self.profiler.push("construct_solutions"):
             sol_params, sol_residuals = self.solution(roots)
@@ -325,6 +331,64 @@ class IterativeSolverTemplate:
             idx = jnp.asarray(row_roots, dtype=jnp.int32)
             parameters = jnp.concatenate([sol_params[idx], parameters[k:]], axis=0)
             actions = jnp.concatenate([sol_residuals[idx], actions[k:]], axis=0)
+        return len(self.working_set), parameters, actions
+
+    def _solve_working_set_batched(self, parameters: Array, actions: Array,
+                                   nsol: int, nrows: int):
+        """Bounded-memory solution construction: more subspace solutions than
+        working-buffer rows (nsol > nrows).
+
+        Mirrors the reference's batching exactly
+        (IterativeSolverTemplate.h:21-31 ``parameter_batches``, :526-556):
+        solutions are reconstructed ``nrows`` at a time — never more than the
+        caller's working buffer lives in device memory — and every batch is
+        copied to a temporary Q-tier store (the native disk-backed VecStore,
+        the analogue of the reference's ``handlers.qr().copy`` temp Q
+        vectors, counted in ``stats.q_creations`` like the reference's
+        ``m_stats->q_creations += 2*roots.size()``). After the working set is
+        selected from the full error list, its rows are fetched back into
+        the leading rows of the caller's buffers.
+        """
+        from ..native.vecstore import VecStore
+
+        temp = VecStore(2 * nsol, self.n)
+        try:
+            errors = np.zeros(nsol)
+            slot_pairs = []
+            with self.profiler.push("construct_solutions_batched"):
+                for start in range(0, nsol, nrows):
+                    roots_b = list(range(start, min(start + nrows, nsol)))
+                    p_b, r_b = self.solution(roots_b)
+                    errors[start : start + len(roots_b)] = np.asarray(
+                        vops.norms_rows(r_b), dtype=float)
+                    p_host = np.asarray(p_b, dtype=np.float64)
+                    r_host = np.asarray(r_b, dtype=np.float64)
+                    for i in range(len(roots_b)):
+                        slot_pairs.append(
+                            (temp.append(p_host[i]), temp.append(r_host[i])))
+                    self.stats.q_creations += 2 * len(roots_b)
+            self.subspace_solver.set_errors(list(range(nsol)), errors)
+            self.set_value_errors()
+            self.errors = list(self.subspace_solver.errors)
+            self.working_set = select_working_set(
+                nrows,
+                self.errors,
+                self.convergence_threshold,
+                self.value_errors,
+                self.convergence_threshold_value,
+            )
+            k = len(self.working_set)
+            if k:
+                sel_p = np.stack(
+                    [temp.get(slot_pairs[root][0]) for root in self.working_set])
+                sel_r = np.stack(
+                    [temp.get(slot_pairs[root][1]) for root in self.working_set])
+                dev_p = jnp.asarray(sel_p, dtype=self.dtype)
+                dev_r = jnp.asarray(sel_r, dtype=self.dtype)
+                parameters = jnp.concatenate([dev_p, parameters[k:]], axis=0)
+                actions = jnp.concatenate([dev_r, actions[k:]], axis=0)
+        finally:
+            temp.close()
         return len(self.working_set), parameters, actions
 
     # ------------------------------------------------------------------
