@@ -100,7 +100,11 @@ class DenseInt8:
 
         return (jax.device_put(self.q, NamedSharding(mesh, P(axis, None))),
                 jax.device_put(self.gr, NamedSharding(mesh, P(axis))),
-                jax.device_put(self.gc, NamedSharding(mesh, P(axis))),
+                # gc scales the ACTIVATION's contraction axis, not q's row
+                # axis: replicate it so a replicated activation never drags
+                # an all-gather into every matvec (a sharded activation
+                # slices it locally either way — n floats, free)
+                jax.device_put(self.gc, NamedSharding(mesh, P(None))),
                 jax.device_put(self.d, NamedSharding(mesh, P(axis))))
 
 
@@ -154,7 +158,9 @@ class DenseInt8Split:
         return (jax.device_put(self.q1, NamedSharding(mesh, P(axis, None))),
                 jax.device_put(self.q2, NamedSharding(mesh, P(axis, None))),
                 jax.device_put(self.gr, NamedSharding(mesh, P(axis))),
-                jax.device_put(self.gc, NamedSharding(mesh, P(axis))),
+                # replicated for the same reason as DenseInt8.shard: gc
+                # scales the activation's contraction axis
+                jax.device_put(self.gc, NamedSharding(mesh, P(None))),
                 jax.device_put(self.d, NamedSharding(mesh, P(axis))))
 
 

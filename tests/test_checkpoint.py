@@ -392,6 +392,49 @@ def test_nonsym_lineq_device_checkpoint_resume(tmp_path):
     rel = (np.linalg.norm(np.asarray(x2, np.float64) - ref)
            / np.linalg.norm(ref))
     assert rel < 1e-9, rel
+    # a DIFFERENT b must refuse loudly: the checkpointed beta projections
+    # belong to the original RHS and mixing silently stalls the solve
+    s3 = FusedNonSymLinearEquations(
+        mv, np.diag(m), n, nrhs, m_max=12, convergence_threshold=1e-11,
+        max_iter=200, rr="device", operand=jnp.asarray(m))
+    with pytest.raises(ValueError, match="different RHS"):
+        s3.resume(path, b + 1.0)
+
+
+def test_nonsym_device_resume_reseeds_history(tmp_path):
+    """resume() restores the pre-interruption convergence history from the
+    checkpoint meta: the resumed record reads as one uninterrupted run."""
+    import jax
+
+    from iterative_solver_tpu.solvers.fused_nonsym import FusedNonSymDavidson
+
+    def mv(x, op):
+        return jnp.matmul(x, op.T, precision=jax.lax.Precision.HIGHEST)
+
+    rng = np.random.default_rng(1)
+    n, r = 220, 2
+    a = rng.standard_normal((n, n)) * (0.05 / np.sqrt(n))
+    m = a + a.T + np.diag(np.concatenate(
+        [np.linspace(-2, 0, 6), np.linspace(2, 20, n - 6)]))
+    m[np.tril_indices(n, -1)] *= 0.85
+    v0 = np.zeros((r, n))
+    for i, j in enumerate(np.argsort(np.diag(m))[:r]):
+        v0[i, j] = 1.0
+    path = str(tmp_path / "ns_hist.npz")
+    s1 = FusedNonSymDavidson(
+        mv, np.diag(m), n, r, m_max=12, convergence_threshold=1e-9,
+        max_iter=4, chunk_iters=2, rr="device", operand=jnp.asarray(m))
+    s1.solve(v0, checkpoint_path=path)
+    hist1 = list(s1.history)
+    assert hist1, "interrupted run recorded no history"
+    s2 = FusedNonSymDavidson(
+        mv, np.diag(m), n, r, m_max=12, convergence_threshold=1e-9,
+        max_iter=100, chunk_iters=32, rr="device", operand=jnp.asarray(m))
+    s2.resume(path)
+    # the resumed history starts with the checkpointed prefix and extends it
+    assert s2.history[: len(hist1)] == [tuple(h) for h in hist1]
+    assert len(s2.history) > len(hist1)
+    assert [h[0] for h in s2.history] == sorted(h[0] for h in s2.history)
 
 
 def test_fused_davidson_run_fast_checkpoint_resume(tmp_path):
