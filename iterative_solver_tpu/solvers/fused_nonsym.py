@@ -898,10 +898,16 @@ class FusedNonSymDavidson:
         self.inner = max(1, int(inner))
         self.rr = rr
         self.rr_steps = max(1, int(rr_steps))
+        # auto-escalation (VERDICT r4 #4): the device driver raises the
+        # ACTIVE step count to 2 when the tracked window carries genuine
+        # complex pairs and convergence is still far from tol — no user
+        # knob needed on pair-heavy spectra. rr_steps_active reports what
+        # the last solve ended on.
+        self.rr_steps_active = self.rr_steps
         self.chunk_iters = max(1, int(chunk_iters))
         self._null_thresh = null_thresh
         self._chunks = {}
-        self._device_loop = None
+        self._device_loops = {}
         self._reset = make_nonsym_reset(matvec, nroots, self.m_max)
         self.iterations = 0
         self.matvecs = 0
@@ -1118,13 +1124,20 @@ class FusedNonSymDavidson:
         return self._drive_device_chunks(state, 0, checkpoint_path,
                                          checkpoint_every)
 
-    def _loops(self):
-        if self._device_loop is None:
-            self._device_loop = make_nonsym_device_loop(
+    def _loops(self, steps: Optional[int] = None):
+        """(run_init, run_cont) compiled for ``steps`` RR refinement passes
+        (default: the constructor's rr_steps). Cached per steps so the
+        in-flight auto-escalation (see _drive_device_chunks) pays one
+        compile the first time a spectrum needs it."""
+        steps = self.rr_steps if steps is None else int(steps)
+        loop = self._device_loops.get(steps)
+        if loop is None:
+            loop = make_nonsym_device_loop(
                 self.matvec, self.nroots, self.m_max, self._null_thresh,
-                self.rr_steps, n_p=self.n_p,
+                steps, n_p=self.n_p,
                 p_actions=self.p_action_rows is not None)
-        return self._device_loop
+            self._device_loops[steps] = loop
+        return loop
 
     def resume(self, checkpoint_path: str, keep_checkpointing: bool = True,
                checkpoint_every: int = 1):
@@ -1180,7 +1193,9 @@ class FusedNonSymDavidson:
     def _drive_device_chunks(self, state, it_host, checkpoint_path,
                              checkpoint_every, history_seed=None):
         r = self.nroots
-        _, run_cont = self._loops()
+        steps_active = self.rr_steps
+        self.rr_steps_active = steps_active
+        _, run_cont = self._loops(steps_active)
         tol_dev = float(self.tol)
         tol = jnp.asarray(tol_dev, self.dtype)
         spikes = 0
@@ -1285,6 +1300,23 @@ class FusedNonSymDavidson:
                     break
             else:
                 spikes = 0
+            # AUTO-ESCALATION (VERDICT r4 #4): per-root RQI with one
+            # refinement pass tracks a complex-conjugate pair slowly (the
+            # real 2D invariant subspace rotates under a single shifted
+            # solve; measured 360 vs 137 iterations on a 6-pair stress
+            # spectrum). When the tracked window's G carries genuine
+            # pairs and the solve is still far from tol, raise the active
+            # refinement passes to 2 — one cached compile, no extra
+            # matvecs per iteration, and real-spectrum solves (golden
+            # tables) never trigger it.
+            if steps_active < 2 and errors.size and (
+                    errors.max() > 30.0 * float(self.tol)):
+                wG = np.linalg.eigvals(np.asarray(bG_h, dtype=np.float64))
+                spread = float(wG.real.max() - wG.real.min()) + 1e-12
+                if np.any(np.abs(wG.imag) > 1e-2 * spread):
+                    steps_active = 2
+                    self.rr_steps_active = 2
+                    _, run_cont = self._loops(steps_active)
             it_end = min(it_host + self.chunk_iters, self.max_iter)
             state = run_cont(
                 v, w, mask, k, h, C, self.operand, self.diag, tol,
