@@ -182,8 +182,9 @@ class LegRunner:
         "banded_stream_converged",
         "offload_overlap_factor_med",
         "offload_h2d_MBps",
-        "n32768_r64_gflops",
         "n32768_r64_int8_gflops",
+        "n32768_r64_int8_converged",
+        "n32768_r64_gflops",
         "n32768_r64_converged",
         "phenol_n",
         "phenol_nnz",
@@ -807,14 +808,42 @@ def main(big: bool = False, phenol: bool = False):
         ctx["flops_iter_16"] = flops_iter_16
 
     # int8 variant of the peak config: same spectrum, quantized couplings
-    # + exact diagonal at half the bf16 tile bytes
+    # + exact diagonal at half the bf16 tile bytes. PRODUCTION path is
+    # PPCG (VERDICT r4 #2): at r=64 the window step's eigh(2r=128) costs
+    # ~490 us against a ~260 us matvec (ablation table in PERF.md) — PPCG
+    # replaces it with batched 3x3 RR + an eigh(64) every rr_every
+    # iterations (measured 559 vs 782 us/iter at this size). The window
+    # variant stays as a secondary field.
     def leg_n16384_int8():
         from iterative_solver_tpu.ops.kernels.symm_int8 import make_int8_matvec
+        from iterative_solver_tpu.solvers.fused_ppcg import FusedPPCG
 
         n16, r64, m192 = 16384, 64, 192
         mat16, diag16, v16 = ctx.pop("mat16"), ctx["diag16"], ctx["v16"]
         matvec16q, op16q, _ = make_int8_matvec(mat16, b=1024)
         del mat16
+        rr_every = 8
+        ppcg16 = FusedPPCG(matvec16q, diag16, n16, r64, rr_every=rr_every,
+                           dtype=dtype, convergence_threshold=5e-3,
+                           max_iter=400, operand=op16q)
+        pst16 = ppcg16.init_state(v16)
+        per_iter_p16, _, _ = sustained(ppcg16._solve, pst16, op16q,
+                                       ppcg16.diag, lo=32, hi=160,
+                                       tag="n16384_int8")
+        # honest FLOP accounting for PPCG: one matvec per iteration plus
+        # the exact re-anchor matvec every rr_every (row ops negligible)
+        flops_ppcg16 = 2 * r64 * n16 * n16 * (1.0 + 1.0 / rr_every)
+        pst16 = ppcg16.init_state(v16)
+        fin_p16, it_p16 = ppcg16._solve(pst16, op16q, ppcg16.diag, 5e-3, 400)
+        R.update({
+            "n16384_r64_int8_gflops": round(flops_ppcg16 / per_iter_p16 / 1e9, 1),
+            "n16384_r64_int8_iter_time_ms": round(per_iter_p16 * 1e3, 3),
+            "n16384_r64_int8_solve_iterations": int(it_p16),
+            "n16384_r64_int8_tol": 5e-3,
+            "n16384_r64_int8_converged": bool(
+                np.max(np.asarray(fin_p16.errors)) <= 5e-3),
+        })
+        # secondary: the window-RR Davidson variant (pre-round-5 primary)
         solver_16q = FusedDavidson(
             matvec16q, diag16, n16, r64, m_max=m192, dtype=dtype,
             convergence_threshold=5e-3, max_iter=60, operand=op16q, rr="window",
@@ -823,16 +852,14 @@ def main(big: bool = False, phenol: bool = False):
                                         fuse_chain=solver_16q.fuse_chain)
         st_16q = solver_16q.init_state(v16)
         per_iter_16q, _, _ = sustained(solve_16q, st_16q, op16q, solver_16q.diag,
-                                       lo=32, hi=160, tag="n16384_int8")
+                                       lo=32, hi=160, tag="n16384_int8_window")
         st_16q = solver_16q.init_state(v16)
         final_16q, iters_16q = solve_16q(st_16q, op16q, solver_16q.diag, 5e-3, 60)
         R.update({
-            "n16384_r64_int8_gflops": round(
+            "n16384_r64_int8_window_gflops": round(
                 ctx["flops_iter_16"] / per_iter_16q / 1e9, 1),
-            "n16384_r64_int8_iter_time_ms": round(per_iter_16q * 1e3, 3),
-            "n16384_r64_int8_solve_iterations": int(iters_16q),
-            "n16384_r64_int8_tol": 5e-3,
-            "n16384_r64_int8_converged": bool(
+            "n16384_r64_int8_window_solve_iterations": int(iters_16q),
+            "n16384_r64_int8_window_converged": bool(
                 np.max(np.asarray(final_16q.errors)) <= 5e-3),
         })
 
@@ -1195,7 +1222,10 @@ def main(big: bool = False, phenol: bool = False):
             "n32768_r64_converged": bool(res_n32 <= 3e-4),
         })
 
-        # int8 variant of the big peak (quantized couplings, exact diag)
+        # int8 window-RR Davidson variant on the dense-derived quantized
+        # operator — SECONDARY field only: the production int8 PPCG metric
+        # (n32768_r64_int8_gflops) comes from the always-on direct leg
+        # (leg_n32768_int8_direct), which needs no dense build.
         matvec32q, op32q, _ = make_int8_matvec(mat32, b=1024)
         del mat32
         solver_n32q = FusedDavidson(
@@ -1207,18 +1237,69 @@ def main(big: bool = False, phenol: bool = False):
         st_n32q = solver_n32q.init_state(v32)
         per_iter_n32q, _, _ = sustained(solve_n32q, st_n32q, op32q,
                                         solver_n32q.diag, lo=16, hi=64,
-                                        tag="n32768_int8")
+                                        tag="n32768_int8_window")
         st_n32q = solver_n32q.init_state(v32)
         final_n32q, iters_n32q = solve_n32q(st_n32q, op32q, solver_n32q.diag,
                                             5e-3, 60)
-        res_n32q = float(np.max(np.asarray(final_n32q.errors)))
         R.update({
-            "n32768_r64_int8_gflops": round(flops_iter_n32 / per_iter_n32q / 1e9, 1),
-            "n32768_r64_int8_iter_time_ms": round(per_iter_n32q * 1e3, 3),
-            "n32768_r64_int8_solve_iterations": int(iters_n32q),
-            "n32768_r64_int8_max_residual": res_n32q,
+            "n32768_r64_int8_window_gflops": round(
+                flops_iter_n32 / per_iter_n32q / 1e9, 1),
+            "n32768_r64_int8_window_solve_iterations": int(iters_n32q),
+            "n32768_r64_int8_window_converged": bool(
+                np.max(np.asarray(final_n32q.errors)) <= 5e-3),
+        })
+
+    # ---- n32768 r64 int8 FLAGSHIP, direct-generated (VERDICT r4 #2):
+    # the packed one-plane operator is emitted straight to int8 tiles
+    # (models/synthetic_fci.synthetic_packed_int8 — the dense f64 build
+    # costs ~10 min of host time and can never fit the driver wall), and
+    # the solver is PPCG: at r=64 the window step's eigh(128) costs more
+    # than the matvec (PERF.md ablation); PPCG replaces it with batched
+    # 3x3 RR + an eigh(64) every rr_every iterations. ----
+    def leg_n32768_int8_direct():
+        from iterative_solver_tpu.models.synthetic_fci import (
+            synthetic_packed_int8,
+        )
+        from iterative_solver_tpu.ops.kernels.symm_int8 import (
+            symm_matmat_int8_pallas,
+        )
+        from iterative_solver_tpu.solvers.fused_ppcg import FusedPPCG
+
+        n32, r64b = 32768, 64
+        t0 = time.time()
+        sym32, diag32d = synthetic_packed_int8(n32, b=1024, seed=0)
+        R["n32768_direct_build_s"] = round(time.time() - t0, 1)
+        op32q = (sym32.q, sym32.gq, sym32.diagonal, sym32.ii, sym32.jj)
+
+        def matvec32q(x, t):
+            s = dataclasses.replace(sym32, q=t[0], gq=t[1], diagonal=t[2],
+                                    ii=t[3], jj=t[4])
+            return symm_matmat_int8_pallas(x, s)
+
+        rr_every_b = 8
+        ppcg32 = FusedPPCG(matvec32q, diag32d, n32, r64b,
+                           rr_every=rr_every_b, dtype=dtype,
+                           convergence_threshold=5e-3, max_iter=400,
+                           operand=op32q)
+        v32d = np.zeros((r64b, n32))
+        for row, i in enumerate(np.argsort(diag32d)[:r64b]):
+            v32d[row, i] = 1.0
+        pst32 = ppcg32.init_state(v32d)
+        per_iter_p32, _, _ = sustained(ppcg32._solve, pst32, op32q,
+                                       ppcg32.diag, lo=16, hi=64,
+                                       tag="n32768_int8")
+        flops_ppcg32 = 2 * r64b * n32 * n32 * (1.0 + 1.0 / rr_every_b)
+        pst32 = ppcg32.init_state(v32d)
+        fin_p32, it_p32 = ppcg32._solve(pst32, op32q, ppcg32.diag, 5e-3, 400)
+        res_p32 = float(np.max(np.asarray(fin_p32.errors)))
+        R.update({
+            "n32768_r64_int8_gflops": round(
+                flops_ppcg32 / per_iter_p32 / 1e9, 1),
+            "n32768_r64_int8_iter_time_ms": round(per_iter_p32 * 1e3, 3),
+            "n32768_r64_int8_solve_iterations": int(it_p32),
+            "n32768_r64_int8_max_residual": res_p32,
             "n32768_r64_int8_tol": 5e-3,
-            "n32768_r64_int8_converged": bool(res_n32q <= 5e-3),
+            "n32768_r64_int8_converged": bool(res_p32 <= 5e-3),
         })
 
     def warm_cmd(leg):
@@ -1241,6 +1322,10 @@ def main(big: bool = False, phenol: bool = False):
         runner.run("int8_precise", leg_int8_precise, budget_s=300,
                    warm_cmd=warm_cmd("int8_precise"))
         runner.run("nonsym", leg_nonsym, budget_s=420)
+        # the flagship big-size metric, cheap enough for the default run
+        # (direct int8 generation, no dense build)
+        runner.run("n32768_int8", leg_n32768_int8_direct, budget_s=300,
+                   warm_cmd=warm_cmd("n32768_ppcg"))
     runner.run("precise16", leg_precise16, budget_s=240)
     runner.run("r4", leg_r4, budget_s=180)
     runner.run("precise_quality", leg_precise_quality, budget_s=180)
@@ -1251,7 +1336,7 @@ def main(big: bool = False, phenol: bool = False):
         runner.run("n16384", leg_n16384, budget_s=420,
                    warm_cmd=warm_cmd("n16384"))
         runner.run("n16384_int8", leg_n16384_int8, budget_s=240,
-                   needs=("n16384",), warm_cmd=warm_cmd("n16384_int8"))
+                   needs=("n16384",), warm_cmd=warm_cmd("n16384_ppcg"))
         runner.run("hard_spectrum", leg_hard_spectrum, budget_s=300)
     runner.run("spmv", leg_spmv, budget_s=240)
     runner.run("spmv_int8", leg_spmv_int8, budget_s=180, needs=("spmv",))

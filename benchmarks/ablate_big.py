@@ -7,15 +7,17 @@ while_loop) trip counts of ONE compiled dispatch — removes the tunnel RTT
 and the dispatch constant. The loop carries a data dependence so XLA cannot
 hoist the body; a per-repetition epsilon perturbs the payload so the axon
 payload cache cannot serve identical dispatches; only host fetches sync.
+All operands are jit ARGUMENTS (a closure-captured 537 MB int8 operator
+ships in the remote-compile payload -> HTTP 413, CLAUDE.md gotcha).
 
 Components:
   matvec        packed int8 one-plane action on the (r, N) block
   eigh64/128    the full-RR (r) and window-RR (2r) small eigensolves
   gs_sweep      one GS pass of (r, N) against the (m_max, N) stack
-  recon         (r, m_max) @ (m_max, N) reconstruction
+  recon         (r, m_max) @ (m_max, N) reconstruction pair
   win_gram      (2r, N) @ (N, 2r) window Gram
-  step_window   the whole fused window step (production config today)
-  step_ppcg     FusedPPCG step at the same size (candidate replacement)
+  step_window   the whole fused window step (pre-round-5 production config)
+  step_ppcg     FusedPPCG step at the same size (round-5 production path)
 
 Usage: python benchmarks/ablate_big.py [--quick]   (quick: n=16384)
 """
@@ -89,13 +91,13 @@ def main(n=32768, r=64, m_max=192):
 
     # ---- matvec only ----
     @jax.jit
-    def mv_loop(k, eps):
+    def mv_loop(k, eps, x_, op_):
         def body(i, x):
-            y = matvec(x, op)
+            y = matvec(x, op_)
             return y / (jnp.max(jnp.abs(y)) + 1.0)
-        return lax.fori_loop(0, k, body, x0 + eps)[:1, :8]
+        return lax.fori_loop(0, k, body, x_ + eps)[:1, :8]
 
-    per, _ = marginal(mv_loop)
+    per, _ = marginal(lambda k, e: mv_loop(k, e, x0, op))
     R["matvec_us"] = round(per * 1e6, 1)
     R["matvec_tf_equiv"] = round(2 * r * n * n / per / 1e12, 1)
     emit()
@@ -106,62 +108,64 @@ def main(n=32768, r=64, m_max=192):
         ar = ar + ar.T + 10.0 * jnp.eye(sz, dtype=dtype)
 
         @jax.jit
-        def eig_loop(k, eps, a_=ar, sz_=sz):
+        def eig_loop(k, eps, a_):
+            sz_ = a_.shape[0]
             def body(i, s):
-                w, v = jnp.linalg.eigh(a_ + s * 1e-9 * jnp.eye(sz_, dtype=dtype))
+                w, v = jnp.linalg.eigh(
+                    a_ + s * 1e-9 * jnp.eye(sz_, dtype=a_.dtype))
                 return s + w[0] * 1e-6
-            return lax.fori_loop(0, k, body, jnp.asarray(eps, dtype))
+            return lax.fori_loop(0, k, body, jnp.asarray(eps, a_.dtype))
 
-        per, _ = marginal(eig_loop)
+        per, _ = marginal(lambda k, e, a_=ar: eig_loop(k, e, a_))
         R[f"eigh{sz}_us"] = round(per * 1e6, 1)
         emit()
 
     # ---- GS sweep against the stack ----
     @jax.jit
-    def gs_loop(k, eps):
+    def gs_loop(k, eps, x_, v_):
         def body(i, t):
-            g = jnp.matmul(t, v0.T, precision=prec)
-            t = t - jnp.matmul(g, v0, precision=prec)
+            g = jnp.matmul(t, v_.T, precision=prec)
+            t = t - jnp.matmul(g, v_, precision=prec)
             return t / (jnp.max(jnp.abs(t)) + 1.0)
-        return lax.fori_loop(0, k, body, x0 + eps)[:1, :8]
+        return lax.fori_loop(0, k, body, x_ + eps)[:1, :8]
 
-    per, _ = marginal(gs_loop)
+    per, _ = marginal(lambda k, e: gs_loop(k, e, x0, v0))
     R["gs_sweep_us"] = round(per * 1e6, 1)
     emit()
 
-    # ---- reconstruction ----
+    # ---- reconstruction pair ----
     c0 = jnp.asarray(rng.standard_normal((r, m_max)), dtype)
 
     @jax.jit
-    def recon_loop(k, eps):
+    def recon_loop(k, eps, c_, v_):
         def body(i, c):
-            x = jnp.matmul(c, v0, precision=prec)
-            c2 = jnp.matmul(x, v0.T, precision=prec)
+            x = jnp.matmul(c, v_, precision=prec)
+            c2 = jnp.matmul(x, v_.T, precision=prec)
             return c2 / (jnp.max(jnp.abs(c2)) + 1.0)
-        return lax.fori_loop(0, k, body, c0 + eps)[:1, :8]
+        return lax.fori_loop(0, k, body, c_ + eps)[:1, :8]
 
-    per, _ = marginal(recon_loop)
-    R["recon_pair_us"] = round(per * 1e6, 1)  # one (r,m)@(m,N) + (r,N)@(N,m)
+    per, _ = marginal(lambda k, e: recon_loop(k, e, c0, v0))
+    R["recon_pair_us"] = round(per * 1e6, 1)
     emit()
 
     # ---- window gram ----
     y0 = jnp.asarray(rng.standard_normal((2 * r, n)) / np.sqrt(n), dtype)
 
     @jax.jit
-    def gram_loop(k, eps):
+    def gram_loop(k, eps, y_):
         def body(i, y):
             g = jnp.matmul(y, y.T, precision=prec)
             return y * (1.0 + 1e-9 * g[0, 0])
-        return lax.fori_loop(0, k, body, y0 + eps)[:1, :8]
+        return lax.fori_loop(0, k, body, y_ + eps)[:1, :8]
 
-    per, _ = marginal(gram_loop)
+    per, _ = marginal(lambda k, e: gram_loop(k, e, y0))
     R["win_gram_us"] = round(per * 1e6, 1)
     emit()
 
     flops_iter = (2 * r * n * n + 2 * m_max * m_max * n
                   + 2 * 2 * r * n * m_max + 2 * 2 * 2 * r * m_max * n)
 
-    # ---- full window step (production today) ----
+    # ---- full window step (pre-round-5 production) ----
     solver = FusedDavidson(
         matvec, diag, n, r, m_max=m_max, dtype=dtype,
         convergence_threshold=5e-3, max_iter=60, operand=op, rr="window")

@@ -121,6 +121,41 @@ def warm_davidson_int8(n: int, r: int, m: int, b: int = 1024,
     solve.lower(st, op, vec, -1.0, 64).compile()
 
 
+def warm_ppcg_int8(n: int, r: int, b: int = 1024, rr_every: int = 8) -> None:
+    """PPCG solve over the one-plane int8 packed operator — the production
+    r64 big-peak path (bench.py leg_n16384_int8 / leg_big: the window
+    step's eigh(2r) dominates at r=64, see PERF.md ablation)."""
+    jax, jnp = _common()
+    from iterative_solver_tpu.ops.kernels.symm_int8 import (
+        SymmetricBlockedInt8,
+        symm_matmat_int8_pallas,
+    )
+    from iterative_solver_tpu.solvers.fused_ppcg import (
+        make_ppcg_init,
+        make_ppcg_solve,
+    )
+
+    sds = jax.ShapeDtypeStruct
+    nb = n // b
+    npairs = nb * (nb + 1) // 2
+    qs = sds((npairs, b, b), jnp.int8)
+    vec = sds((n,), jnp.float32)
+    idx = sds((npairs,), jnp.int32)
+    sym = SymmetricBlockedInt8(q=None, gq=None, ii=None, jj=None,
+                               shape=(n, n), b=b, diagonal=None)
+
+    def matvec(x, op):
+        s = dataclasses.replace(sym, q=op[0], gq=op[1], diagonal=op[2],
+                                ii=op[3], jj=op[4])
+        return symm_matmat_int8_pallas(x, s)
+
+    op = (qs, vec, vec, idx, idx)
+    solve = make_ppcg_solve(matvec, r, rr_every)
+    st = jax.eval_shape(make_ppcg_init(matvec, r), sds((r, n), jnp.float32),
+                        op)
+    solve.lower(st, op, vec, -1.0, 64).compile()
+
+
 def warm_phenol_small(n: int = 1 << 16) -> None:
     """Tiny-n run of the real phenol composition (int8 BSR -> streamed
     banded -> refine): proves those program families compile through the
@@ -141,6 +176,8 @@ WARMERS = {
     "n16384_int8": lambda: warm_davidson_int8(16384, 64, 192),
     "n32768": lambda: warm_davidson_packed_bf16(32768, 64, 192),
     "n32768_int8": lambda: warm_davidson_int8(32768, 64, 192),
+    "n16384_ppcg": lambda: warm_ppcg_int8(16384, 64),
+    "n32768_ppcg": lambda: warm_ppcg_int8(32768, 64),
     "phenol": warm_phenol_small,
 }
 
