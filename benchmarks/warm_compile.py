@@ -71,7 +71,8 @@ def warm_davidson_packed_bf16(n: int, r: int, m: int, b: int = 1024) -> None:
 
 
 def warm_davidson_int8(n: int, r: int, m: int, b: int = 1024,
-                       two_plane: bool = False) -> None:
+                       two_plane: bool = False, rr: str = "window",
+                       anchor_every: int = 4) -> None:
     """Quantized packed solve — leg_turbo_int8 / leg_int8_precise /
     leg_n16384_int8 / leg_big's int8 variant."""
     jax, jnp = _common()
@@ -115,7 +116,8 @@ def warm_davidson_int8(n: int, r: int, m: int, b: int = 1024,
 
         op = (qs, vec, vec, idx, idx)
     fuse = jax.default_backend() == "tpu" and fits_vmem(r, m, n)
-    solve = make_davidson_solve(matvec, r, m, rr="window", fuse_chain=fuse)
+    solve = make_davidson_solve(matvec, r, m, rr=rr, anchor_every=anchor_every,
+                                fuse_chain=fuse)
     st = jax.eval_shape(make_davidson_init(matvec, r, m),
                         sds((r, n), jnp.float32), op)
     solve.lower(st, op, vec, -1.0, 64).compile()
@@ -171,7 +173,8 @@ def warm_phenol_small(n: int = 1 << 16) -> None:
 WARMERS = {
     "headline": lambda: warm_davidson_packed_bf16(8192, 16, 64),
     "turbo_int8": lambda: warm_davidson_int8(8192, 16, 64),
-    "int8_precise": lambda: warm_davidson_int8(8192, 16, 64, two_plane=True),
+    "int8_precise": lambda: warm_davidson_int8(8192, 16, 64, two_plane=True,
+                                               rr="anchored", anchor_every=2),
     "n16384": lambda: warm_davidson_packed_bf16(16384, 64, 192),
     "n16384_int8": lambda: warm_davidson_int8(16384, 64, 192),
     "n32768": lambda: warm_davidson_packed_bf16(32768, 64, 192),

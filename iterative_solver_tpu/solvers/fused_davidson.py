@@ -245,9 +245,10 @@ def _window_rr(v, w, mask, k, c_prev, nroots, m_max, c_mom=None, n_p=0):
 
 
 def _validate_rr(rr: str, nroots: int, m_max: int, n_p: int = 0) -> None:
-    width = {"full": 1, "window": 2, "window3": 3}.get(rr)
+    width = {"full": 1, "window": 2, "window3": 3, "anchored": 2}.get(rr)
     if width is None:
-        raise ValueError(f"unknown rr mode {rr!r}: use 'full', 'window' or 'window3'")
+        raise ValueError(f"unknown rr mode {rr!r}: use 'full', 'window', "
+                         "'window3' or 'anchored'")
     # every mode needs room for the carried block PLUS one full append
     # (PLUS the frozen P slots): with less the post-restart append's
     # dynamic_update_slice CLAMPS its offset and silently overwrites live
@@ -268,6 +269,7 @@ def _step_body(
     rr: str = "full",
     fuse_chain: bool = False,
     n_p: int = 0,
+    anchor_every: int = 4,
 ):
     """Raw (unjitted) single-iteration body shared by step and sweep.
 
@@ -285,7 +287,14 @@ def _step_body(
     semantics); "window" carries the Ritz coefficient block and solves a
     (2r, 2r) locally-optimal window instead; "window3" adds the LOBPCG
     momentum block — a (3r, 3r) window with near-full-Davidson convergence
-    (requires m_max >= 3*nroots; see _window_rr).
+    (requires m_max >= 3*nroots; see _window_rr); "anchored" runs the
+    window every step but a FULL (m, m) RR every ``anchor_every``-th
+    iteration (lax.cond on the loop counter) — the session-3 exploration
+    ("anchored window", CLAUDE.md): the periodic full solve restores the
+    cross-root subspace coupling the pure window loses, so convergence
+    tracks full Davidson while the amortised eigh cost drops toward the
+    window's. The anchored step takes the iteration counter as a fourth
+    argument (the solve/sweep loops supply theirs; a bare call anchors).
 
     ``fuse_chain`` runs the precondition + Gram-Schmidt + norms + Gram part
     of the step as ONE Pallas kernel (ops/kernels/chain_pallas.py) instead
@@ -295,13 +304,25 @@ def _step_body(
     FusedDavidson auto-enables it when safe."""
     _validate_rr(rr, nroots, m_max, n_p)
 
-    def step(state: DavidsonState, operand, diag: Array) -> DavidsonState:
+    def step(state: DavidsonState, operand, diag: Array, it=0) -> DavidsonState:
         v, w, mask, k = state.v, state.w, state.mask, state.k
-        if rr in ("window", "window3"):
-            evals, c_new, evals_all = _window_rr(
-                v, w, mask, k, state.c, nroots, m_max,
-                c_mom=state.cm if rr == "window3" else None, n_p=n_p,
-            )
+        if rr in ("window", "window3", "anchored"):
+            def window_branch(_):
+                return _window_rr(
+                    v, w, mask, k, state.c, nroots, m_max,
+                    c_mom=state.cm if rr == "window3" else None, n_p=n_p,
+                )
+
+            if rr == "anchored":
+                def full_branch(_):
+                    ea, c = _masked_eigh(v, w, mask)
+                    return ea[:nroots], c[:, :nroots] * mask[:, None], ea
+
+                evals, c_new, evals_all = jax.lax.cond(
+                    jnp.asarray(it, jnp.int32) % anchor_every == 0,
+                    full_branch, window_branch, None)
+            else:
+                evals, c_new, evals_all = window_branch(None)
             coeff = c_new.T  # (nroots, m_max)
         else:
             evals_all, c = _masked_eigh(v, w, mask)
@@ -374,28 +395,30 @@ def _step_body(
 
 def make_davidson_step(matvec, nroots: int, m_max: int, null_thresh: float = 1e-10,
                        expand: Optional[Callable] = None, rr: str = "full",
-                       fuse_chain: bool = False, n_p: int = 0):
+                       fuse_chain: bool = False, n_p: int = 0,
+                       anchor_every: int = 4):
     """Jitted single iteration: state, operand, diag -> state. The operator
     data and diagonals are traced ARGUMENTS, not closed-over constants, so
     multi-GB operators never get baked into the HLO (essential for
     remote-compile paths and donation)."""
     return jax.jit(_step_body(matvec, nroots, m_max, null_thresh, expand, rr,
-                              fuse_chain, n_p),
+                              fuse_chain, n_p, anchor_every),
                    donate_argnums=(0,))
 
 
 def make_davidson_sweep(matvec, nroots: int, m_max: int, steps: int, null_thresh: float = 1e-10,
                         expand: Optional[Callable] = None, rr: str = "full",
-                        fuse_chain: bool = False, n_p: int = 0):
+                        fuse_chain: bool = False, n_p: int = 0,
+                        anchor_every: int = 4):
     """Jitted multi-iteration sweep: ``steps`` Davidson iterations in ONE
     dispatch (lax.fori_loop), amortising host/tunnel launch latency — the
     analogue of the reference's batched BufferManager passes, but for control
     overhead instead of IO."""
     body = _step_body(matvec, nroots, m_max, null_thresh, expand, rr,
-                      fuse_chain, n_p)
+                      fuse_chain, n_p, anchor_every)
 
     def sweep(state: DavidsonState, operand, diag: Array) -> DavidsonState:
-        return jax.lax.fori_loop(0, steps, lambda i, s: body(s, operand, diag), state)
+        return jax.lax.fori_loop(0, steps, lambda i, s: body(s, operand, diag, i), state)
 
     # NOTE: no donation — buffer donation on fori_loop carries trips an
     # INVALID_ARGUMENT in the axon TPU runtime (single-step donation is fine).
@@ -584,6 +607,7 @@ def make_davidson_solve(
     history: int = 0,
     fuse_chain: bool = False,
     n_p: int = 0,
+    anchor_every: int = 4,
 ):
     """The whole solve in ONE dispatch: a lax.while_loop that steps until
     convergence or ``max_iter``, restarting on-device whenever the basis
@@ -606,7 +630,7 @@ def make_davidson_solve(
     from per-iteration report() printing, IterativeSolverTemplate.h:273-287,
     without breaking the fused loop)."""
     step = _step_body(matvec, nroots, m_max, null_thresh, expand, rr,
-                      fuse_chain, n_p)
+                      fuse_chain, n_p, anchor_every)
     restart = _restart_body(matvec, nroots, m_max, n_p)
 
     def solve(state: DavidsonState, operand, diag: Array, tol_, max_iter_):
@@ -627,7 +651,7 @@ def make_davidson_solve(
                 lambda ss: ss,
                 s,
             )
-            s = step(s, operand, diag)
+            s = step(s, operand, diag, it)
             if history:
                 h = carry[2].at[jnp.minimum(it, history - 1)].set(
                     jnp.max(s.errors))
@@ -692,7 +716,8 @@ def make_davidson_solve_chunked(
                 lambda ss: ss,
                 s,
             )
-            s = jax.lax.fori_loop(0, fill_steps, lambda i, ss: step(ss, operand, diag), s)
+            s = jax.lax.fori_loop(
+                0, fill_steps, lambda i, ss: step(ss, operand, diag, i), s)
             return s, it + fill_steps
 
         final, iters = jax.lax.while_loop(cond, body, (state, jnp.asarray(0, jnp.int32)))
@@ -763,6 +788,7 @@ class FusedDavidson:
         check_symmetric: bool = True,
         p_space=None,
         p_actions=None,
+        anchor_every: int = 4,
     ):
         if dtype is None:
             dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
@@ -807,8 +833,10 @@ class FusedDavidson:
                 and fits_vmem(nroots, eff_m_max, n)
             )
         self.fuse_chain = fuse_chain
+        self.anchor_every = max(1, int(anchor_every))
         self.step = make_davidson_step(matvec, nroots, self.m_max, expand=expand, rr=rr,
-                                       fuse_chain=fuse_chain, n_p=self.n_p)
+                                       fuse_chain=fuse_chain, n_p=self.n_p,
+                                       anchor_every=self.anchor_every)
         self.restart = make_restart(matvec, nroots, self.m_max, n_p=self.n_p)
         self.iterations = 0
         self.check_symmetric = check_symmetric
@@ -983,7 +1011,7 @@ class FusedDavidson:
         for it in range(self.max_iter):
             if int(state.k) + self.nroots > self.m_max:
                 state = self.restart(state, self.operand)
-            state = self.step(state, self.operand, self.diag)
+            state = self.step(state, self.operand, self.diag, it)
             self.iterations += 1
             self.matvecs += self.nroots * self.matvecs_per_direction
             errors = np.asarray(state.errors)
@@ -1020,7 +1048,7 @@ class FusedDavidson:
                 self._solve_cache = make_davidson_solve(
                     self.matvec, self.nroots, self.m_max, self.tol, self.max_iter,
                     expand=self.expand, rr=self.rr, fuse_chain=self.fuse_chain,
-                    n_p=self.n_p,
+                    n_p=self.n_p, anchor_every=self.anchor_every,
                 )
             self._solve_cache_key = key
         solve = self._solve_cache
