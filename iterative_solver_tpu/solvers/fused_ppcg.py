@@ -53,6 +53,80 @@ class PPCGState(NamedTuple):
     it: Array       # int32 iteration counter (drives the periodic RR)
 
 
+def _jacobi3_packed(a00, a11, a22, a01, a02, a12, sweeps: int = 6):
+    """Batched symmetric 3x3 Jacobi eigendecomposition in PACKED component
+    form: every quantity is a plain (B,) vector and every update a fused
+    elementwise chain — no (B, 3, 3) arrays anywhere.
+
+    Why: ``jnp.linalg.eigh`` on a (B, 3, 3) batch costs ~295 us at B=64
+    in-loop on one v5e, and even a Jacobi built from batched 3x3 einsums
+    + .at-updates costs the same (measured — dozens of tiny batched ops,
+    each paying the ~4-6 us per-op floor; CLAUDE.md cost model). The
+    packed form is ~15 scalar-vector ops per rotation that XLA fuses into
+    a couple of kernels: the whole 18-rotation sweep schedule lands at
+    single-digit microseconds.
+
+    Returns ``(w0, w1, w2, V)`` where w_i = a_ii after sweeps (UNSORTED)
+    and V = ((v00, v01, v02), (v10, ...), ...) with V[i][j] the i-th
+    component of the j-th eigenvector (column-major like eigh's v[:, :, j]).
+    3x3 Jacobi converges quadratically; 6 sweeps leave off-diagonals at
+    ~eps * ||A|| (validated against np.linalg.eigh to 6e-15 in f64).
+    """
+    one = jnp.ones_like(a00)
+    zero = jnp.zeros_like(a00)
+    v = [[one, zero, zero], [zero, one, zero], [zero, zero, one]]
+    a = {(0, 0): a00, (1, 1): a11, (2, 2): a22,
+         (0, 1): a01, (0, 2): a02, (1, 2): a12}
+
+    def off(i, j):
+        return a[(i, j)] if i <= j else a[(j, i)]
+
+    def set_off(i, j, val):
+        a[(i, j) if i <= j else (j, i)] = val
+
+    for _ in range(sweeps):
+        for (p_, q_) in ((0, 1), (0, 2), (1, 2)):
+            app, aqq, apq = a[(p_, p_)], a[(q_, q_)], off(p_, q_)
+            small = jnp.abs(apq) <= 1e-36
+            apq_safe = jnp.where(small, 1.0, apq)
+            tau = (aqq - app) / (2.0 * apq_safe)
+            # stable angle (Golub & Van Loan); tau == 0 -> t = 1 (45 deg)
+            sgn = jnp.where(tau >= 0, 1.0, -1.0)
+            t = sgn / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+            t = jnp.where(small, 0.0, t)
+            c = 1.0 / jnp.sqrt(1.0 + t * t)
+            s = t * c
+            r_ = 3 - p_ - q_
+            arp, arq = off(r_, p_), off(r_, q_)
+            set_off(r_, p_, c * arp - s * arq)
+            set_off(r_, q_, s * arp + c * arq)
+            # Jacobi shortcut: app' = app - t*apq, aqq' = aqq + t*apq
+            a[(p_, p_)] = app - t * apq
+            a[(q_, q_)] = aqq + t * apq
+            set_off(p_, q_, zero)
+            for i in range(3):
+                vip, viq = v[i][p_], v[i][q_]
+                v[i][p_] = c * vip - s * viq
+                v[i][q_] = s * vip + c * viq
+    return a[(0, 0)], a[(1, 1)], a[(2, 2)], v
+
+
+def _batched_eigh3(a, sweeps: int = 6):
+    """(B, 3, 3) symmetric batched eigh via the packed Jacobi core —
+    eigenvalues ascending, ``v[:, :, j]`` the j-th eigenvector (the
+    jnp.linalg.eigh contract). Convenience/validation wrapper; the PPCG
+    step uses the packed core directly to stay off the per-op floor."""
+    w0, w1, w2, v = _jacobi3_packed(
+        a[:, 0, 0], a[:, 1, 1], a[:, 2, 2],
+        a[:, 0, 1], a[:, 0, 2], a[:, 1, 2], sweeps=sweeps)
+    w = jnp.stack([w0, w1, w2], axis=-1)
+    vm = jnp.stack([jnp.stack(row, axis=-1) for row in v], axis=-2)
+    order = jnp.argsort(w, axis=-1)
+    w = jnp.take_along_axis(w, order, axis=-1)
+    vm = jnp.take_along_axis(vm, order[:, None, :], axis=-1)
+    return w, vm
+
+
 def _batched_rr3(x, ax, w, aw, p, ap, live_w, live_p, nroots):
     """Per-root (3, 3) Rayleigh-Ritz, batched over roots.
 
@@ -65,38 +139,59 @@ def _batched_rr3(x, ax, w, aw, p, ap, live_w, live_p, nroots):
     one = jnp.ones((nroots,), dtype)
     lw = live_w.astype(dtype)
     lp = live_p.astype(dtype)
+    # everything below is PACKED-component arithmetic on (r,) vectors —
+    # the (r, 3, 3)-array formulation (batched eighs + tiny einsums) cost
+    # ~1000 us in-loop at r=64 against ~12 us for the dots themselves:
+    # dozens of tiny batched ops, each on the ~4-6 us per-op floor
+    # (measured 2026-08-21; see _jacobi3_packed)
     xw, xp, wp = _rows_dot(x, w), _rows_dot(x, p), _rows_dot(w, p)
-    # g rows/cols for dead directions are zero; diagonal handled below
-    g = jnp.stack([
-        jnp.stack([one, xw, xp], axis=-1),
-        jnp.stack([xw, lw, wp], axis=-1),
-        jnp.stack([xp, wp, lp], axis=-1),
-    ], axis=-2)                                             # (r, 3, 3)
     hxx = _rows_dot(x, ax)
     hxw, hxp = _rows_dot(w, ax), _rows_dot(p, ax)
     hww, hwp, hpp = _rows_dot(w, aw), _rows_dot(p, aw), _rows_dot(p, ap)
-    h = jnp.stack([
-        jnp.stack([hxx, hxw, hxp], axis=-1),
-        jnp.stack([hxw, hww, hwp], axis=-1),
-        jnp.stack([hxp, hwp, hpp], axis=-1),
-    ], axis=-2)                                             # (r, 3, 3)
 
-    gw, gu = jnp.linalg.eigh(g)                             # batched (r, 3)
+    # g rows/cols for dead directions are zero; diagonal one/lw/lp
+    gw0, gw1, gw2, gu = _jacobi3_packed(one, lw, lp, xw, xp, wp)
     # dtype-aware whitening floor: rows are unit-normalised so g's entries
     # carry ~eps dot-noise; admitting a direction with gw ~ noise amplifies
     # it by 1/sqrt(gw) into the Ritz update (measured: 1e-10 in f32 with a
     # bf16 operator DIVERGES — residuals grow past the operator norm)
     eps_keep = 1e-10 if dtype == jnp.float64 else 1e-4
-    keep = gw > eps_keep
-    s = gu * jnp.where(keep, 1.0 / jnp.sqrt(jnp.where(keep, gw, 1.0)), 0.0)[:, None, :]
-    hw = jnp.einsum("rij,rik,rkl->rjl", s, h, s, precision=_PREC)
-    hw = 0.5 * (hw + jnp.swapaxes(hw, -1, -2))
-    big = 4.0 * jnp.max(jnp.abs(hw), axis=(-2, -1), keepdims=True) + 1.0
-    eye3 = jnp.eye(3, dtype=dtype)
-    dead = (~keep).astype(dtype)
-    hw = hw + dead[:, None, :] * dead[:, :, None] * eye3 * big
-    ew, eu = jnp.linalg.eigh(hw)                            # batched
-    c = jnp.einsum("rij,rj->ri", s, eu[:, :, 0], precision=_PREC)  # (r, 3)
+    gws = (gw0, gw1, gw2)
+    scale = []
+    for gwj in gws:
+        keepj = gwj > eps_keep
+        scale.append(jnp.where(
+            keepj, 1.0 / jnp.sqrt(jnp.where(keepj, gwj, 1.0)), 0.0))
+    # s_ij = gu_ij * scale_j  (whitening transform, dead columns zeroed)
+    s = [[gu[i][j] * scale[j] for j in range(3)] for i in range(3)]
+    # hw = s^T h s, computed j <= l so it is exactly symmetric
+    h = [[hxx, hxw, hxp], [hxw, hww, hwp], [hxp, hwp, hpp]]
+    m = [[h[i][0] * s[0][j] + h[i][1] * s[1][j] + h[i][2] * s[2][j]
+          for j in range(3)] for i in range(3)]
+    hw = {}
+    for j in range(3):
+        for l in range(j, 3):
+            hw[(j, l)] = (s[0][j] * m[0][l] + s[1][j] * m[1][l]
+                          + s[2][j] * m[2][l])
+    # dead directions: push their hw diagonal above the live spectrum so
+    # the lowest eigenpair never selects them
+    absmax = jnp.zeros_like(hxx)
+    for val in hw.values():
+        absmax = jnp.maximum(absmax, jnp.abs(val))
+    big = 4.0 * absmax + 1.0
+    for j, gwj in enumerate(gws):
+        dead = (gwj <= eps_keep).astype(dtype)
+        hw[(j, j)] = hw[(j, j)] + dead * big
+    ew0, ew1, ew2, eu = _jacobi3_packed(
+        hw[(0, 0)], hw[(1, 1)], hw[(2, 2)],
+        hw[(0, 1)], hw[(0, 2)], hw[(1, 2)])
+    # lowest eigenpair selection (packed argmin over the 3 diagonals)
+    is0 = (ew0 <= ew1) & (ew0 <= ew2)
+    is1 = (~is0) & (ew1 <= ew2)
+    u = [jnp.where(is0, eu[i][0], jnp.where(is1, eu[i][1], eu[i][2]))
+         for i in range(3)]
+    c = jnp.stack([s[i][0] * u[0] + s[i][1] * u[1] + s[i][2] * u[2]
+                   for i in range(3)], axis=-1)             # (r, 3)
     return c
 
 
@@ -109,7 +204,10 @@ def _step_body(matvec: Callable[..., Array], nroots: int, rr_every: int):
         errors = jnp.sqrt(jnp.abs(_rows_dot(res, res)))
 
         # Jacobi-preconditioned correction, projected against X only (the
-        # "projected" in PPCG — no history stack to strip information)
+        # "projected" in PPCG — no history stack to strip information).
+        # NOTE: stacking w/p into one Gram matmul was measured a wash at
+        # n=32768 r=64 — the concatenate's block copies cost what the
+        # saved matmul pass gains (2026-08-21).
         scale_est = jnp.max(jnp.abs(diag)) + jnp.max(jnp.abs(rho))
         w = res / (diag[None, :] - rho[:, None] + 1e-15 * scale_est + 1e-300)
         w = w - jnp.matmul(jnp.matmul(w, x.T, precision=_PREC), x, precision=_PREC)
