@@ -249,8 +249,15 @@ def _step_body(matvec: Callable[..., Array], nroots: int, rr_every: int):
         g = jnp.matmul(x_new, x_new.T, precision=_PREC)
         g = g + _chol_jitter(g.dtype) * jnp.eye(nroots, dtype=g.dtype)
         l = jnp.linalg.cholesky(g)
-        x_new = jax.scipy.linalg.solve_triangular(l, x_new, lower=True)
-        ax_new = jax.scipy.linalg.solve_triangular(l, ax_new, lower=True)
+        # invert L against the small identity ONCE, then apply as (r, r)
+        # MXU matmuls: a triangular solve against an (r, N) block runs a
+        # sequential column sweep per call, and there are two of them.
+        # L^-1 of the jittered near-identity Gram is well-conditioned (the
+        # jitter bounds the whitening amplification exactly as before).
+        li = jax.scipy.linalg.solve_triangular(
+            l, jnp.eye(nroots, dtype=g.dtype), lower=True)
+        x_new = jnp.matmul(li, x_new, precision=_PREC)
+        ax_new = jnp.matmul(li, ax_new, precision=_PREC)
 
         def full_rr(args):
             x_, ax_, p_, ap_ = args
