@@ -66,8 +66,8 @@ def test_fuzz_fused_davidson(seed):
     rng = np.random.default_rng(2000 + seed)
     n = int(rng.integers(48, 200))
     nroots = int(rng.integers(1, 5))
-    rr = ["full", "window", "window3"][seed % 3]
-    width = {"full": 1, "window": 2, "window3": 3}[rr]
+    rr = ["full", "window", "window3", "anchored"][seed % 4]
+    width = {"full": 1, "window": 2, "window3": 3, "anchored": 2}[rr]
     m_max = int(rng.integers(max(width, 4) * nroots, 8 * nroots + 1))
     kind = ["gapped", "gapless", "clustered"][seed % 3]
     mat = _random_problem(rng, n, kind)
