@@ -240,3 +240,51 @@ def test_soak_past_floor_stays_bounded():
     np.testing.assert_allclose(x @ x.T, np.eye(r), atol=1e-9)
     ref = np.linalg.eigvalsh(mat)[:r]
     np.testing.assert_allclose(np.sort(np.asarray(final.evals)), ref, atol=1e-8)
+
+
+class TestPackedJacobi3:
+    """_jacobi3_packed / _batched_eigh3 (round 5): the PPCG per-root RR's
+    3x3 eigensolves in packed component form — jnp.linalg.eigh on a
+    (B, 3, 3) batch costs ~295 us in-loop at B=64 on a v5e (per-op floor
+    on tiny batched ops) where the packed Jacobi fuses to microseconds."""
+
+    def test_matches_lapack_random(self):
+        from iterative_solver_tpu.solvers.fused_ppcg import _batched_eigh3
+
+        rng = np.random.default_rng(0)
+        a = rng.standard_normal((300, 3, 3))
+        a = a + np.swapaxes(a, -1, -2)
+        w, v = _batched_eigh3(jnp.asarray(a))
+        w, v = np.asarray(w), np.asarray(v)
+        wr = np.linalg.eigh(a)[0]
+        np.testing.assert_allclose(w, wr, atol=1e-13)
+        res = np.einsum("bij,bjk->bik", a, v) - w[:, None, :] * v
+        assert np.abs(res).max() < 1e-13
+        orth = np.einsum("bij,bik->bjk", v, v) - np.eye(3)
+        assert np.abs(orth).max() < 1e-13
+
+    def test_degenerate_and_zero(self):
+        from iterative_solver_tpu.solvers.fused_ppcg import _batched_eigh3
+
+        a = np.zeros((5, 3, 3))
+        a[0] = np.eye(3)
+        a[1] = np.diag([1.0, 1.0, 2.0])
+        a[2] = 0.0
+        a[3] = np.diag([5.0, 5.0, 5.0])
+        a[4, :2, :2] = [[2.0, 1.0], [1.0, 2.0]]  # dead third direction
+        w, v = _batched_eigh3(jnp.asarray(a))
+        w, v = np.asarray(w), np.asarray(v)
+        wr = np.linalg.eigh(a)[0]
+        np.testing.assert_allclose(w, wr, atol=1e-14)
+        res = np.einsum("bij,bjk->bik", a, v) - w[:, None, :] * v
+        assert np.abs(res).max() < 1e-14
+
+    def test_f32_accuracy_class(self):
+        from iterative_solver_tpu.solvers.fused_ppcg import _batched_eigh3
+
+        rng = np.random.default_rng(1)
+        a = rng.standard_normal((64, 3, 3)).astype(np.float32)
+        a = a + np.swapaxes(a, -1, -2)
+        w, _ = _batched_eigh3(jnp.asarray(a, jnp.float32))
+        wr = np.linalg.eigh(a.astype(np.float64))[0]
+        assert np.abs(np.asarray(w, np.float64) - wr).max() < 1e-5
