@@ -1132,6 +1132,7 @@ class FusedDavidson:
             self._sweep_cache = make_davidson_sweep(
                 self.matvec, self.nroots, self.m_max, steps, expand=self.expand,
                 rr=self.rr, fuse_chain=self.fuse_chain, n_p=self.n_p,
+                anchor_every=self.anchor_every,
             )
         sweep = self._sweep_cache
         max_sweeps = max(1, self.max_iter // steps + 1)
