@@ -103,3 +103,35 @@ def test_solve_through_fused_davidson():
     # activation quantization bounds the eigenvalue accuracy here, not
     # the solver: the screening-class bar
     assert np.abs(evals - ref).max() <= 5e-2
+
+
+def test_direct_operator_shards_and_solves(eight_devices_mesh=None):
+    """The flagship composition: direct int8 generation -> mesh-sharded
+    packed action (int8 halo, exact int32 partials) -> PPCG whole solve.
+    This is exactly the bench's n32768 leg shape at toy size."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from iterative_solver_tpu.parallel.sharded_symm import ShardedSymmetric
+    from iterative_solver_tpu.solvers.fused_ppcg import FusedPPCG
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    n, r = 1024, 8
+    sym, diag = synthetic_packed_int8(n, b=128, seed=2)
+    ssym = ShardedSymmetric.from_int8(sym, mesh)
+    mv, op = ssym.matvec_fn()
+    ppcg = FusedPPCG(mv, diag, n, r, rr_every=8, dtype=jnp.float32,
+                     sharding=NamedSharding(mesh, P(None, "data")),
+                     convergence_threshold=5e-3, max_iter=300, operand=op)
+    v0 = np.zeros((r, n))
+    for row, i in enumerate(np.argsort(diag)[:r]):
+        v0[row, i] = 1.0
+    st = ppcg.init_state(v0)
+    fin, it = ppcg._solve(st, op, ppcg.diag, 5e-3, 300)
+    errs = np.asarray(fin.errors)
+    assert errs.max() <= 5e-3, errs
+    # against the single-device implied dense operator
+    a = implied_dense(sym, diag)
+    ref = np.linalg.eigvalsh(a)[:r]
+    evals = np.sort(np.asarray(fin.evals))
+    assert np.abs(evals - ref).max() <= 5e-2
