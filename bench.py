@@ -609,8 +609,19 @@ def main(big: bool = False, phenol: bool = False):
             "int8_precise_converged": bool(
                 np.max(np.asarray(final_i8p.errors)) <= tol_prec),
         })
-        # secondary: full-RR variant (fewest iterations to the floor; its
-        # step rate is diluted by the shared eigh(64) — recorded honestly)
+        # hand the operator to the SEPARATE full-RR secondary leg: running
+        # the secondary inside this leg's SIGALRM let a slow unwarmed
+        # compile discard the primary's done-status and feed the
+        # dead-tunnel breaker after the primary metric had already landed
+        # (round-5 review finding — observed as timeout_300s with valid
+        # primary fields in the record)
+        ctx["matvec_i8p"], ctx["op_i8p"] = matvec_i8p, op_i8p
+
+    # ---- full-RR int8_precise variant: fewest iterations to the floor;
+    # its step rate is diluted by the shared eigh(64) — recorded honestly
+    # as a secondary field, in its own leg ----
+    def leg_int8_precise_full():
+        matvec_i8p, op_i8p = ctx["matvec_i8p"], ctx.pop("op_i8p")
         solver_full = FusedDavidson(
             matvec_i8p, diag, N, NROOTS_BLOCK, m_max=M_MAX_BLOCK, dtype=dtype,
             convergence_threshold=tol_prec, max_iter=60, operand=op_i8p,
@@ -845,32 +856,38 @@ def main(big: bool = False, phenol: bool = False):
             "n16384_r64_int8_converged": bool(
                 np.max(np.asarray(fin_p16.errors)) <= 5e-3),
         })
-        # window-RR secondary only when the budget allows (the leg's 240 s
-        # SIGALRM tripped on this extra compile in a degraded window; the
-        # window-vs-PPCG contrast is already recorded at n=32768 in --big
-        # runs and in the PERF.md ablation)
-        if runner.remaining() > 300:
-            solver_16q = FusedDavidson(
-                matvec16q, diag16, n16, r64, m_max=m192, dtype=dtype,
-                convergence_threshold=5e-3, max_iter=60, operand=op16q,
-                rr="window",
-            )
-            solve_16q = make_davidson_solve(matvec16q, r64, m192, rr="window",
-                                            fuse_chain=solver_16q.fuse_chain)
-            st_16q = solver_16q.init_state(v16)
-            per_iter_16q, _, _ = sustained(solve_16q, st_16q, op16q,
-                                           solver_16q.diag, lo=32, hi=160,
-                                           tag="n16384_int8_window")
-            st_16q = solver_16q.init_state(v16)
-            final_16q, iters_16q = solve_16q(st_16q, op16q, solver_16q.diag,
-                                             5e-3, 60)
-            R.update({
-                "n16384_r64_int8_window_gflops": round(
-                    ctx["flops_iter_16"] / per_iter_16q / 1e9, 1),
-                "n16384_r64_int8_window_solve_iterations": int(iters_16q),
-                "n16384_r64_int8_window_converged": bool(
-                    np.max(np.asarray(final_16q.errors)) <= 5e-3),
-            })
+        # the window-RR secondary runs as its OWN leg (a slow unwarmed
+        # compile inside this leg's SIGALRM would discard the PPCG
+        # metric's done-status and feed the dead-tunnel breaker)
+        ctx["matvec16q"], ctx["op16q"] = matvec16q, op16q
+
+    # ---- window-RR variant of the n16384 int8 peak (pre-round-5
+    # primary), separate secondary leg ----
+    def leg_n16384_int8_window():
+        n16, r64, m192 = 16384, 64, 192
+        matvec16q, op16q = ctx["matvec16q"], ctx.pop("op16q")
+        diag16, v16 = ctx["diag16"], ctx["v16"]
+        solver_16q = FusedDavidson(
+            matvec16q, diag16, n16, r64, m_max=m192, dtype=dtype,
+            convergence_threshold=5e-3, max_iter=60, operand=op16q,
+            rr="window",
+        )
+        solve_16q = make_davidson_solve(matvec16q, r64, m192, rr="window",
+                                        fuse_chain=solver_16q.fuse_chain)
+        st_16q = solver_16q.init_state(v16)
+        per_iter_16q, _, _ = sustained(solve_16q, st_16q, op16q,
+                                       solver_16q.diag, lo=32, hi=160,
+                                       tag="n16384_int8_window")
+        st_16q = solver_16q.init_state(v16)
+        final_16q, iters_16q = solve_16q(st_16q, op16q, solver_16q.diag,
+                                         5e-3, 60)
+        R.update({
+            "n16384_r64_int8_window_gflops": round(
+                ctx["flops_iter_16"] / per_iter_16q / 1e9, 1),
+            "n16384_r64_int8_window_solve_iterations": int(iters_16q),
+            "n16384_r64_int8_window_converged": bool(
+                np.max(np.asarray(final_16q.errors)) <= 5e-3),
+        })
 
     # ---- HARD-spectrum solve: PPCG vs window Davidson, wall to 1e-5 ----
     # weakly diagonally dominant operator (Jacobi preconditioning stalls the
@@ -1366,6 +1383,13 @@ def main(big: bool = False, phenol: bool = False):
 
         runner.run("offload", leg_offload, budget_s=240)
         runner.run("banded_stream", leg_banded_stream, budget_s=240)
+        # secondary variants, isolated from their primaries' done-status
+        runner.run("int8_precise_full", leg_int8_precise_full, budget_s=240,
+                   needs=("int8_precise",),
+                   warm_cmd=warm_cmd("int8_precise_full"))
+        runner.run("n16384_int8_window", leg_n16384_int8_window,
+                   budget_s=240, needs=("n16384_int8",),
+                   warm_cmd=warm_cmd("n16384_int8"))
 
     # ---- big legs: only when the REMAINING budget clears their measured
     # cost (phenol ~730 s cold / ~200 s warm-cache; n32768 setup alone can

@@ -175,6 +175,8 @@ WARMERS = {
     "turbo_int8": lambda: warm_davidson_int8(8192, 16, 64),
     "int8_precise": lambda: warm_davidson_int8(8192, 16, 64, two_plane=True,
                                                rr="anchored", anchor_every=2),
+    "int8_precise_full": lambda: warm_davidson_int8(8192, 16, 64,
+                                                    two_plane=True, rr="full"),
     "n16384": lambda: warm_davidson_packed_bf16(16384, 64, 192),
     "n16384_int8": lambda: warm_davidson_int8(16384, 64, 192),
     "n32768": lambda: warm_davidson_packed_bf16(32768, 64, 192),

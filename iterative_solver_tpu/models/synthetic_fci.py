@@ -98,10 +98,13 @@ def synthetic_packed_int8(n: int, b: int = 1024, seed: int = 0,
     """
     import jax.numpy as jnp
 
-    from ..ops.kernels.symm_int8 import SymmetricBlockedInt8
+    from ..ops.kernels.symm_int8 import SymmetricBlockedInt8, _check_acc_headroom
 
     if n % b:
         raise ValueError("n must be a multiple of b for the direct generator")
+    # same exact-int32 accumulation guard as from_dense: beyond ~133k
+    # columns the one-plane kernel's worst-case dot wraps silently
+    _check_acc_headroom(n, b, 1, "synthetic_packed_int8")
     nb = n // b
     iis, jjs = np.tril_indices(nb)
     npairs = iis.size
@@ -138,3 +141,27 @@ def synthetic_packed_int8(n: int, b: int = 1024, seed: int = 0,
         diagonal=jnp.asarray(diag, dtype=jnp.float32),
     )
     return sym, diag
+
+
+def implied_dense_int8(sym, diag) -> np.ndarray:
+    """The exact dense operator a packed one-plane int8 structure implies:
+    A = diag(d) + E with E[bi*b+u, bj*b+v] = gq_i gq_j q_pair(bi,bj)[u, v].
+    The single source of the dequantization contract for validation
+    (tests + dryrun check solves against this; keeping one copy means the
+    kernel layout and its checkers cannot drift apart)."""
+    n, b = sym.shape[0], sym.b
+    q = np.asarray(sym.q, dtype=np.float64)
+    gq = np.asarray(sym.gq, dtype=np.float64)
+    ii = np.asarray(sym.ii)
+    jj = np.asarray(sym.jj)
+    a = np.diag(np.asarray(diag, dtype=np.float64))
+    for p in range(q.shape[0]):
+        bi, bj = int(ii[p]), int(jj[p])
+        blk = (gq[bi * b:(bi + 1) * b, None]
+               * gq[None, bj * b:(bj + 1) * b] * q[p])
+        if bi == bj:
+            a[bi * b:(bi + 1) * b, bi * b:(bi + 1) * b] += blk
+        else:
+            a[bi * b:(bi + 1) * b, bj * b:(bj + 1) * b] += blk
+            a[bj * b:(bj + 1) * b, bi * b:(bi + 1) * b] += blk.T
+    return a

@@ -377,16 +377,29 @@ class IterativeSolverTemplate:
                 self.value_errors,
                 self.convergence_threshold_value,
             )
-            k = len(self.working_set)
-            if k:
+            # same row contract as the one-pass path: the leading
+            # min(nsol, nrows) rows hold root reconstructions (their own
+            # index, overridden by working-set roots) — NOT only the
+            # working set. At convergence the working set is EMPTY and a
+            # working-set-only copy-back would leave the caller's buffer
+            # holding the previous iteration's preconditioned directions
+            # while reporting converged=True (confirmed: returned rows had
+            # overlap 0.0 with the eigenvectors).
+            k_rows = min(nsol, nrows)
+            row_roots = list(range(k_rows))
+            for i, root in enumerate(self.working_set):
+                if i < k_rows:
+                    row_roots[i] = root
+            if k_rows:
                 sel_p = np.stack(
-                    [temp.get(slot_pairs[root][0]) for root in self.working_set])
+                    [temp.get(slot_pairs[root][0]) for root in row_roots])
                 sel_r = np.stack(
-                    [temp.get(slot_pairs[root][1]) for root in self.working_set])
+                    [temp.get(slot_pairs[root][1]) for root in row_roots])
                 dev_p = jnp.asarray(sel_p, dtype=self.dtype)
                 dev_r = jnp.asarray(sel_r, dtype=self.dtype)
-                parameters = jnp.concatenate([dev_p, parameters[k:]], axis=0)
-                actions = jnp.concatenate([dev_r, actions[k:]], axis=0)
+                parameters = jnp.concatenate(
+                    [dev_p, parameters[k_rows:]], axis=0)
+                actions = jnp.concatenate([dev_r, actions[k_rows:]], axis=0)
         finally:
             temp.close()
         return len(self.working_set), parameters, actions

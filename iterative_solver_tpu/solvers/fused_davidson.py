@@ -417,8 +417,13 @@ def make_davidson_sweep(matvec, nroots: int, m_max: int, steps: int, null_thresh
     body = _step_body(matvec, nroots, m_max, null_thresh, expand, rr,
                       fuse_chain, n_p, anchor_every)
 
-    def sweep(state: DavidsonState, operand, diag: Array) -> DavidsonState:
-        return jax.lax.fori_loop(0, steps, lambda i, s: body(s, operand, diag, i), state)
+    def sweep(state: DavidsonState, operand, diag: Array,
+              it0=0) -> DavidsonState:
+        # it0: global iteration offset so the anchored cadence does not
+        # phase-reset at every sweep boundary (_drive_sweeps passes
+        # sweeps_done * steps)
+        return jax.lax.fori_loop(
+            0, steps, lambda i, s: body(s, operand, diag, it0 + i), state)
 
     # NOTE: no donation — buffer donation on fori_loop carries trips an
     # INVALID_ARGUMENT in the axon TPU runtime (single-step donation is fine).
@@ -683,6 +688,7 @@ def make_davidson_solve_chunked(
     rr: str = "full",
     fuse_chain: bool = False,
     n_p: int = 0,
+    anchor_every: int = 4,
 ):
     """Whole solve in one dispatch with the convergence check hoisted to
     restart boundaries: the outer lax.while_loop runs one basis-fill sweep
@@ -696,7 +702,7 @@ def make_davidson_solve_chunked(
     sync on a sharded mesh. Iteration counts are quantised up to the sweep
     length."""
     step = _step_body(matvec, nroots, m_max, null_thresh, expand, rr,
-                      fuse_chain, n_p)
+                      fuse_chain, n_p, anchor_every)
     restart = _restart_body(matvec, nroots, m_max, n_p)
     # with P slots the post-restart basis already holds n_p + nroots rows —
     # a sweep sized without them would append past capacity (DUS clamp =
@@ -716,8 +722,10 @@ def make_davidson_solve_chunked(
                 lambda ss: ss,
                 s,
             )
+            # GLOBAL iteration counter for the anchored cadence: a
+            # per-sweep i would reset the anchor phase every fill
             s = jax.lax.fori_loop(
-                0, fill_steps, lambda i, ss: step(ss, operand, diag, i), s)
+                0, fill_steps, lambda i, ss: step(ss, operand, diag, it + i), s)
             return s, it + fill_steps
 
         final, iters = jax.lax.while_loop(cond, body, (state, jnp.asarray(0, jnp.int32)))
@@ -733,6 +741,7 @@ def make_batched_davidson_solve(
     null_thresh: float = 1e-10,
     expand: Optional[Callable] = None,
     rr: str = "full",
+    anchor_every: int = 4,
 ):
     """Many independent eigenproblems in ONE dispatch: the whole-solve
     while_loop vmapped over a leading operand batch axis.
@@ -759,7 +768,8 @@ def make_batched_davidson_solve(
     # over the basis-fill length. Iteration counts quantise to the sweep.
     solve = make_davidson_solve_chunked(matvec, nroots, m_max,
                                         null_thresh=null_thresh,
-                                        expand=expand, rr=rr)
+                                        expand=expand, rr=rr,
+                                        anchor_every=anchor_every)
     init = make_davidson_init(matvec, nroots, m_max)
     batched_init = jax.jit(jax.vmap(init, in_axes=(0, 0)))
     batched_solve = jax.jit(jax.vmap(solve, in_axes=(0, 0, 0, None, None)))
@@ -1041,6 +1051,7 @@ class FusedDavidson:
                 chunk_fn = make_davidson_solve_chunked(
                     self.matvec, self.nroots, self.m_max, expand=self.expand,
                     rr=self.rr, fuse_chain=self.fuse_chain, n_p=self.n_p,
+                    anchor_every=self.anchor_every,
                 )
                 tol_, max_iter_ = self.tol, self.max_iter
                 self._solve_cache = lambda st, op, dg: chunk_fn(st, op, dg, tol_, max_iter_)
@@ -1138,7 +1149,8 @@ class FusedDavidson:
         max_sweeps = max(1, self.max_iter // steps + 1)
         sweeps_done = 0
         for _ in range(max_sweeps):
-            state = sweep(state, self.operand, self.diag)
+            state = sweep(state, self.operand, self.diag,
+                          sweeps_done * steps)
             self.iterations += steps
             self.matvecs += steps * self.nroots * self.matvecs_per_direction
             errors = np.asarray(state.errors)

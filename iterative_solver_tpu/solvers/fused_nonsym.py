@@ -757,6 +757,32 @@ def make_batched_nonsym_solve(matvec: Callable, nroots: int, m_max: int,
     return batched_init, batched_solve
 
 
+def _extract_lowest_block(bG_h, r: int, context: str = ""):
+    """Host LAPACK eig of a best-snapshot (r, r) G — shared by the batch
+    finalizer and both device-driver exit paths so the straddling-pair
+    refusal and the TRANSPOSE convention (left eigenvectors; see
+    _drive_device_chunks) live in exactly one place.
+
+    Returns ``(evals, coeff, r_eff)``; raises when the lowest root is a
+    conjugate pair the window cannot hold (r_eff == 0)."""
+    evals, coeff, _lam, _shifts = ritz_nonsym(
+        np.asarray(bG_h, dtype=np.float64).T, r)
+    r_eff = coeff.shape[0]
+    if r_eff == 0:
+        raise ValueError(
+            f"{context}the lowest subspace root is a complex conjugate "
+            f"pair and nroots={r} cannot hold both members — increase "
+            "nroots (a pair needs two slots)")
+    return evals, coeff, r_eff
+
+
+def _rotated_errors(coeff, bR_h):
+    """Per-root residual norms after the host-eig rotation: the (r, r)
+    residual Gram rotated as coeff R coeff^T — no O(N) fetch."""
+    bR64 = np.asarray(bR_h, dtype=np.float64)
+    return np.sqrt(np.abs(np.diag(coeff @ bR64 @ coeff.T)))
+
+
 def finalize_nonsym_batch(bx, bG, bR):
     """Host pair extraction for a batch of device-RR solves: per element,
     LAPACK eig of the tiny (r, r) G^T (LEFT eigenvectors — see
@@ -770,19 +796,12 @@ def finalize_nonsym_batch(bx, bG, bR):
     evals_out, errors_out = [], []
     coeffs = np.zeros((B, r, r))
     for i in range(B):
-        evals, coeff, _lam, _shifts = ritz_nonsym(
-            np.asarray(bG_h[i], dtype=np.float64).T, r)
-        r_eff = coeff.shape[0]
-        if r_eff == 0:
-            # mirror the single-system driver's failure surfacing
-            # (_drive_device_chunks): an empty evals list + zero rows is a
-            # silent wrong result for this batch element
-            raise ValueError(
-                f"batch element {i}: the lowest subspace root is a complex "
-                f"conjugate pair and nroots={r} cannot hold both members — "
-                "increase nroots (a pair needs two slots)")
-        errors = np.sqrt(np.abs(np.diag(
-            coeff @ np.asarray(bR_h[i], dtype=np.float64) @ coeff.T)))
+        # shared extraction: mirrors the single-system driver's failure
+        # surfacing (an empty evals list + zero rows is a silent wrong
+        # result for this batch element)
+        evals, coeff, r_eff = _extract_lowest_block(
+            bG_h[i], r, context=f"batch element {i}: ")
+        errors = _rotated_errors(coeff, bR_h[i])
         evals_out.append(evals)
         errors_out.append(errors[:r_eff])
         coeffs[i, :r_eff] = coeff
@@ -1239,24 +1258,15 @@ class FusedNonSymDavidson:
                 # residual GRAM — the O(N) best snapshot never crosses the
                 # tunnel (an (r, N) fetch at tunnel rates dominated the
                 # whole solve wall before this).
-                # TRANSPOSE is load-bearing: rotated rows y = z X satisfy
-                # y A^T = z G X + z R, so z must be a LEFT eigenvector of
-                # G (z G = lam z); ritz_nonsym(h) returns rows with coeff
-                # h^T = lam coeff, hence pass G^T. Feeding G instead
-                # leaves a (z G - lam z) X term the Gram-based errors
-                # cannot see — true residual 5e-4 at reported 1e-10 on a
-                # 12-iteration solve.
-                evals, coeff, lam, _shifts = ritz_nonsym(
-                    np.asarray(bG_h, dtype=np.float64).T, r)
-                r_eff = coeff.shape[0]
-                if r_eff == 0:
-                    raise ValueError(
-                        "the lowest subspace root is a complex conjugate "
-                        f"pair and nroots={r} cannot hold both members — "
-                        "increase nroots (a pair needs two slots)")
-                bR_h64 = np.asarray(bR_h, dtype=np.float64)
-                errors_rot = np.sqrt(np.abs(np.diag(
-                    coeff @ bR_h64 @ coeff.T)))[:r_eff]
+                # TRANSPOSE is load-bearing (inside _extract_lowest_block):
+                # rotated rows y = z X satisfy y A^T = z G X + z R, so z
+                # must be a LEFT eigenvector of G (z G = lam z);
+                # ritz_nonsym(h) returns rows with coeff h^T = lam coeff,
+                # hence G^T. Feeding G instead leaves a (z G - lam z) X
+                # term the Gram-based errors cannot see — true residual
+                # 5e-4 at reported 1e-10 on a 12-iteration solve.
+                evals, coeff, r_eff = _extract_lowest_block(bG_h, r)
+                errors_rot = _rotated_errors(coeff, bR_h)[:r_eff]
                 # the in-loop test sees per-row residual norms in the C
                 # basis; the final rotation mixes rows, amplifying
                 # per-root errors by up to ~sqrt(r). When the rotated
@@ -1285,18 +1295,8 @@ class FusedNonSymDavidson:
                 spikes += 1
                 if spikes >= 2:
                     # spike exit: rotate whatever the best snapshot holds
-                    evals, coeff, lam, _shifts = ritz_nonsym(
-                        np.asarray(bG_h, dtype=np.float64).T, r)
-                    r_eff = coeff.shape[0]
-                    if r_eff == 0:
-                        raise ValueError(
-                            "the lowest subspace root is a complex "
-                            f"conjugate pair and nroots={r} cannot hold "
-                            "both members — increase nroots (a pair needs "
-                            "two slots)")
-                    bR_h64 = np.asarray(bR_h, dtype=np.float64)
-                    errors_rot = np.sqrt(np.abs(np.diag(
-                        coeff @ bR_h64 @ coeff.T)))[:r_eff]
+                    evals, coeff, r_eff = _extract_lowest_block(bG_h, r)
+                    errors_rot = _rotated_errors(coeff, bR_h)[:r_eff]
                     break
             else:
                 spikes = 0

@@ -62,6 +62,17 @@ def test_batched_solution_matches_dense(nroot, nrows):
     assert max_batch["rows"] <= nrows
     # temp Q copies counted like the reference
     assert solver.stats.q_creations >= 2 * nroot
+    # the returned buffer's leading rows must hold CONVERGED root
+    # reconstructions (one-pass row contract) — a working-set-only
+    # copy-back returned stale preconditioned directions at convergence
+    # with overlap 0.0 (round-5 review finding, confirmed by repro)
+    evals_all, evecs_cols = np.linalg.eigh(m)
+    x = np.asarray(x)
+    for i in range(min(nroot, nrows)):
+        xi = x[i] / np.linalg.norm(x[i])
+        block = np.abs(evals_all - ref[i]) < 1e-8
+        overlap = np.linalg.norm(evecs_cols[:, block].T @ xi)
+        assert overlap > 1.0 - 1e-6, (i, overlap)
 
 
 def test_batched_equals_full_buffer():

@@ -13,27 +13,11 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from iterative_solver_tpu.models.synthetic_fci import synthetic_packed_int8
+from iterative_solver_tpu.models.synthetic_fci import (
+    implied_dense_int8 as implied_dense,
+    synthetic_packed_int8,
+)
 from iterative_solver_tpu.ops.kernels.symm_int8 import symm_matmat_int8
-
-
-def implied_dense(sym, diag):
-    n, b = sym.shape[0], sym.b
-    q = np.asarray(sym.q, dtype=np.float64)
-    gq = np.asarray(sym.gq, dtype=np.float64)
-    ii = np.asarray(sym.ii)
-    jj = np.asarray(sym.jj)
-    a = np.diag(np.asarray(diag, dtype=np.float64))
-    for p in range(q.shape[0]):
-        bi, bj = int(ii[p]), int(jj[p])
-        blk = (gq[bi * b:(bi + 1) * b, None]
-               * gq[None, bj * b:(bj + 1) * b] * q[p])
-        if bi == bj:
-            a[bi * b:(bi + 1) * b, bi * b:(bi + 1) * b] += blk
-        else:
-            a[bi * b:(bi + 1) * b, bj * b:(bj + 1) * b] += blk
-            a[bj * b:(bj + 1) * b, bi * b:(bi + 1) * b] += blk.T
-    return a
 
 
 @pytest.fixture(scope="module")
