@@ -316,23 +316,38 @@ def make_ppcg_step(matvec, nroots: int, rr_every: int = 5):
     return jax.jit(_step_body(matvec, nroots, rr_every), donate_argnums=(0,))
 
 
-def make_ppcg_solve(matvec, nroots: int, rr_every: int = 5):
+def make_ppcg_solve(matvec, nroots: int, rr_every: int = 5,
+                    history: int = 0):
     """Whole solve in ONE dispatch: while_loop until max error < tol or
     max_iter. Mirrors make_davidson_solve's (state, operand, diag, tol,
-    max_iter) -> (state, iterations) contract."""
+    max_iter) -> (state, iterations) contract; ``history > 0`` appends a
+    fixed-capacity per-iteration max-residual buffer to the return (same
+    semantics as make_davidson_solve's history — entries beyond the run
+    stay NaN, runs longer than ``history`` overwrite the last slot)."""
     step = _step_body(matvec, nroots, rr_every)
 
     def solve(state: PPCGState, operand, diag: Array, tol_, max_iter_):
+        hist0 = (jnp.full((history,), jnp.nan, dtype=state.errors.dtype)
+                 if history else None)
+
         def cond(carry):
-            s, it = carry
+            s, it = carry[0], carry[1]
             return (it < max_iter_) & (jnp.max(s.errors) > tol_)
 
         def body(carry):
-            s, it = carry
-            return step(s, operand, diag), it + 1
+            s, it = carry[0], carry[1]
+            s = step(s, operand, diag)
+            if history:
+                h = carry[2].at[jnp.minimum(it, history - 1)].set(
+                    jnp.max(s.errors))
+                return s, it + 1, h
+            return s, it + 1
 
-        final, iters = jax.lax.while_loop(
-            cond, body, (state, jnp.asarray(0, jnp.int32)))
+        init = (state, jnp.asarray(0, jnp.int32)) + (
+            (hist0,) if history else ())
+        out = jax.lax.while_loop(cond, body, init)
+        final, iters = out[0], out[1]
+        hist_out = out[2] if history else None
         # the step stores the INCOMING iterate's Rayleigh data (the residual
         # is computed before the update); refresh so the returned
         # evals/errors describe the returned x rows — otherwise a max_iter
@@ -342,6 +357,8 @@ def make_ppcg_solve(matvec, nroots: int, rr_every: int = 5):
         res = final.ax - rho[:, None] * final.x
         errors = jnp.sqrt(jnp.abs(_rows_dot(res, res)))
         final = final._replace(evals=rho, errors=errors)
+        if history:
+            return final, iters, hist_out
         return final, iters
 
     return jax.jit(solve)

@@ -288,3 +288,40 @@ class TestPackedJacobi3:
         w, _ = _batched_eigh3(jnp.asarray(a, jnp.float32))
         wr = np.linalg.eigh(a.astype(np.float64))[0]
         assert np.abs(np.asarray(w, np.float64) - wr).max() < 1e-5
+
+
+def test_solve_history_recording():
+    """make_ppcg_solve(history=K): per-iteration max-residual curve out of
+    the single dispatch, same contract as make_davidson_solve's history."""
+    from iterative_solver_tpu.solvers.fused_ppcg import (
+        make_ppcg_init,
+        make_ppcg_solve,
+    )
+
+    n, r = 128, 3
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((n, n)) * (0.05 / np.sqrt(n))
+    mat = a + a.T + np.diag(np.linspace(1.0, 12.0, n))
+    md = jnp.asarray(mat)
+
+    def mv(x, op):
+        return jnp.matmul(x, op.T, precision=jax.lax.Precision.HIGHEST)
+
+    init = make_ppcg_init(mv, r)
+    solve = make_ppcg_solve(mv, r, rr_every=5, history=64)
+    v0 = np.zeros((r, n))
+    for row, i in enumerate(np.argsort(np.diag(mat))[:r]):
+        v0[row, i] = 1.0
+    st = init(jnp.asarray(v0), md)
+    final, iters, hist = solve(st, md, jnp.asarray(np.diag(mat)), 1e-9, 64)
+    it = int(iters)
+    hist = np.asarray(hist)
+    assert np.max(np.asarray(final.errors)) <= 1e-9
+    assert np.all(np.isfinite(hist[:it]))
+    assert np.all(np.isnan(hist[it:]))
+    # monotone-ish decrease overall: final recorded < first recorded
+    assert hist[it - 1] < hist[0]
+    # the plain contract is unchanged
+    solve2 = make_ppcg_solve(mv, r, rr_every=5)
+    out = solve2(st, md, jnp.asarray(np.diag(mat)), 1e-9, 64)
+    assert len(out) == 2
