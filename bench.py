@@ -594,6 +594,36 @@ def main(big: bool = False, phenol: bool = False):
         solve_i8p = make_davidson_solve(matvec_i8p, NROOTS_BLOCK, M_MAX_BLOCK,
                                         rr="anchored", anchor_every=2,
                                         fuse_chain=solver_i8p.fuse_chain)
+        # bare-kernel probe: the two-plane int8 matvec alone, via a tiny
+        # fori_loop marginal. Session 5 observed the whole-step rate of
+        # THIS leg swing 15.6 -> 4.1 TF across one night while the
+        # one-plane turbo and split-bf16 legs held steady — recording the
+        # kernel time attributes future swings (kernel vs small-op/eigh).
+        import jax as _jax
+        from jax import lax as _lax
+
+        @_jax.jit
+        def _mv_loop(k, eps, x_, op_):
+            def body(i, x):
+                y = matvec_i8p(x, op_)
+                return y / (jnp.max(jnp.abs(y)) + 1.0)
+            return _lax.fori_loop(0, k, body, x_ + eps)[:1, :8]
+
+        xprobe = jnp.asarray(
+            np.random.default_rng(1).standard_normal((NROOTS_BLOCK, N))
+            / np.sqrt(N), dtype)
+        np.asarray(_mv_loop(8, 0.0, xprobe, op_i8p))
+        np.asarray(_mv_loop(32, 0.0, xprobe, op_i8p))
+        mv_walls = {}
+        for k in (8, 32):
+            best = float("inf")
+            for rep in range(4):
+                t0 = time.perf_counter()
+                np.asarray(_mv_loop(k, 1e-6 * (rep + 1), xprobe, op_i8p))
+                best = min(best, time.perf_counter() - t0)
+            mv_walls[k] = best
+        R["int8_precise_matvec_us"] = round(
+            (mv_walls[32] - mv_walls[8]) / 24 * 1e6, 1)
         st_i8p = solver_i8p.init_state(guess(NROOTS_BLOCK))
         per_iter_i8p, _, _ = sustained(solve_i8p, st_i8p, op_i8p, solver_i8p.diag, tag="int8_precise")
         st_i8p = solver_i8p.init_state(guess(NROOTS_BLOCK))
